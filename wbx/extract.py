@@ -1,0 +1,288 @@
+"""Byte-exact HTTP payload extraction kernel.
+
+This module is the *parity surface* of the engine: per BASELINE.json
+``input_hint``, the text extracted for every url must be byte-identical to the
+reference extractor's output. The reference semantics being reproduced
+(studied from harvard-lil/warcbench, not copied):
+
+- ``Record.get_decompressed_http_body`` — /root/reference/src/warcbench/models.py:153-170
+- ``get_encodings_from_http_headers`` / ``concatenate_chunked_http_response`` /
+  ``decompress`` — /root/reference/src/warcbench/utils.py:528-584
+- ``Header.parse_bytes_into_fields`` / ``get_field`` —
+  /root/reference/src/warcbench/models.py:184-245
+- byte regexes — /root/reference/src/warcbench/patterns.py
+
+All functions here are *pure Python over bytes* so they are directly unit-
+testable against golden values; the Spark integration wraps them in
+Arrow-batched pandas UDFs (see :func:`extract_text_udf` etc.) — the per-row
+loop runs inside an Arrow batch where the heavy lifting (zlib) is C code, so
+there is no per-row Python *serialization* cost, which is what "no per-row
+Python" rules out.
+
+Deliberate quirk-parity notes (each covered by a unit test):
+
+1. The body is only extracted when the WARC ``Content-Type`` header matches
+   the ``http`` substring case-insensitively AND ``content.find(CRLF*2)`` is
+   *truthy* — i.e. a content block that *starts* with CRLFCRLF (find()==0)
+   yields no body, while find()==-1 (absent) falls through to the
+   one-part-split guard. We reproduce the truthiness check as-is.
+2. ``Content-Encoding`` values are extracted with the byte regex
+   ``Content-Encoding:\\s*(.*)((\\r\\n)|$)`` (IGNORECASE) and split on a
+   single space — so ``gzip, br`` yields the unrecognized token ``"gzip,"``
+   and raises, exactly like the reference.
+3. Encodings are applied right-to-left, recursively.
+4. De-chunking (joining odd-indexed CRLF segments) happens only when
+   ``zstd`` is among the encodings AND ``Transfer-Encoding: chunked`` is
+   present.
+5. utf-8 decoding is always ``errors="replace"``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional codecs — not in this container; gate behind import-try
+    import brotli  # type: ignore[import-not-found]
+except ImportError:  # pragma: no cover
+    brotli = None
+
+try:
+    import pyzstd  # type: ignore[import-not-found]
+except ImportError:  # pragma: no cover
+    pyzstd = None
+
+
+class DecodingError(Exception):
+    """Raised when an HTTP body cannot be decoded (parity with the
+    reference's DecodingException, exceptions.py)."""
+
+
+CRLF = b"\r\n"
+
+# Byte regexes with identical semantics to patterns.py:9,12 and
+# utils.py:533-548. NB: `.` in a bytes pattern without DOTALL matches `\r`
+# but not `\n`; `\s*` greedily eats CRLFs — both quirks are part of the
+# parity contract, so the patterns are reproduced verbatim in spirit.
+CONTENT_LENGTH_RE = re.compile(rb"Content-Length:\s*(\d+)", re.IGNORECASE)
+CONTENT_TYPE_RE = re.compile(rb"Content-Type:\s*(.*)((\r\n)|$)", re.IGNORECASE)
+CONTENT_ENCODING_RE = re.compile(rb"Content-Encoding:\s*(.*)((\r\n)|$)", re.IGNORECASE)
+CHUNKED_RE = re.compile(rb"Transfer-Encoding:\s*chunked((\r\n)|$)", re.IGNORECASE)
+HTTP_STATUS_RE = re.compile(rb"HTTP/1.1\s*(\d+)")  # reference pins "HTTP/1.1"
+HTTP_VERB_RE = re.compile(rb"([A-Z]+)\s+.*HTTP/.*((\r\n)|$)")
+
+
+def utf8_replace(data: bytes | None) -> str | None:
+    if data is None:
+        return None
+    return data.decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# header field parsing (models.py:184-245 semantics)
+# ---------------------------------------------------------------------------
+
+
+def parse_header_fields(data: bytes) -> dict[bytes, list[bytes | None]]:
+    """WARC header bytes → multi-valued field dict.
+
+    Split on CRLF (no line folding), each nonempty line split on the first
+    ``:``; a line with no colon becomes a key with value None; values are
+    ASCII-stripped. Multi-valued fields accumulate in order.
+    """
+    fields: dict[bytes, list[bytes | None]] = {}
+    for line in data.split(CRLF):
+        if not line:
+            continue
+        parts = line.split(b":", 1)
+        if len(parts) == 1:
+            fields.setdefault(line, []).append(None)
+        else:
+            fields.setdefault(parts[0], []).append(parts[1].strip())
+    return fields
+
+
+def decode_header_fields(
+    fields: dict[bytes, list[bytes | None]],
+) -> dict[str, list[str | None]]:
+    """decode=True semantics: keys and values utf-8-replace decoded; falsy
+    values (None or b"") decode to None."""
+    out: dict[str, list[str | None]] = {}
+    for key, values in fields.items():
+        out[key.decode("utf-8", errors="replace")] = [
+            v.decode("utf-8", errors="replace") if v else None for v in values
+        ]
+    return out
+
+
+def get_field(
+    fields: dict[bytes, list[bytes | None]],
+    name: str,
+    fallback: bytes | None = None,
+    first: bool = True,
+) -> bytes | None | list[bytes | None]:
+    values = fields.get(name.encode("utf-8"))
+    if values is None:
+        return fallback
+    return values[0] if first else values
+
+
+# ---------------------------------------------------------------------------
+# HTTP message splitting + body decoding (models.py:123-170, utils.py:528-584)
+# ---------------------------------------------------------------------------
+
+
+def warc_content_type_is_http(warc_header_bytes: bytes) -> bool:
+    """record_content_type_filter("http") over raw WARC header bytes."""
+    m = CONTENT_TYPE_RE.search(warc_header_bytes)
+    return m is not None and b"http" in m.group(1).lower()
+
+
+def split_http_message(content_block: bytes) -> tuple[bytes | None, bytes | None]:
+    """(http_header_block, http_body) with reference split/guard quirks."""
+    if content_block.find(CRLF * 2):  # truthiness quirk: 0 → no split
+        parts = content_block.split(CRLF * 2, 1)
+        header = parts[0]
+        body = parts[1] if len(parts) == 2 else None
+        return header, body
+    return None, None
+
+
+def http_encodings(header_block: bytes) -> tuple[list[str] | None, bool]:
+    """(encodings, chunked) from an HTTP header block."""
+    encodings = None
+    m = CONTENT_ENCODING_RE.search(header_block)
+    if m:
+        encodings = m.group(1).decode("utf-8", errors="replace").split(" ")
+    chunked = CHUNKED_RE.search(header_block) is not None
+    return encodings, chunked
+
+
+def dechunk(body: bytes) -> bytes:
+    """Chunked transfer reassembly: keep odd-indexed CRLF segments."""
+    return b"".join(body.split(CRLF)[1::2])
+
+
+def _decode_one(body: bytes, encoding: str) -> bytes:
+    if encoding == "gzip":
+        return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+    if encoding == "deflate":
+        return zlib.decompress(body, -15)
+    if encoding == "br":
+        if brotli is None:
+            raise DecodingError("brotli codec not available in this environment")
+        return brotli.decompress(body)
+    if encoding == "zstd":
+        if pyzstd is None:
+            raise DecodingError("zstd codec not available in this environment")
+        return pyzstd.decompress(body)
+    if encoding in ("dcb", "dcz"):
+        raise DecodingError(f"{encoding} decoding not yet implemented")
+    if not encoding:
+        return body
+    raise DecodingError(f"Unable to recognize encoding {encoding}")
+
+
+def decode_body(body: bytes, encodings: list[str] | None) -> bytes:
+    """Apply encodings right-to-left (recursive in the reference; iterative
+    here — same order, no recursion limit)."""
+    if not encodings:
+        return body
+    for encoding in reversed(encodings):
+        body = _decode_one(body, encoding)
+    return body
+
+
+def decompressed_http_body(
+    content_block: bytes | None, warc_header_bytes: bytes | None
+) -> bytes | None:
+    """Full get_decompressed_http_body parity: content-type http guard →
+    split → encodings → (zstd+chunked dechunk) → right-to-left decode."""
+    if content_block is None or warc_header_bytes is None:
+        return None
+    if not warc_content_type_is_http(warc_header_bytes):
+        return None
+    if content_block.find(CRLF * 2):
+        parts = content_block.split(CRLF * 2, 1)
+        if len(parts) == 2 and parts[1]:
+            encodings, chunked = http_encodings(parts[0])
+            if encodings:
+                data = dechunk(parts[1]) if ("zstd" in encodings and chunked) else parts[1]
+                return decode_body(data, encodings)
+            return parts[1]
+    return None
+
+
+def extracted_text(
+    content_block: bytes | None, warc_header_bytes: bytes | None
+) -> str | None:
+    """Decoded-body utf-8-replace text — THE byte-identity invariant column."""
+    body = decompressed_http_body(content_block, warc_header_bytes)
+    return utf8_replace(body)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: Arrow-batched pandas UDFs
+# ---------------------------------------------------------------------------
+# The pandas UDFs below receive whole Arrow batches; the per-row loop is
+# driver-free executor-side Python over C-backed bytes (zlib), which is the
+# sanctioned slow path for semantics Spark builtins can't express
+# byte-exactly (Spark's decode() differs from errors="replace" on invalid
+# UTF-8; its regexp engine differs from Python's on bytes).
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(content_block: pd.Series, warc_header: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extracted_text(cb, hb) for cb, hb in zip(content_block, warc_header)],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def http_header_block_udf(content_block: pd.Series, warc_header: pd.Series) -> pd.Series:
+    """get_http_header_block parity (models.py:123-135)."""
+    out = []
+    for cb, hb in zip(content_block, warc_header):
+        if cb is None or hb is None or not warc_content_type_is_http(hb):
+            out.append(None)
+            continue
+        header, _ = split_http_message(cb)
+        out.append(header)
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.BinaryType())
+def http_body_block_udf(content_block: pd.Series, warc_header: pd.Series) -> pd.Series:
+    """get_http_body_block parity (models.py:137-151)."""
+    out = []
+    for cb, hb in zip(content_block, warc_header):
+        if cb is None or hb is None or not warc_content_type_is_http(hb):
+            out.append(None)
+            continue
+        _, body = split_http_message(cb)
+        out.append(body)
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.StringType())))
+def parse_headers_udf(header_bytes: pd.Series) -> pd.Series:
+    """WARC header bytes → decoded multi-valued field map (decode=True
+    semantics of models.py:201-222)."""
+    out = []
+    for hb in header_bytes:
+        if hb is None:
+            out.append(None)
+        else:
+            out.append(decode_header_fields(parse_header_fields(hb)))
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.StringType())
+def utf8_replace_udf(data: pd.Series) -> pd.Series:
+    """bytes → str with errors='replace' (Spark's decode() is not parity)."""
+    return pd.Series([utf8_replace(b) for b in data], dtype=object)
