@@ -1,0 +1,255 @@
+"""WARC scan/write tests — synthetic fixtures, standalone.
+
+Offset conventions + quirk expectations were verified against the reference
+parser (parsers/warc.py, patches.py) on both synthetic archives and the
+example.com fixtures before being hard-coded here; member-offset and
+record-offset parity on the reference's real .warc.gz was exact
+(SURVEY.md §5 layer 1).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from wbx import warcio
+from wbx.warcio import CRLF
+
+
+def make_record(body: bytes, warc_type: bytes = b"response", extra: bytes = b"") -> bytes:
+    """One wire-format record incl. trailing CRLFCRLF terminator."""
+    header = (
+        b"WARC/1.1\r\nWARC-Type: " + warc_type + b"\r\n"
+        b"WARC-Target-URI: http://example.com/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n" + extra +
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    return header + CRLF + body + CRLF * 2
+
+
+class TestContentLengthScan:
+    def test_two_records_offsets(self):
+        r1 = make_record(b"HTTP/1.1 200 OK\r\nX: 1\r\n\r\nhello")
+        r2 = make_record(b"HTTP/1.1 404\r\n\r\nbye")
+        result = warcio.scan_warc(r1 + r2, "f")
+        assert len(result.records) == 2
+        a, b = result.records
+        # record = [header_start, content_end); header includes its last CRLF;
+        # blank line excluded; terminator CRLFCRLF excluded
+        assert a["record_start"] == 0
+        assert a["record_end"] == len(r1) - 4
+        assert a["header_end"] + 2 == a["content_start"]
+        assert a["content_block"] == b"HTTP/1.1 200 OK\r\nX: 1\r\n\r\nhello"
+        assert a["header_bytes"].endswith(b"Content-Length: 30\r\n")
+        assert b["record_start"] == len(r1)
+        assert b["record_end"] == len(r1) + len(r2) - 4
+        assert result.warnings == [] and result.error is None
+
+    def test_projected_fields(self):
+        rec = make_record(b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\nhi")
+        r = warcio.scan_warc(rec, "f").records[0]
+        assert r["warc_type"] == "response"
+        assert r["target_uri"] == "http://example.com/"
+        assert r["content_type"] == "application/http; msgtype=response"
+        assert r["http_status"] == 200
+        assert r["http_content_type"] == "text/html; charset=UTF-8"
+        assert r["warc_version"] == "WARC/1.1"
+        assert r["is_warc"] is True
+
+    def test_request_verb(self):
+        body = b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"
+        rec = make_record(body, extra=b"")
+        r = warcio.scan_warc(rec, "f").records[0]
+        assert r["http_verb"] == "GET"
+
+    def test_junk_lines_between_records(self):
+        r1, r2 = make_record(b"abc"), make_record(b"defgh")
+        data = r1 + b"JUNK1\r\nJUNK2\r\n" + r2
+        result = warcio.scan_warc(data, "f")
+        assert len(result.records) == 2
+        assert [(u["start"], u["end"]) for u in result.unparsable] == [
+            (len(r1), len(r1) + 7),
+            (len(r1) + 7, len(r1) + 14),
+        ]
+        assert result.unparsable[0]["bytes"] == b"JUNK1\r\n"
+
+    def test_missing_content_length_block_becomes_unparsable_lines(self):
+        bad = b"WARC/1.1\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+        data = bad + make_record(b"ok")
+        result = warcio.scan_warc(data, "f")
+        assert len(result.records) == 1
+        # each header-block line → one unparsable line, end = start+len+2
+        assert [(u["start"], u["end"]) for u in result.unparsable][:2] == [
+            (0, 10),
+            (10, 31),
+        ]
+
+    def test_zero_content_length_is_unparsable_quirk(self):
+        # `if not content_length` in the reference treats 0 as missing
+        data = make_record(b"") + make_record(b"ok")
+        result = warcio.scan_warc(data, "f")
+        assert len(result.records) == 1
+        assert result.records[0]["content_block"] == b"ok"
+        assert len(result.unparsable) > 0
+
+    def test_improper_termination_warns(self):
+        data = make_record(b"abc")[:-4] + make_record(b"next")
+        result = warcio.scan_warc(data, "f")
+        assert len(result.records) == 2
+        assert "improperly terminated" in result.warnings[0]
+
+    def test_not_a_warc_sets_error(self):
+        result = warcio.scan_warc(b"this is not a warc file\r\n", "f")
+        assert result.error == "No WARC header found."
+        assert result.records == []
+
+    def test_leading_whitespace_skipped_silently(self):
+        data = b"\r\n  \r\n" + make_record(b"data")
+        result = warcio.scan_warc(data, "f")
+        assert len(result.records) == 1
+        assert result.records[0]["record_start"] == 6
+        assert result.unparsable == []
+
+    def test_truncated_content(self):
+        data = make_record(b"0123456789")[:-8]
+        result = warcio.scan_warc(data, "f")
+        assert len(result.records) == 1
+        assert result.records[0]["content_end"] == len(data)
+        assert "improperly terminated" in result.warnings[0]
+
+
+class TestDelimiterScan:
+    def test_agrees_with_content_length_on_clean_file(self):
+        # bodies end with \n\n so the final delimiter is the two-CRLF-only
+        # pattern the reference requires at EOF
+        r1 = make_record(b"HTTP/1.1 200 OK\r\nX: 1\r\n\r\n<html>hello</html>\n\n")
+        r2 = make_record(b"HTTP/1.1 404\r\n\r\n<html>bye</html>\n\n")
+        data = r1 + r2
+        a = warcio.scan_warc(data, "f", "content_length")
+        b = warcio.scan_warc(data, "f", "delimiter")
+        keys = ["record_start", "record_end", "header_start", "header_end", "content_start", "content_end"]
+        assert [[r[k] for k in keys] for r in a.records] == [
+            [r[k] for k in keys] for r in b.records
+        ]
+
+    def test_content_length_check(self):
+        data = make_record(b"HTTP/1.1 200\r\n\r\nbody\n\n", extra=b"")
+        rec = warcio.scan_warc(data, "f", "delimiter").records[0]
+        assert rec["content_length_ok"] is True
+
+    def test_bad_content_length_detected(self):
+        body = b"HTTP/1.1 200\r\n\r\nbody\n\n"
+        header = (
+            b"WARC/1.1\r\nWARC-Type: response\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: 9999\r\n"
+        )
+        data = header + CRLF + body + CRLF * 2 + make_record(b"x\n\n")
+        recs = warcio.scan_warc(data, "f", "delimiter").records
+        assert recs[0]["content_length_ok"] is False
+
+    def test_truncated_last_record_warns_not_crashes(self):
+        # the reference delimiter parser crashes here (negative read);
+        # we emit the truncation warning and keep the record to EOF
+        data = make_record(b"hello")  # body has no trailing CRLF before terminator
+        result = warcio.scan_warc(data, "f", "delimiter")
+        assert result.warnings == ["Last record may have been truncated."]
+        assert len(result.records) == 1
+        assert result.records[0]["record_end"] == len(data)
+
+
+class TestGzip:
+    def test_member_index_roundtrip(self):
+        recs = [b"WARC/1.1\r\nContent-Length: 2\r\n\r\nab", b"WARC/1.1\r\nContent-Length: 3\r\n\r\ncde"]
+        gz = warcio.write_warc_gz(recs)
+        members = warcio.index_gzip_members(gz)
+        assert len(members) == 2
+        assert members[0][0] == 0
+        assert members[0][1] == members[1][0]  # contiguous compressed spans
+        assert members[1][1] == len(gz)
+        # uncompressed spans cover the concatenation exactly
+        total_unc = sum(len(r) + 4 for r in recs)
+        assert members[0][2] == 0 and members[-1][3] == total_unc
+
+    def test_scan_warc_gz_records_and_member_attribution(self):
+        wire = [
+            make_record(b"HTTP/1.1 200\r\n\r\nfirst")[:-4],
+            make_record(b"HTTP/1.1 404\r\n\r\nsecond")[:-4],
+        ]
+        gz = warcio.write_warc_gz(wire)
+        result, non_warc = warcio.scan_warc_gz(gz, "f")
+        assert len(result.records) == 2 and non_warc == []
+        members = warcio.index_gzip_members(gz)
+        for rec, m in zip(result.records, members):
+            assert (rec["member_start"], rec["member_end"]) == (m[0], m[1])
+            assert (rec["unc_start"], rec["unc_end"]) == (m[2], m[3])
+            assert m[2] <= rec["record_start"] < m[3]
+
+    def test_non_warc_member_detected(self):
+        gz = warcio.write_warc_gz([make_record(b"HTTP/1.1 200\r\n\r\nok")[:-4]])
+        gz += gzip.compress(b"not a warc at all", mtime=0)
+        result, non_warc = warcio.scan_warc_gz(gz, "f")
+        assert len(result.records) == 1
+        assert len(non_warc) == 1
+        assert non_warc[0]["bytes"] == b"not a warc at all"
+
+    def test_single_member_warning(self):
+        whole = gzip.compress(make_record(b"HTTP/1.1 200\r\n\r\nok"), mtime=0)
+        result, _ = warcio.scan_warc_gz(whole, "f")
+        assert "only contains one gzip member" in result.warnings[0]
+
+    def test_write_warc(self):
+        recs = [b"A", b"B"]
+        assert warcio.write_warc(recs) == b"A\r\n\r\nB\r\n\r\n"
+
+
+class TestWacz:
+    def test_open_wacz(self):
+        import io as _io
+        import json
+        import zipfile
+
+        gz = warcio.write_warc_gz([make_record(b"HTTP/1.1 200\r\n\r\nok")[:-4]])
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(
+                "datapackage.json",
+                json.dumps({"resources": [{"path": "archive/data.warc.gz"}]}),
+            )
+            zf.writestr("archive/data.warc.gz", gz)
+        assert warcio.open_wacz(buf.getvalue()) == gz
+
+
+class TestSparkScan:
+    def test_scan_files_to_records(self, spark):
+        r1 = make_record(b"HTTP/1.1 200 OK\r\n\r\nhello")
+        r2 = make_record(b"GET / HTTP/1.1\r\n\r\n", warc_type=b"request")
+        gz = warcio.write_warc_gz([make_record(b"HTTP/1.1 404\r\n\r\nbye")[:-4]])
+        files = spark.createDataFrame(
+            [("a.warc", bytearray(r1 + r2)), ("b.warc.gz", bytearray(gz))],
+            "source_file string, content binary",
+        )
+        records = warcio.scan_files_to_records(files)
+        rows = records.orderBy("source_file", "record_start").collect()
+        assert [(r["source_file"], r["warc_type"]) for r in rows] == [
+            ("a.warc", "response"),
+            ("a.warc", "request"),
+            ("b.warc.gz", "response"),
+        ]
+        assert rows[2]["member_start"] == 0 and rows[2]["is_warc"]
+
+    def test_unparsable_side_output(self, spark):
+        data = make_record(b"abc") + b"JUNK\r\n" + make_record(b"def")
+        files = spark.createDataFrame(
+            [("a.warc", bytearray(data))], "source_file string, content binary"
+        )
+        unp = warcio.scan_files_to_unparsable(files).collect()
+        assert len(unp) == 1 and bytes(unp[0]["bytes"]) == b"JUNK\r\n"
+
+    def test_diagnostics_side_output(self, spark):
+        files = spark.createDataFrame(
+            [("bad.warc", bytearray(b"nope\r\n"))], "source_file string, content binary"
+        )
+        diag = warcio.scan_files_to_diagnostics(files).collect()
+        assert [(d["kind"], d["message"]) for d in diag] == [
+            ("error", "No WARC header found.")
+        ]

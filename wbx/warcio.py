@@ -1,0 +1,624 @@
+"""WARC / WARC.GZ scanning and writing.
+
+Distributed rewrite of the reference's sequential parsers
+(/root/reference/src/warcbench/parsers/warc.py, parsers/gzipped_warc.py,
+patches.py — studied for behavior, not copied). The sequential state machine
+becomes a two-stage Spark DAG:
+
+  stage 1 (gz only): member index — find gzip member boundaries so a
+          .warc.gz is splittable across tasks (the reference builds the same
+          index up-front via a patched gzip reader; here it's a plain
+          zlib.decompressobj loop over ``unused_data``);
+  stage 2: record scan — a mapInPandas kernel that carves file bytes into
+          offset-addressed records, with the same two strategies as the
+          reference (content_length: fast, header-driven seek; delimiter:
+          line-walk, robust to broken Content-Length) and the same
+          side-channels (unparsable lines, warnings, parse error).
+
+Offset conventions match the reference exactly (verified empirically against
+parsers/warc.py:325-508 on synthetic files):
+- record = [header_start, content_end); trailing CRLFCRLF excluded
+- header bytes INCLUDE the final header line's CRLF; the blank line is excluded
+- content = [header_end + 2, content_end)
+- a junk line between records = [line_start, after-newline)
+- content-length strategy treats Content-Length: 0 as unparsable (`if not
+  content_length` quirk) and case-insensitively regex-searches the whole
+  header block (so e.g. "X-Content-Length" can match)
+- delimiter strategy ends a record at a CRLF-only line that either follows
+  another CRLF-only line with no further CRLF ahead, or follows a
+  CRLF-terminated line with a WARC/1.x magic immediately after.
+
+Divergence (documented): where the reference delimiter parser crashes when a
+truncated last record can't be split (negative read), we emit a diagnostics
+row instead — malformed input is first-class output, never an engine crash.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+import re
+import zipfile
+import zlib
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from wbx.extract import (
+    CONTENT_LENGTH_RE,
+    CONTENT_TYPE_RE,
+    CRLF,
+    HTTP_STATUS_RE,
+    HTTP_VERB_RE,
+    decode_header_fields,
+    parse_header_fields,
+    split_http_message,
+    utf8_replace,
+    warc_content_type_is_http,
+)
+
+WARC_MAGICS = (b"WARC/1.0\r\n", b"WARC/1.1\r\n")
+
+
+@dataclass
+class ScanResult:
+    records: list[dict] = field(default_factory=list)
+    unparsable: list[dict] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+    error: str | None = None
+
+
+def _at_magic(data: bytes, pos: int) -> bytes | None:
+    for magic in WARC_MAGICS:
+        if data.startswith(magic, pos):
+            return magic
+    return None
+
+
+def _line_end(data: bytes, pos: int) -> int | None:
+    """Offset just past the next \\n at/after pos, or None if no newline."""
+    idx = data.find(b"\n", pos)
+    return None if idx == -1 else idx + 1
+
+
+def _header_block_end(data: bytes, pos: int) -> int | None:
+    """Offset just past the CRLF-only line ending the header block."""
+    cur = pos
+    while True:
+        end = _line_end(data, cur)
+        if end is None:
+            return None
+        if data[cur:end] == CRLF:
+            return end
+        cur = end
+
+
+def _emit_record(
+    result: ScanResult,
+    source: str,
+    data: bytes,
+    record_start: int,
+    record_end: int,
+    header_start: int,
+    header_end: int,
+    content_start: int,
+    content_end: int,
+    member: tuple[int, int, int, int] | None = None,
+    check_content_length: bool = False,
+) -> None:
+    header_bytes = data[header_start:header_end]
+    content = data[content_start:content_end]
+    fields = parse_header_fields(header_bytes)
+    decoded = decode_header_fields(fields)
+
+    def first(name: str) -> str | None:
+        values = decoded.get(name)
+        return values[0] if values else None
+
+    version = None
+    magic = _at_magic(data, record_start)
+    if magic:
+        version = magic[:-2].decode("ascii")
+
+    cl_match = CONTENT_LENGTH_RE.search(header_bytes)
+    content_length = int(cl_match.group(1)) if cl_match else None
+    ct_match = CONTENT_TYPE_RE.search(header_bytes)
+    content_type = (
+        ct_match.group(1).decode("utf-8", errors="replace") if ct_match else None
+    )
+
+    http_status = http_verb = http_ct = None
+    if warc_content_type_is_http(header_bytes):
+        http_header, _ = split_http_message(content)
+        if http_header is not None:
+            sm = HTTP_STATUS_RE.search(http_header)
+            if sm:
+                http_status = int(sm.group(1))
+            vm = HTTP_VERB_RE.match(http_header)
+            if vm:
+                http_verb = vm.group(1).decode("ascii")
+            cm = CONTENT_TYPE_RE.search(http_header)
+            if cm:
+                http_ct = cm.group(1).decode("utf-8", errors="replace")
+
+    content_length_ok = None
+    if check_content_length:
+        content_length_ok = (
+            content_length is not None and (content_end - content_start) == content_length
+        )
+
+    result.records.append(
+        {
+            "source_file": source,
+            "member_start": member[0] if member else None,
+            "member_end": member[1] if member else None,
+            "unc_start": member[2] if member else None,
+            "unc_end": member[3] if member else None,
+            "record_start": record_start,
+            "record_end": record_end,
+            "header_start": header_start,
+            "header_end": header_end,
+            "content_start": content_start,
+            "content_end": content_end,
+            "warc_version": version,
+            "headers": decoded,
+            "warc_type": first("WARC-Type"),
+            "target_uri": first("WARC-Target-URI"),
+            "warc_date": first("WARC-Date"),
+            "content_type": content_type,
+            "content_length": content_length,
+            "header_bytes": header_bytes,
+            "content_block": content,
+            "http_status": http_status,
+            "http_verb": http_verb,
+            "http_content_type": http_ct,
+            "content_length_ok": content_length_ok,
+            "is_warc": True,
+        }
+    )
+
+
+def _scavenge_junk(
+    result: ScanResult, source: str, data: bytes, pos: int
+) -> int | None:
+    """FIND_NEXT_RECORD parity: record junk lines until a WARC magic or EOF.
+
+    Returns the next record position, or None at EOF. Trailing junk without a
+    newline is dropped (reference advance_to_next_line returns None)."""
+    while pos < len(data):
+        if _at_magic(data, pos):
+            return pos
+        end = _line_end(data, pos)
+        if end is None:
+            return None
+        result.unparsable.append(
+            {"source_file": source, "start": pos, "end": end, "bytes": data[pos:end]}
+        )
+        pos = end
+    return None
+
+
+def scan_warc_content_length(data: bytes, source: str = "") -> ScanResult:
+    """Content-length strategy (reference parsers/warc.py:404-508 parity)."""
+    result = ScanResult()
+
+    # FIND_WARC_HEADER: skip leading ASCII whitespace silently
+    pos = 0
+    while pos < len(data) and data[pos : pos + 1].isspace():
+        pos += 1
+    if not _at_magic(data, pos):
+        result.error = "No WARC header found."
+        return result
+
+    while pos is not None and pos < len(data):
+        header_start = pos
+        block_end = _header_block_end(data, pos)
+        if block_end is not None:
+            header_end = block_end - len(CRLF)  # excludes blank line only
+            content_start = block_end
+        else:
+            header_end = len(data)
+            content_start = len(data)
+        header_bytes = data[header_start:header_end]
+
+        cl_match = CONTENT_LENGTH_RE.search(header_bytes)
+        content_length = int(cl_match.group(1)) if cl_match else None
+        if not content_length:  # None and 0 both unparsable (reference quirk)
+            start_index = header_start
+            for line in header_bytes.split(CRLF):
+                end_index = start_index + len(line) + 2
+                result.unparsable.append(
+                    {
+                        "source_file": source,
+                        "start": start_index,
+                        "end": end_index,
+                        "bytes": line + CRLF,
+                    }
+                )
+                start_index = end_index
+            pos = _scavenge_junk(result, source, data, content_start)
+            continue
+
+        content_end = min(content_start + content_length, len(data))
+        _emit_record(
+            result,
+            source,
+            data,
+            record_start=header_start,
+            record_end=content_end,
+            header_start=header_start,
+            header_end=header_end,
+            content_start=content_start,
+            content_end=content_end,
+        )
+
+        pos = content_end
+        if data.startswith(CRLF * 2, pos):
+            pos += len(CRLF * 2)
+        else:
+            result.warnings.append(
+                f"The record between {header_start}-{content_end} was improperly terminated."
+            )
+        pos = _scavenge_junk(result, source, data, pos)
+
+    return result
+
+
+def _find_delimiter(data: bytes, pos: int) -> int | None:
+    """Next record delimiter per reference find_next_delimiter semantics.
+
+    Walk lines from pos; return the offset just past the CRLF-only line that
+    ends the record, or None (truncated)."""
+    had_break = False  # previous line ended with CRLF (content + CRLF)
+    was_break = False  # previous line was exactly CRLF
+    cur = pos
+    while True:
+        end = _line_end(data, cur)
+        if end is None:
+            return None
+        line = data[cur:end]
+        ended_with_crlf = line.endswith(CRLF)
+        crlf_only = line == CRLF
+        if ended_with_crlf:
+            if crlf_only:
+                if was_break and not data.startswith(CRLF, end):
+                    return end
+                if had_break and (_at_magic(data, end) or end >= len(data)):
+                    # magic follows → record boundary. NB: the reference only
+                    # accepts magic here (EOF falls through to truncation);
+                    # we match that: EOF alone does not end the record.
+                    if _at_magic(data, end):
+                        return end
+                was_break = True
+            else:
+                was_break = False
+                had_break = True
+        else:
+            was_break = False
+            had_break = False
+        cur = end
+
+
+def scan_warc_delimiter(data: bytes, source: str = "") -> ScanResult:
+    """Delimiter strategy (reference parsers/warc.py:277-401 parity)."""
+    result = ScanResult()
+
+    pos = 0
+    while pos < len(data) and data[pos : pos + 1].isspace():
+        pos += 1
+    if not _at_magic(data, pos):
+        result.error = "No WARC header found."
+        return result
+
+    while pos is not None and pos < len(data):
+        record_start = pos
+        stop = _find_delimiter(data, pos)
+        if stop is not None:
+            record_end = stop - len(CRLF * 2)
+        else:
+            result.warnings.append("Last record may have been truncated.")
+            record_end = len(data)  # divergence: ref rewinds to start; we
+            # take EOF so the tail is still inspectable
+
+        block_end = _header_block_end(data, record_start)
+        if block_end is not None and block_end - len(CRLF) <= record_end:
+            header_end = block_end - len(CRLF)
+            content_start = block_end
+            _emit_record(
+                result,
+                source,
+                data,
+                record_start=record_start,
+                record_end=record_end,
+                header_start=record_start,
+                header_end=header_end,
+                content_start=content_start,
+                content_end=record_end,
+                check_content_length=True,
+            )
+        else:
+            result.warnings.append(
+                f"Could not split the record between {record_start} and {record_end} "
+                "into header and content block components."
+            )
+
+        pos = record_end + len(CRLF * 2)
+        if stop is None:
+            break
+        pos = _scavenge_junk(result, source, data, pos)
+
+    return result
+
+
+def scan_warc(data: bytes, source: str = "", style: str = "content_length") -> ScanResult:
+    if style == "content_length":
+        return scan_warc_content_length(data, source)
+    if style == "delimiter":
+        return scan_warc_delimiter(data, source)
+    raise ValueError("Supported parsing styles: delimiter, content_length")
+
+
+# ---------------------------------------------------------------------------
+# gzip member index (reference patches.py:29-155 behavior via decompressobj)
+# ---------------------------------------------------------------------------
+
+
+def index_gzip_members(data: bytes, chunk_size: int = 1 << 20) -> list[tuple[int, int, int, int]]:
+    """[(comp_start, comp_end, unc_start, unc_end)] per gzip member.
+
+    This is the split index that makes .warc.gz splittable across Spark
+    tasks (record-at-time compression's stated purpose, models.py:273-291).
+    A trailing truncated member is reported with comp_end = len(data).
+    """
+    members: list[tuple[int, int, int, int]] = []
+    pos = 0
+    unc_pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        unc_len = 0
+        i = pos
+        try:
+            while not d.eof and i < n:
+                chunk = data[i : i + chunk_size]
+                unc_len += len(d.decompress(chunk))
+                i += len(chunk)
+        except zlib.error:
+            members.append((pos, n, unc_pos, unc_pos + unc_len))
+            break
+        if not d.eof:
+            members.append((pos, n, unc_pos, unc_pos + unc_len))
+            break
+        comp_end = i - len(d.unused_data)
+        members.append((pos, comp_end, unc_pos, unc_pos + unc_len))
+        pos = comp_end
+        unc_pos += unc_len
+    return members
+
+
+def decompress_member(data: bytes, comp_start: int, comp_end: int) -> bytes:
+    return zlib.decompress(data[comp_start:comp_end], wbits=31)
+
+
+def scan_warc_gz(
+    data: bytes, source: str = "", style: str = "content_length"
+) -> tuple[ScanResult, list[dict]]:
+    """Two-stage gz scan: index members, decompress, scan records, attribute
+    each record to its member by uncompressed offset.
+
+    Returns (ScanResult with member-annotated records, non-WARC member rows).
+    Record offsets are relative to the UNCOMPRESSED stream (reference
+    decompression_style='file' convention)."""
+    members = index_gzip_members(data)
+    if len(members) <= 1:
+        warn = (
+            "This file only contains one gzip member. While valid, this is  "
+            "unusual: WARC files are customarily compressed record-by-record."
+        )
+    else:
+        warn = None
+
+    unc = b"".join(decompress_member(data, m[0], m[1]) for m in members)
+    result = scan_warc(unc, source, style)
+    if warn:
+        result.warnings.insert(0, warn)
+
+    # attribute records to members by uncompressed start offset
+    non_warc: list[dict] = []
+    mi = 0
+    for rec in result.records:
+        while mi < len(members) and rec["record_start"] >= members[mi][3]:
+            mi += 1
+        if mi < len(members):
+            m = members[mi]
+            rec["member_start"], rec["member_end"] = m[0], m[1]
+            rec["unc_start"], rec["unc_end"] = m[2], m[3]
+
+    # non-WARC members: members whose uncompressed span contains no record
+    starts = {m: False for m in range(len(members))}
+    for rec in result.records:
+        for idx, m in enumerate(members):
+            if m[2] <= rec["record_start"] < m[3]:
+                starts[idx] = True
+                break
+    for idx, m in enumerate(members):
+        if not starts[idx]:
+            non_warc.append(
+                {
+                    "source_file": source,
+                    "member_start": m[0],
+                    "member_end": m[1],
+                    "unc_start": m[2],
+                    "unc_end": m[3],
+                    "bytes": unc[m[2] : m[3]],
+                }
+            )
+    return result, non_warc
+
+
+# ---------------------------------------------------------------------------
+# sinks (reference scripts/utils.py:112-139 behavior)
+# ---------------------------------------------------------------------------
+
+
+def record_bytes(header_bytes: bytes, content_block: bytes) -> bytes:
+    """Reassemble one record's wire bytes (header incl. its final CRLF)."""
+    return header_bytes + CRLF + content_block
+
+
+def write_warc(records: list[bytes]) -> bytes:
+    """Concatenate records with the CRLFCRLF terminator."""
+    return b"".join(r + CRLF * 2 for r in records)
+
+
+def write_warc_gz(records: list[bytes], compresslevel: int = 9) -> bytes:
+    """Record-at-time gzip: one member per record → splittable output."""
+    out = io.BytesIO()
+    for r in records:
+        out.write(_gzip.compress(r + CRLF * 2, compresslevel=compresslevel, mtime=0))
+    return out.getvalue()
+
+
+def open_wacz(data: bytes) -> bytes:
+    """Extract the first .warc.gz (or .warc) resource from a WACZ zip,
+    following datapackage.json when present (reference utils.py:287-369)."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    names = zf.namelist()
+    candidates: list[str] = []
+    if "datapackage.json" in names:
+        import json
+
+        pkg = json.loads(zf.read("datapackage.json"))
+        for res in pkg.get("resources", []):
+            path = res.get("path", "")
+            if path.endswith(".warc.gz") or path.endswith(".warc"):
+                candidates.append(path)
+    if not candidates:
+        candidates = [n for n in names if n.endswith((".warc.gz", ".warc"))]
+    if not candidates:
+        raise ValueError("No WARC resource found in WACZ")
+    return zf.read(candidates[0])
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+_REC_COLUMNS = [
+    "source_file",
+    "member_start",
+    "member_end",
+    "unc_start",
+    "unc_end",
+    "record_start",
+    "record_end",
+    "header_start",
+    "header_end",
+    "content_start",
+    "content_end",
+    "warc_version",
+    "headers",
+    "warc_type",
+    "target_uri",
+    "warc_date",
+    "content_type",
+    "content_length",
+    "header_bytes",
+    "content_block",
+    "http_status",
+    "http_verb",
+    "http_content_type",
+    "content_length_ok",
+    "is_warc",
+]
+
+
+def scan_files_to_records(files_df, style: str = "content_length"):
+    """(source_file string, content binary[, is_gz boolean]) → records DF.
+
+    mapInPandas kernel: each input row is one archive file (or one member
+    range at scale — the member index makes .warc.gz splittable so a 1 GB
+    archive fans out across tasks). All byte work happens executor-side in
+    Arrow batches."""
+    from wbx.schema import RECORDS
+
+    has_gz = "is_gz" in files_df.columns
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, row in pdf.iterrows():
+                data = bytes(row["content"])
+                gz = bool(row["is_gz"]) if has_gz else row["source_file"].endswith(".gz")
+                if gz:
+                    result, non_warc = scan_warc_gz(data, row["source_file"], style)
+                    rows.extend(result.records)
+                    for m in non_warc:
+                        rows.append(
+                            {
+                                "source_file": m["source_file"],
+                                "member_start": m["member_start"],
+                                "member_end": m["member_end"],
+                                "unc_start": m["unc_start"],
+                                "unc_end": m["unc_end"],
+                                "content_block": m["bytes"],
+                                "is_warc": False,
+                            }
+                        )
+                else:
+                    result = scan_warc(data, row["source_file"], style)
+                    rows.extend(result.records)
+            out = pd.DataFrame(rows, columns=_REC_COLUMNS)
+            if not rows:
+                out = pd.DataFrame({c: pd.Series(dtype=object) for c in _REC_COLUMNS})
+            yield out
+
+    return files_df.mapInPandas(scan_batches, schema=RECORDS)
+
+
+def scan_files_to_unparsable(files_df, style: str = "content_length"):
+    """(source_file, content) → unparsable_lines side-output DF."""
+    from wbx.schema import UNPARSABLE_LINES
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["source_file", "start", "end", "bytes"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, row in pdf.iterrows():
+                result = scan_warc(bytes(row["content"]), row["source_file"], style)
+                rows.extend(result.unparsable)
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols}
+            )
+
+    return files_df.mapInPandas(scan_batches, schema=UNPARSABLE_LINES)
+
+
+def scan_files_to_diagnostics(files_df, style: str = "content_length"):
+    """(source_file, content) → diagnostics (warning/error rows) DF."""
+    from wbx.schema import DIAGNOSTICS
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["source_file", "kind", "message"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, row in pdf.iterrows():
+                result = scan_warc(bytes(row["content"]), row["source_file"], style)
+                for w in result.warnings:
+                    rows.append(
+                        {"source_file": row["source_file"], "kind": "warning", "message": w}
+                    )
+                if result.error:
+                    rows.append(
+                        {
+                            "source_file": row["source_file"],
+                            "kind": "error",
+                            "message": result.error,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols}
+            )
+
+    return files_df.mapInPandas(scan_batches, schema=DIAGNOSTICS)
