@@ -1,0 +1,278 @@
+"""Relational-rewrite equivalence tests: J1 FIFO pairing and J2 archive
+comparison vs Python oracles of the reference algorithms, plus summarize
+aggregates and netloc parity."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wbx import analytics
+from tests.helpers import (
+    RECORDS_MINI_SCHEMA,
+    compare_headers_oracle,
+    fifo_pairs_oracle,
+    rec_row,
+)
+
+
+def records_df(spark, rows):
+    return spark.createDataFrame(rows, RECORDS_MINI_SCHEMA)
+
+
+class TestMatchPairs:
+    def check(self, spark, rows):
+        df = records_df(spark, rows)
+        got = analytics.match_pairs(df).collect()
+        exp_pairs, exp_lreq, exp_lresp = fifo_pairs_oracle(rows)
+        got_pairs = sorted(
+            (r["req_start"], r["resp_start"])
+            for r in got
+            if r["pair_type"] == "pair"
+        )
+        got_lreq = sorted(r["req_start"] for r in got if r["pair_type"] == "lone_request")
+        got_lresp = sorted(
+            r["resp_start"] for r in got if r["pair_type"] == "lone_response"
+        )
+        assert got_pairs == sorted(exp_pairs)
+        assert got_lreq == sorted(exp_lreq)
+        assert got_lresp == sorted(exp_lresp)
+
+    def test_interleaved_duplicates(self, spark):
+        rows = [
+            rec_row(record_start=0, warc_type="request", target_uri="u"),
+            rec_row(record_start=10, warc_type="request", target_uri="u"),
+            rec_row(record_start=20, warc_type="response", target_uri="u"),
+            rec_row(record_start=30, warc_type="request", target_uri="u"),
+            rec_row(record_start=40, warc_type="response", target_uri="u"),
+        ]
+        self.check(spark, rows)
+
+    def test_response_before_request(self, spark):
+        rows = [
+            rec_row(record_start=0, warc_type="response", target_uri="u"),
+            rec_row(record_start=10, warc_type="request", target_uri="u"),
+        ]
+        self.check(spark, rows)
+
+    def test_multiple_uris_and_lones(self, spark):
+        rows = [
+            rec_row(record_start=0, warc_type="request", target_uri="a"),
+            rec_row(record_start=10, warc_type="response", target_uri="b"),
+            rec_row(record_start=20, warc_type="response", target_uri="a"),
+            rec_row(record_start=30, warc_type="request", target_uri="c"),
+            rec_row(record_start=40, warc_type="warcinfo", target_uri=None),
+        ]
+        self.check(spark, rows)
+
+    def test_null_uri_pairs_together(self, spark):
+        rows = [
+            rec_row(record_start=0, warc_type="request", target_uri=None),
+            rec_row(record_start=10, warc_type="response", target_uri=None),
+        ]
+        self.check(spark, rows)
+
+    def test_mixed_case_types(self, spark):
+        rows = [
+            rec_row(record_start=0, warc_type="Request", target_uri="u"),
+            rec_row(record_start=10, warc_type="RESPONSE", target_uri="u"),
+        ]
+        self.check(spark, rows)
+
+    def test_randomized_streams(self, spark):
+        rng = random.Random(42)
+        uris = ["u1", "u2", "u3", None]
+        rows = [
+            rec_row(
+                record_start=i * 10,
+                warc_type=rng.choice(["request", "response", "metadata"]),
+                target_uri=rng.choice(uris),
+                source_file=rng.choice(["a.warc", "b.warc"]),
+            )
+            for i in range(200)
+        ]
+        self.check(spark, rows)
+
+    def test_exclude_file_uris(self, spark):
+        rows = [
+            rec_row(record_start=0, warc_type="request", target_uri="file:///x"),
+            rec_row(record_start=10, warc_type="response", target_uri="file:///x"),
+            rec_row(record_start=20, warc_type="request", target_uri="http://a/"),
+            rec_row(record_start=30, warc_type="response", target_uri="http://a/"),
+        ]
+        df = records_df(spark, rows)
+        got = analytics.match_pairs(df, exclude_file_uris=True).collect()
+        assert len(got) == 1 and got[0]["pair_type"] == "pair"
+
+
+class TestCompareHeaders:
+    def check(self, spark, rows1, rows2, **kw):
+        got = (
+            analytics.compare_headers_summary(
+                records_df(spark, rows1), records_df(spark, rows2), **kw
+            )
+            .collect()[0]
+            .asDict()
+        )
+        exp = compare_headers_oracle(
+            rows1,
+            rows2,
+            compare_fields=kw.get("compare_fields", ("WARC-Payload-Digest", "Content-Length")),
+            near_match_fields=kw.get(
+                "near_match_fields", ("WARC-Payload-Digest", "Content-Length")
+            ),
+        )
+        assert got == exp
+
+    def h(self, digest="d1", length="10", extra=None):
+        headers = {"WARC-Payload-Digest": [digest], "Content-Length": [length]}
+        if extra is not None:
+            headers["X-Extra"] = [extra]
+        return headers
+
+    def test_full_matrix(self, spark):
+        rows1 = [
+            # exact match
+            rec_row(record_start=0, target_uri="m", headers=self.h()),
+            # near match (digest differs)
+            rec_row(record_start=10, target_uri="n", headers=self.h(digest="dA")),
+            # unique (left-only uri)
+            rec_row(record_start=20, target_uri="only1", headers=self.h()),
+            # count-mismatch uri → skipped
+            rec_row(record_start=30, target_uri="dup", headers=self.h()),
+            rec_row(record_start=40, target_uri="dup", headers=self.h()),
+            # warcinfo ignored
+            rec_row(record_start=50, warc_type="warcinfo", target_uri=None),
+        ]
+        rows2 = [
+            rec_row(record_start=0, target_uri="m", headers=self.h()),
+            rec_row(record_start=10, target_uri="n", headers=self.h(digest="dB")),
+            rec_row(record_start=20, target_uri="only2", headers=self.h()),
+            rec_row(record_start=30, target_uri="dup", headers=self.h()),
+        ]
+        self.check(spark, rows1, rows2)
+
+    def test_positional_zip_with_duplicates(self, spark):
+        rows1 = [
+            rec_row(record_start=0, target_uri="u", headers=self.h(digest="a")),
+            rec_row(record_start=10, target_uri="u", headers=self.h(digest="b")),
+        ]
+        rows2 = [
+            rec_row(record_start=0, target_uri="u", headers=self.h(digest="b")),
+            rec_row(record_start=10, target_uri="u", headers=self.h(digest="a")),
+        ]
+        # zip is positional: (a,b) and (b,a) → both near-matching, 0 matching
+        self.check(spark, rows1, rows2)
+
+    def test_extra_field_makes_unique(self, spark):
+        kw = dict(
+            compare_fields=["WARC-Payload-Digest", "Content-Length", "X-Extra"],
+            near_match_fields=["WARC-Payload-Digest", "Content-Length"],
+        )
+        rows1 = [rec_row(record_start=0, target_uri="u", headers=self.h(extra="1"))]
+        rows2 = [rec_row(record_start=0, target_uri="u", headers=self.h(extra="2"))]
+        self.check(spark, rows1, rows2, **kw)
+
+    def test_absent_vs_null_field_values_differ(self, spark):
+        # present-with-no-value (None) vs absent ("") must NOT be equal
+        rows1 = [
+            rec_row(
+                record_start=0,
+                target_uri="u",
+                headers={"WARC-Payload-Digest": [None], "Content-Length": ["1"]},
+            )
+        ]
+        rows2 = [
+            rec_row(record_start=0, target_uri="u", headers={"Content-Length": ["1"]})
+        ]
+        self.check(spark, rows1, rows2)
+
+    def test_different_types_bucket_separately(self, spark):
+        rows1 = [
+            rec_row(record_start=0, warc_type="request", target_uri="u", headers=self.h()),
+            rec_row(record_start=10, warc_type="response", target_uri="u", headers=self.h()),
+        ]
+        rows2 = [
+            rec_row(record_start=0, warc_type="request", target_uri="u", headers=self.h()),
+        ]
+        self.check(spark, rows1, rows2)
+
+    def test_randomized(self, spark):
+        rng = random.Random(7)
+
+        def mk(n, seed_offset=0):
+            rows = []
+            for i in range(n):
+                rows.append(
+                    rec_row(
+                        record_start=i * 10,
+                        warc_type=rng.choice(["request", "response", "metadata", "warcinfo"]),
+                        target_uri=rng.choice(["a", "b", "c", "d", None]),
+                        headers=self.h(
+                            digest=rng.choice(["d1", "d2"]),
+                            length=rng.choice(["1", "2"]),
+                        ),
+                    )
+                )
+            return rows
+
+        self.check(spark, mk(60), mk(50))
+
+
+class TestSummarize:
+    @pytest.fixture(scope="class")
+    def records(self, spark):
+        from wbx import warcio
+        from tests.test_warcio import make_record
+
+        wire = (
+            make_record(b"HTTP/1.1 200\r\nContent-Type: text/html\r\n\r\nhi")
+            + make_record(b"HTTP/1.1 200\r\nContent-Type: text/html; charset=UTF-8\r\n\r\nhi")
+            + make_record(b"GET / HTTP/1.1\r\n\r\n", warc_type=b"request")
+            + make_record(b"info", warc_type=b"warcinfo")
+        )
+        files = spark.createDataFrame(
+            [("a.warc", bytearray(wire))], "source_file string, content binary"
+        )
+        return warcio.scan_files_to_records(files)
+
+    def test_counts(self, records):
+        s = analytics.summarize(records)
+        assert s["record_count"].collect()[0][0] == 4
+        types = {r["warc_type"]: r["n"] for r in s["record_types"].collect()}
+        assert types == {"response": 2, "request": 1, "warcinfo": 1}
+        domains = {r["domain"]: r["n"] for r in s["domains"].collect()}
+        assert domains == {"example.com": 4}
+        cts = {r["http_content_type"]: r["n"] for r in s["content_types"].collect()}
+        assert cts == {"text/html": 1, "text/html; charset=UTF-8": 1}
+
+    def test_stop_after_nth(self, records):
+        assert analytics.stop_after_nth(records, 2).count() == 2
+        first = analytics.stop_after_nth(records, 1).collect()[0]
+        assert first["record_start"] == 0
+
+
+class TestNetloc:
+    def test_urlparse_parity(self, spark):
+        from urllib.parse import urlparse
+
+        urls = [
+            "http://Example.COM:8080/path?q=1#f",
+            "https://user:pw@host.com/x",
+            "http://example.com",
+            "not a url",
+            "mailto:someone@example.com",
+            "//scheme-relative.com/x",
+            "http://例え.jp/パス",
+            None,
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [
+            r["d"] for r in df.select(analytics.netloc_udf(F.col("url")).alias("d")).collect()
+        ]
+        exp = [
+            (urlparse(u).netloc or None) if u is not None else None for u in urls
+        ]
+        assert got == exp

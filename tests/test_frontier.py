@@ -1,0 +1,298 @@
+"""Frontier tests: canonicalization, seen-set (bloom = exact), robots,
+politeness, deterministic scheduling, and crawl-round parity vs a
+single-process oracle simulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wbx import frontier
+
+
+def urls_df(spark, urls, priority=1.0):
+    return spark.createDataFrame(
+        [(u, float(priority)) for u in urls], "url string, priority double"
+    )
+
+
+CANON_CASES = [
+    ("HTTP://Example.COM/path", "http://example.com/path"),
+    ("https://Example.com:443/x", "https://example.com/x"),
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("http://example.com/path#frag", "http://example.com/path"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com#f", "http://example.com/"),
+    ("  http://example.com/x  ", "http://example.com/x"),
+    ("http://example.com/Path?Q=Mixed#f", "http://example.com/Path?Q=Mixed"),
+    ("http://user@EXAMPLE.com/x", "http://user@example.com/x"),
+    ("https://example.com:443", "https://example.com/"),
+    ("http://example.com/a?b=1#c=2", "http://example.com/a?b=1"),
+]
+
+
+class TestCanonicalize:
+    @pytest.mark.parametrize("raw,expected", CANON_CASES)
+    def test_cases(self, spark, raw, expected):
+        df = spark.createDataFrame([(raw,)], "url string")
+        got = df.select(frontier.canonicalize_url(F.col("url")).alias("c")).collect()[0]["c"]
+        assert got == expected
+
+    def test_host_and_path(self, spark):
+        df = spark.createDataFrame(
+            [("http://user@sub.example.com:8080/a/b?q=1",)], "url string"
+        )
+        row = df.select(
+            frontier.url_host(F.col("url")).alias("h"),
+            frontier.url_path(F.col("url")).alias("p"),
+        ).collect()[0]
+        assert row["h"] == "sub.example.com"
+        assert row["p"] == "/a/b"
+
+    def test_path_defaults_to_slash(self, spark):
+        df = spark.createDataFrame([("http://example.com/",)], "url string")
+        assert (
+            df.select(frontier.url_path(F.col("url")).alias("p")).collect()[0]["p"]
+            == "/"
+        )
+
+    def test_equivalent_urls_collapse(self, spark):
+        variants = [
+            "http://Example.com:80/x#a",
+            "HTTP://example.COM/x",
+            "http://example.com/x#b",
+        ]
+        canon = frontier.with_canonical(urls_df(spark, variants))
+        assert canon.select("canon_url").distinct().count() == 1
+        assert canon.select("url_hash").distinct().count() == 1
+
+
+class TestSeenSet:
+    def make_sets(self, spark, n=500, seen_mod=3):
+        cand = frontier.with_canonical(
+            urls_df(spark, [f"http://h{i % 37}.com/p{i}" for i in range(n)])
+        )
+        seen = cand.filter((F.col("url_hash") % seen_mod) == 0).select(
+            "url_hash", "canon_url", F.lit(0).alias("fetched_round")
+        )
+        return cand, seen
+
+    def test_exact_anti_join(self, spark):
+        cand, seen = self.make_sets(spark)
+        unseen = frontier.filter_unseen(cand, seen)
+        assert unseen.count() == cand.count() - seen.count()
+        assert unseen.join(seen, "url_hash", "left_semi").count() == 0
+
+    def test_bloom_path_equals_exact_path(self, spark):
+        cand, seen = self.make_sets(spark)
+        bloom = frontier.build_seen_bloom(seen, partitions=8)
+        via_bloom = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_with_bloom(cand, seen, bloom, 8).collect()
+        )
+        exact = sorted(r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect())
+        assert via_bloom == exact
+
+    def test_bloom_has_no_false_negatives(self, spark):
+        cand, seen = self.make_sets(spark, n=1000)
+        bloom = frontier.build_seen_bloom(seen, partitions=4)
+        tagged = frontier.bloom_might_contain(cand, bloom, 4)
+        # every actually-seen candidate must be flagged maybe_seen
+        missed = (
+            tagged.join(seen.select("url_hash"), "url_hash", "left_semi")
+            .filter(~F.col("_maybe_seen"))
+            .count()
+        )
+        assert missed == 0
+
+    def test_empty_seen_set(self, spark):
+        cand, _ = self.make_sets(spark, n=50)
+        empty = spark.createDataFrame(
+            [], "url_hash long, canon_url string, fetched_round int"
+        )
+        bloom = frontier.build_seen_bloom(empty, partitions=4)
+        got = frontier.filter_unseen_with_bloom(cand, empty, bloom, 4)
+        assert got.count() == 50
+
+
+class TestRobots:
+    def test_longest_prefix_wins(self, spark):
+        cand = frontier.with_canonical(
+            urls_df(
+                spark,
+                [
+                    "http://a.com/private/secret",
+                    "http://a.com/private/ok/page",
+                    "http://a.com/public",
+                    "http://b.com/anything",
+                ],
+            )
+        )
+        robots = spark.createDataFrame(
+            [
+                ("a.com", "deny", "/private/"),
+                ("a.com", "allow", "/private/ok/"),
+                ("b.com", "deny", "/"),
+            ],
+            "host string, rule_type string, path_prefix string",
+        )
+        kept = sorted(
+            r["canon_url"] for r in frontier.apply_robots(cand, robots).collect()
+        )
+        assert kept == ["http://a.com/private/ok/page", "http://a.com/public"]
+
+    def test_no_rules_allows(self, spark):
+        cand = frontier.with_canonical(urls_df(spark, ["http://x.com/a"]))
+        robots = spark.createDataFrame(
+            [], "host string, rule_type string, path_prefix string"
+        )
+        assert frontier.apply_robots(cand, robots).count() == 1
+
+
+class TestPoliteness:
+    def test_budget_caps_per_host(self, spark):
+        urls = [f"http://hot.com/{i}" for i in range(20)] + [
+            f"http://cold.com/{i}" for i in range(3)
+        ]
+        cand = frontier.with_canonical(urls_df(spark, urls))
+        hosts = spark.createDataFrame(
+            [("hot.com", 5)], "host string, budget int"
+        )
+        kept = frontier.apply_politeness(cand, hosts, default_budget=10)
+        by_host = {
+            r["host"]: r["n"]
+            for r in kept.groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_host == {"hot.com": 5, "cold.com": 3}
+
+    def test_keeps_highest_priority(self, spark):
+        rows = [(f"http://h.com/{i}", float(i)) for i in range(10)]
+        cand = frontier.with_canonical(
+            spark.createDataFrame(rows, "url string, priority double")
+        )
+        hosts = spark.createDataFrame([("h.com", 3)], "host string, budget int")
+        kept = sorted(
+            r["priority"]
+            for r in frontier.apply_politeness(cand, hosts).collect()
+        )
+        assert kept == [7.0, 8.0, 9.0]
+
+
+def crawl_oracle(urls_with_priority, seen_urls, budgets, default_budget=10, batch_size=None):
+    """Single-process reference simulation of one crawl round (FIXTURES.md §8):
+    canonicalize → dedup(max priority) → unseen → politeness → priority order."""
+    from urllib.parse import urlsplit
+
+    def canon(u):
+        u = u.strip()
+        u = u.split("#", 1)[0]
+        s = urlsplit(u)
+        scheme = s.scheme.lower()
+        netloc = s.netloc.lower()
+        if scheme == "http" and netloc.endswith(":80"):
+            netloc = netloc[:-3]
+        if scheme == "https" and netloc.endswith(":443"):
+            netloc = netloc[:-4]
+        path = s.path or "/"
+        out = f"{scheme}://{netloc}{path}"
+        if s.query:
+            out += f"?{s.query}"
+        return out
+
+    best = {}
+    for u, p in urls_with_priority:
+        c = canon(u)
+        if c not in best or p > best[c]:
+            best[c] = p
+    seen = {canon(u) for u in seen_urls}
+    items = [(c, p) for c, p in best.items() if c not in seen]
+
+    def host_of(c):
+        h = c.split("://", 1)[1].split("/", 1)[0]
+        h = h.rsplit("@", 1)[-1]
+        return h.rsplit(":", 1)[0] if ":" in h and h.rsplit(":", 1)[1].isdigit() else h
+
+    by_host = {}
+    for c, p in sorted(items, key=lambda x: (-x[1], x[0])):
+        by_host.setdefault(host_of(c), []).append((c, p))
+    kept = []
+    for h, lst in by_host.items():
+        kept.extend(lst[: budgets.get(h, default_budget)])
+    kept.sort(key=lambda x: (-x[1], x[0]))
+    if batch_size is not None:
+        kept = kept[:batch_size]
+    return [c for c, _ in kept]
+
+
+class TestCrawlRound:
+    def fixture_urls(self):
+        urls = []
+        for i in range(300):
+            host = "hot.example.com" if i % 3 == 0 else f"h{i % 23}.com"
+            scheme = "HTTP" if i % 7 == 0 else "http"
+            port = ":80" if i % 11 == 0 else ""
+            frag = "#sec" if i % 5 == 0 else ""
+            urls.append((f"{scheme}://{host}{port}/page{i}{frag}", float(i % 13)))
+        # duplicates that collapse
+        urls.append(("http://hot.example.com/page0", 99.0))
+        urls.append(("HTTP://HOT.example.COM:80/page0#x", 1.0))
+        return urls
+
+    def test_matches_oracle(self, spark):
+        urls = self.fixture_urls()
+        seen_urls = [u for u, _ in urls[:40]]
+        budgets = {"hot.example.com": 7}
+        cand = spark.createDataFrame(urls, "url string, priority double")
+        seen = frontier.with_canonical(
+            spark.createDataFrame([(u,) for u in seen_urls], "url string")
+        ).select("url_hash", "canon_url", F.lit(0).alias("fetched_round"))
+        hosts = spark.createDataFrame(
+            list(budgets.items()), "host string, budget int"
+        )
+        batch = frontier.crawl_round(cand, seen, hosts, batch_size=50, default_budget=5)
+        got = [r["canon_url"] for r in batch.orderBy("fetch_order").collect()]
+        exp = crawl_oracle(urls, seen_urls, budgets, default_budget=5, batch_size=50)
+        assert got == exp
+
+    def test_deterministic_across_parallelism(self, spark):
+        urls = self.fixture_urls()
+        cand = spark.createDataFrame(urls, "url string, priority double")
+        seen = spark.createDataFrame(
+            [], "url_hash long, canon_url string, fetched_round int"
+        )
+        hosts = spark.createDataFrame([("hot.example.com", 7)], "host string, budget int")
+        runs = []
+        for n_part in (2, 13):
+            batch = frontier.crawl_round(
+                cand.repartition(n_part), seen, hosts, batch_size=40
+            )
+            runs.append(
+                [(r["fetch_order"], r["canon_url"]) for r in batch.orderBy("fetch_order").collect()]
+            )
+        assert runs[0] == runs[1]
+
+
+class TestGlobalRank:
+    def test_rank_equals_total_order_position(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [(f"http://h/{i}", float(rng.randint(0, 5))) for i in range(200)]
+        df = frontier.with_canonical(
+            spark.createDataFrame(rows, "url string, priority double")
+        )
+        ranked = frontier.global_rank(
+            df, [F.col("priority").desc(), F.col("canon_url").asc()]
+        )
+        got = [
+            r["canon_url"]
+            for r in ranked.orderBy("fetch_order").collect()
+        ]
+        # independent expectation: sort collected rows by the same keys
+        rows2 = df.select("canon_url", "priority").collect()
+        exp = [
+            r["canon_url"]
+            for r in sorted(rows2, key=lambda r: (-r["priority"], r["canon_url"]))
+        ]
+        assert got == exp

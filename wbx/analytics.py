@@ -1,0 +1,379 @@
+"""Analytics jobs: summarize, pair-matching, archive comparison.
+
+DataFrame rewrites of the reference CLI commands (studied for behavior):
+- summarize           scripts/summarize.py        → groupBy aggregates A1–A4
+- match-record-pairs  utils.py:458-525            → window + full_outer join J1
+- compare-headers     scripts/compare_headers.py  → window + join + CASE    J2/J3
+
+Scale notes: every aggregation here is a map-side-combinable groupBy; the
+joins shuffle on (target_uri) / (warc_type, target_uri) which are
+high-cardinality keys (no skew hot-spot beyond what AQE handles); "file
+order" is the explicit sort key (source_file, record_start) — never
+arrival order — so results are deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILE_ORDER = ["source_file", "record_start"]
+
+# sentinel distinguishing "field present with null value" from "field absent"
+# in compare-headers equality (reference get_field(field, "", decode=True)
+# returns None for valueless fields and "" for absent ones — unequal).
+_NULL_SENTINEL = "\x00null"
+
+
+@F.pandas_udf(T.StringType())
+def netloc_udf(url: pd.Series) -> pd.Series:
+    """urlparse().netloc parity (summarize.py:95-99): keeps port and case,
+    includes userinfo; empty netloc → None (reference skips falsy netloc)."""
+    out = []
+    for u in url:
+        if u is None:
+            out.append(None)
+            continue
+        try:
+            netloc = urlparse(u).netloc
+            out.append(netloc if netloc else None)
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# summarize (A1–A4)
+# ---------------------------------------------------------------------------
+
+
+def record_count(records: DataFrame) -> DataFrame:
+    return records.agg(F.count("*").alias("record_count"))
+
+
+def count_by_type(records: DataFrame) -> DataFrame:
+    """A2: counts by WARC-Type (records with no type are excluded, the
+    reference logs a warning for them)."""
+    return (
+        records.filter(F.col("warc_type").isNotNull())
+        .groupBy("warc_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def count_by_domain(records: DataFrame) -> DataFrame:
+    """A3: counts by urlparse-netloc of WARC-Target-URI."""
+    return (
+        records.filter(F.col("target_uri").isNotNull())
+        .withColumn("domain", netloc_udf(F.col("target_uri")))
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def count_by_http_content_type(records: DataFrame) -> DataFrame:
+    """A4: counts of raw HTTP response Content-Type values (incl. charset
+    suffix), over msgtype=response records only."""
+    return (
+        records.filter(
+            F.col("content_type").contains("msgtype=response")
+            & F.col("http_content_type").isNotNull()
+        )
+        .groupBy("http_content_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def summarize(records: DataFrame) -> dict[str, DataFrame]:
+    return {
+        "record_count": record_count(records),
+        "record_types": count_by_type(records),
+        "domains": count_by_domain(records),
+        "content_types": count_by_http_content_type(records),
+    }
+
+
+# ---------------------------------------------------------------------------
+# J1: request↔response pair matching
+# ---------------------------------------------------------------------------
+
+
+def match_pairs(records: DataFrame, exclude_file_uris: bool = False) -> DataFrame:
+    """FIFO pair matching, relational form.
+
+    The reference streams records in file order keeping per-URI deques of
+    unpaired requests/responses; a new record pops the oldest opposite-side
+    record for its URI. The queue invariant means the k-th request (in file
+    order, per URI) always pairs with the k-th response (per URI) — so the
+    exact same pairing is produced by ranking each side with row_number()
+    and full_outer-joining on (target_uri, seq). Null side ⇒ lone record.
+
+    Returns (target_uri, seq, req_start, req_end, resp_start, resp_end,
+    pair_type ∈ {pair, lone_request, lone_response}).
+    """
+    base = records.filter(F.lower(F.col("warc_type")).isin("request", "response"))
+    if exclude_file_uris:
+        base = base.filter(
+            F.col("target_uri").isNull()
+            | ~F.col("target_uri").startswith("file:///")
+        )
+    side = F.lower(F.col("warc_type"))
+    w = Window.partitionBy("target_uri", side).orderBy(*FILE_ORDER)
+    ranked = base.select(
+        "target_uri",
+        side.alias("side"),
+        F.col("record_start"),
+        F.col("record_end"),
+        F.row_number().over(
+            Window.partitionBy("target_uri", F.lower(F.col("warc_type"))).orderBy(
+                *FILE_ORDER
+            )
+        ).alias("seq"),
+    )
+    requests = ranked.filter(F.col("side") == "request").select(
+        F.col("target_uri").alias("r_uri"),
+        F.col("seq").alias("r_seq"),
+        F.col("record_start").alias("req_start"),
+        F.col("record_end").alias("req_end"),
+    )
+    responses = ranked.filter(F.col("side") == "response").select(
+        F.col("target_uri").alias("p_uri"),
+        F.col("seq").alias("p_seq"),
+        F.col("record_start").alias("resp_start"),
+        F.col("record_end").alias("resp_end"),
+    )
+    joined = requests.join(
+        responses,
+        (requests.r_uri.eqNullSafe(responses.p_uri)) & (requests.r_seq == responses.p_seq),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("r_uri", "p_uri").alias("target_uri"),
+        F.coalesce("r_seq", "p_seq").alias("seq"),
+        "req_start",
+        "req_end",
+        "resp_start",
+        "resp_end",
+        F.when(F.col("req_start").isNotNull() & F.col("resp_start").isNotNull(), "pair")
+        .when(F.col("req_start").isNotNull(), "lone_request")
+        .otherwise("lone_response")
+        .alias("pair_type"),
+    )
+
+
+def pair_counts(records: DataFrame, exclude_file_uris: bool = False) -> DataFrame:
+    """A5: {pairs, lone_requests, lone_responses} counts."""
+    return (
+        match_pairs(records, exclude_file_uris)
+        .groupBy("pair_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def pair_summary_by_uri(records: DataFrame, exclude_file_uris: bool = True) -> DataFrame:
+    """A7: per-URI pair/lone counts, sorted for stable reports (O2)."""
+    return (
+        match_pairs(records, exclude_file_uris)
+        .groupBy("target_uri")
+        .agg(
+            F.sum(F.when(F.col("pair_type") == "pair", 1).otherwise(0)).alias("pairs"),
+            F.sum(F.when(F.col("pair_type") == "lone_request", 1).otherwise(0)).alias(
+                "lone_requests"
+            ),
+            F.sum(F.when(F.col("pair_type") == "lone_response", 1).otherwise(0)).alias(
+                "lone_responses"
+            ),
+        )
+        .orderBy("target_uri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J3: two-archive header comparison
+# ---------------------------------------------------------------------------
+
+DEFAULT_COMPARE_FIELDS = ["WARC-Payload-Digest", "Content-Length"]
+
+
+def _field_value(field: str) -> Column:
+    """get_field(field, "", decode=True) parity over the headers map:
+    absent → "", present-with-null-value → sentinel (≠ "")."""
+    first = F.element_at(F.col("headers"), field)[0]
+    return F.when(
+        F.map_contains_key(F.col("headers"), field), F.coalesce(first, F.lit(_NULL_SENTINEL))
+    ).otherwise(F.lit(""))
+
+
+def compare_headers(
+    records1: DataFrame,
+    records2: DataFrame,
+    compare_fields: list[str] | None = None,
+    near_match_fields: list[str] | None = None,
+) -> DataFrame:
+    """Classify records across two archives (compare_headers.py:21-328).
+
+    Per (warc_type, target_uri), records are zipped positionally in file
+    order — expressed as row_number + full_outer join on (type, uri, seq).
+    warcinfo records are ignored. URIs present in only one archive → all
+    their records are 'unique'. URIs whose record counts differ between the
+    archives are skipped entirely (reference quirk). Otherwise a zipped pair
+    matches if all compare fields are equal; nearly-matches if it differs
+    only in near-match fields; else both sides are unique.
+
+    Returns one row per classified record-pair or lone record:
+    (warc_type, target_uri, seq, side ∈ {both, left, right},
+     status ∈ {matching, near_matching, unique, skipped}).
+    """
+    compare_fields = compare_fields or list(DEFAULT_COMPARE_FIELDS)
+    near_match_fields = near_match_fields or list(DEFAULT_COMPARE_FIELDS)
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        base = df.filter(
+            F.col("warc_type").isNotNull() & (F.col("warc_type") != "warcinfo")
+        )
+        w = Window.partitionBy("warc_type", "target_uri").orderBy(*FILE_ORDER)
+        cols = [
+            F.col("warc_type").alias(f"{tag}_type"),
+            F.coalesce(F.col("target_uri"), F.lit("")).alias(f"{tag}_uri"),
+            F.row_number().over(w).alias(f"{tag}_seq"),
+            F.count("*")
+            .over(Window.partitionBy("warc_type", "target_uri"))
+            .alias(f"{tag}_n"),
+        ]
+        for i, field in enumerate(compare_fields):
+            cols.append(_field_value(field).alias(f"{tag}_f{i}"))
+        return base.select(*cols)
+
+    left = prep(records1, "l")
+    right = prep(records2, "r")
+    joined = left.join(
+        right,
+        (F.col("l_type") == F.col("r_type"))
+        & (F.col("l_uri") == F.col("r_uri"))
+        & (F.col("l_seq") == F.col("r_seq")),
+        "full_outer",
+    )
+
+    all_equal = F.lit(True)
+    near_ok = F.lit(True)
+    for i, field in enumerate(compare_fields):
+        eq = F.col(f"l_f{i}") == F.col(f"r_f{i}")
+        all_equal = all_equal & eq
+        if field not in near_match_fields:
+            near_ok = near_ok & eq
+
+    both = F.col("l_type").isNotNull() & F.col("r_type").isNotNull()
+
+    # Key-level record counts: the skip rule ("record counts differ for a
+    # common URI → every record of that URI is skipped") must also catch the
+    # unmatched-seq rows, so counts are recovered per key with a window over
+    # the joined result (same partitioning as the join → exchange reuse).
+    keyed = joined.select(
+        F.coalesce("l_type", "r_type").alias("warc_type"),
+        F.coalesce("l_uri", "r_uri").alias("target_uri"),
+        F.coalesce("l_seq", "r_seq").alias("seq"),
+        F.when(both, "both")
+        .when(F.col("l_type").isNotNull(), "left")
+        .otherwise("right")
+        .alias("side"),
+        F.when(both & all_equal, "matching")
+        .when(both & near_ok, "near_matching")
+        .otherwise("unique")
+        .alias("_field_status"),
+        "l_n",
+        "r_n",
+    )
+    wkey = Window.partitionBy("warc_type", "target_uri")
+    key_l_n = F.max("l_n").over(wkey)
+    key_r_n = F.max("r_n").over(wkey)
+    return keyed.select(
+        "warc_type",
+        "target_uri",
+        "seq",
+        "side",
+        F.when(key_l_n.isNull() | key_r_n.isNull(), "unique")
+        .when(key_l_n != key_r_n, "skipped")
+        .otherwise(F.col("_field_status"))
+        .alias("status"),
+    )
+
+
+def compare_headers_summary(
+    records1: DataFrame,
+    records2: DataFrame,
+    compare_fields: list[str] | None = None,
+    near_match_fields: list[str] | None = None,
+) -> DataFrame:
+    """A6: matching / near_matching / unique1 / unique2 counts.
+
+    'unique' on side=both counts toward BOTH archives (reference appends
+    record1 and record2); lone sides count toward their own archive only.
+    Skipped rows count nowhere.
+    """
+    classified = compare_headers(records1, records2, compare_fields, near_match_fields)
+    return classified.agg(
+        F.sum(F.when(F.col("status") == "matching", 1).otherwise(0)).alias("matching"),
+        F.sum(F.when(F.col("status") == "near_matching", 1).otherwise(0)).alias(
+            "near_matching"
+        ),
+        F.sum(
+            F.when(
+                (F.col("status") == "unique") & F.col("side").isin("both", "left"), 1
+            ).otherwise(0)
+        ).alias("unique1"),
+        F.sum(
+            F.when(
+                (F.col("status") == "unique") & F.col("side").isin("both", "right"), 1
+            ).otherwise(0)
+        ).alias("unique2"),
+    )
+
+
+def uri_set_ops(records1: DataFrame, records2: DataFrame) -> dict[str, DataFrame]:
+    """J3: per-type URI keyset intersection/differences as join forms
+    (left_semi/left_anti — we want rows, not just keys)."""
+    k1 = records1.select("warc_type", "target_uri").distinct()
+    k2 = records2.select("warc_type", "target_uri").distinct()
+    on = ["warc_type", "target_uri"]
+    return {
+        "common": k1.join(k2, on, "left_semi"),
+        "only_left": k1.join(k2, on, "left_anti"),
+        "only_right": k2.join(k1, on, "left_anti"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# H1/H9-style projections and O1 limit
+# ---------------------------------------------------------------------------
+
+
+def record_offsets(records: DataFrame, split: bool = False) -> DataFrame:
+    cols = ["source_file", "record_start", "record_end"]
+    if split:
+        cols += ["header_start", "header_end", "content_start", "content_end"]
+    return records.select(*cols)
+
+
+def member_offsets(records: DataFrame, compressed: bool = True) -> DataFrame:
+    cols = (
+        ["source_file", "member_start", "member_end"]
+        if compressed
+        else ["source_file", "unc_start", "unc_end"]
+    )
+    return records.select(*cols)
+
+
+def stop_after_nth(records: DataFrame, n: int) -> DataFrame:
+    """O1 parity: reference stops after the nth record in FILE order, so the
+    relational form is an explicit per-file rank, not a bare limit()."""
+    w = Window.partitionBy("source_file").orderBy("record_start")
+    return (
+        records.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -1,0 +1,422 @@
+"""Crawl frontier: canonicalization, seen-set, robots, politeness, scheduling.
+
+The north_rule layer (BASELINE.json): a from-scratch distributed URL-frontier
++ fetch scheduler over Common-Crawl-style page tables, replacing the
+reference's sequential record iterator with deterministic, shuffle-conscious
+relational plans.
+
+Determinism contract (what makes results identical at local[8] vs local[32]
+and at N vs 4N executors): **no ordering ever depends on arrival or
+partition-iteration order.** Every ordering below is an explicit
+``orderBy``/``row_number`` on fully-determined keys with a total tie-break
+(priority DESC, canon_url ASC). Salting participates only in *partitioning*
+(spreading hot hosts across reducers), never in the final order.
+
+Scale design (10^10-URL frontier):
+- the seen-set is hash-partitioned by ``url_hash``; membership is an
+  anti-join that shuffles only (url_hash, canon_url) — 16 bytes + url — not
+  payloads. A Bloom-filter pre-pass (``seen_bloom_prefilter``) drops the
+  vast majority of already-seen URLs *before* the shuffle; the anti-join
+  then restores exactness (Bloom false positives are re-checked, never
+  dropped: the sketch only ever *admits* candidates).
+- per-host politeness is a window over host — host skew (one domain = 30%
+  of rows) is the hot spot; the budget cap runs on a salted pre-aggregation
+  so no single reducer sees a whole hot host until after the cheap cap.
+- robots evaluation is a broadcast join (rules tables are small) with
+  longest-prefix-wins resolved by a window over matching rules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Sc12: URL canonicalization (RFC 3986-flavored, deterministic, built-ins only)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL as a Column expression (JVM-side, codegen'd):
+
+    - strip surrounding whitespace
+    - lowercase scheme and host (userinfo untouched)
+    - strip fragment
+    - strip default port (http:80, https:443)
+    - empty path → "/"
+
+    Composition of built-ins so Catalyst can constant-fold / push down; the
+    per-step regexes are anchored and RE2-compatible (also used verbatim in
+    the DuckDB oracle SQL).
+    """
+    u = F.trim(url)
+    # fragment off first
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+    )
+    # lowercase the authority (host[:port], incl. optional userinfo@)
+    authority = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    rest = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(
+        F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*://)", 1),
+        F.lower(authority),
+        rest,
+    )
+    # strip default ports
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(?=[/?#]|$)", r"$1")
+    # empty path with query/end → add "/"
+    u = F.when(
+        F.regexp_like(u, F.lit(r"^[a-z][a-z0-9+.-]*://[^/?#]*$")), F.concat(u, F.lit("/"))
+    ).otherwise(u)
+    return u
+
+
+def url_host(canon_url: Column) -> Column:
+    """Lowercase host (no port, no userinfo) of a canonical URL."""
+    authority = F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    no_user = F.regexp_replace(authority, r"^.*@", "")
+    return F.regexp_replace(no_user, r":[0-9]+$", "")
+
+
+def url_path(canon_url: Column) -> Column:
+    """Path component (leading /, no query/fragment); empty → "/"."""
+    p = F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_hash(canon_url: Column) -> Column:
+    """Sc13: 64-bit URL identity — Spark's built-in xxhash64 (JVM, codegen).
+
+    This is the frontier's join/partition key: 8 bytes instead of a ~80-byte
+    string on every shuffle at 10^10 scale. Exactness is preserved because
+    every hash-based decision is confirmed against canon_url (see
+    seen-set anti-join which carries both)."""
+    return F.xxhash64(canon_url)
+
+
+def with_canonical(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        urls.withColumn("canon_url", canon)
+        .withColumn("url_hash", url_hash(F.col("canon_url")))
+        .withColumn("host", url_host(F.col("canon_url")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: seen-set membership (partitioned Bloom pre-filter + exact anti-join)
+# ---------------------------------------------------------------------------
+
+_BLOOM_HASHES = 7
+
+
+def _bloom_positions(hashes, m: int):
+    """Double-hashing index scheme: idx_i = (h1 + i*h2) mod m, h2 odd.
+
+    numpy-vectorized over an int64 array of url hashes; pure arithmetic on
+    the existing xxhash64 value — no re-hashing of strings."""
+    h = hashes.astype(np.uint64)
+    h1 = h
+    h2 = ((h >> np.uint64(31)) | (h << np.uint64(33))) | np.uint64(1)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def build_seen_bloom(
+    seen: DataFrame, partitions: int = 64, bits_per_key: int = 12
+) -> DataFrame:
+    """Per-hash-partition Bloom filters over seen.url_hash.
+
+    Returns (bloom_part int, m long, bitmap binary). At 10^10 seen URLs a
+    single global filter (~14 GB) can't broadcast; per-partition filters
+    (10^10/P keys each) are loaded only by tasks handling the same hash
+    range. Build is a groupBy-applyInPandas: one pass over the seen set,
+    numpy bit-packing inside Arrow batches.
+    """
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf["url_hash"].to_numpy()
+        m = max(64, int(len(hashes) * bits_per_key + 63) // 64 * 64)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for idx in _bloom_positions(hashes, m):
+            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        part = int(pdf["bloom_part"].iloc[0])
+        return pd.DataFrame(
+            {"bloom_part": [part], "m": [m], "bitmap": [bits.tobytes()]}
+        )
+
+    return (
+        seen.select(
+            F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int").alias("bloom_part"),
+            "url_hash",
+        )
+        .groupBy("bloom_part")
+        .applyInPandas(build, schema="bloom_part int, m long, bitmap binary")
+    )
+
+
+def bloom_might_contain(
+    candidates: DataFrame, bloom: DataFrame, partitions: int = 64
+) -> DataFrame:
+    """Adds `_maybe_seen boolean`: False ⇒ definitely unseen (Bloom filters
+    never produce false negatives); True ⇒ must be confirmed exactly.
+
+    Local-mode: the (small) bloom table is collected and broadcast to
+    executors; at 10^10 scale the filters are instead co-partitioned with
+    candidates on pmod(url_hash, P) so each task reads only its own ~180 MB
+    filter — same semantics, no broadcast.
+    """
+    rows = bloom.collect()
+    filters = {
+        r["bloom_part"]: (int(r["m"]), np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8))
+        for r in rows
+    }
+    bc = candidates.sparkSession.sparkContext.broadcast(filters)
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(url_hash: pd.Series) -> pd.Series:
+        fs = bc.value
+        h = url_hash.to_numpy()
+        parts = (h % partitions + partitions) % partitions
+        out = np.zeros(len(h), dtype=bool)
+        for part in np.unique(parts):
+            f = fs.get(int(part))
+            sel = parts == part
+            if f is None:
+                continue  # empty partition → definitely unseen
+            m, bits = f
+            hit = np.ones(sel.sum(), dtype=bool)
+            for idx in _bloom_positions(h[sel], m):
+                hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+            out[sel] = hit
+        return pd.Series(out)
+
+    return candidates.withColumn("_maybe_seen", might_contain(F.col("url_hash")))
+
+
+def filter_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact frontier ∖ seen: left_anti on (url_hash, canon_url).
+
+    Joining on BOTH the 64-bit hash and the string keeps exactness under
+    hash collision; the shuffle key (url_hash) is uniform by construction —
+    no skew, no salting needed here."""
+    return candidates.join(
+        seen.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
+    )
+
+
+def filter_unseen_with_bloom(
+    candidates: DataFrame, seen: DataFrame, bloom: DataFrame, partitions: int = 64
+) -> DataFrame:
+    """Bloom fast path + exact anti-join confirm.
+
+    definitely-unseen rows (bloom miss) skip the shuffle entirely; only the
+    maybe-seen minority (true hits + ~1% false positives) is anti-joined.
+    Result is bit-identical to :func:`filter_unseen` — the sketch only ever
+    ADMITS candidates to the exact check, never drops them.
+    """
+    tagged = bloom_might_contain(candidates, bloom, partitions)
+    definite = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    return definite.unionByName(filter_unseen(maybe, seen))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation (broadcast join + longest-prefix-wins window)
+# ---------------------------------------------------------------------------
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Keep frontier rows allowed by robots rules.
+
+    rules: (host, rule_type ∈ {allow, deny}, path_prefix). Longest matching
+    prefix wins; tie → allow wins (deterministic tie-break rule_type asc:
+    'allow' < 'deny'); no matching rule → allowed. The rules table is tiny
+    relative to the frontier → broadcast join, no shuffle of the frontier.
+    """
+    f = frontier.withColumn("_path", url_path(F.col("canon_url")))
+    r = robots.select(
+        F.col("host").alias("_rhost"),
+        F.col("rule_type").alias("_rtype"),
+        F.col("path_prefix").alias("_rprefix"),
+    )
+    joined = f.join(
+        F.broadcast(r),
+        (f.host == F.col("_rhost")) & F.col("_path").startswith(F.col("_rprefix")),
+        "left",
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.length(F.col("_rprefix")).desc_nulls_last(), F.col("_rtype").asc_nulls_last()
+    )
+    best = (
+        joined.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") == 1)
+        .withColumn(
+            "allowed", F.col("_rtype").isNull() | (F.col("_rtype") == "allow")
+        )
+    )
+    return best.filter(F.col("allowed")).drop(
+        "_path", "_rhost", "_rtype", "_rprefix", "_rank", "allowed"
+    )
+
+
+# ---------------------------------------------------------------------------
+# politeness + deterministic priority scheduling
+# ---------------------------------------------------------------------------
+
+
+def apply_politeness(frontier: DataFrame, hosts: DataFrame, default_budget: int = 10) -> DataFrame:
+    """Per-host fetch budget: keep the top-`budget` URLs per host by
+    (priority DESC, canon_url ASC) — an explicit total order, so the kept
+    set is identical at any parallelism.
+
+    hosts: (host, budget) — small config table → broadcast join.
+    """
+    f = frontier.join(
+        F.broadcast(hosts.select(F.col("host").alias("_bhost"), "budget")),
+        F.col("host") == F.col("_bhost"),
+        "left",
+    ).withColumn("_budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("canon_url").asc()
+    )
+    return (
+        f.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= F.col("_budget"))
+        .drop("_bhost", "budget", "_budget", "_rank")
+    )
+
+
+def salted_partition_key(host: Column, salt_buckets: int = 16) -> Column:
+    """Partitioning key that breaks hot-host skew: hash(host) plus a salt
+    derived from the URL hash, so one hot domain spreads over `salt_buckets`
+    reducers. Used for repartitioning ONLY — never in an orderBy."""
+    return F.concat(
+        F.conv(F.pmod(F.xxhash64(host), 1 << 16).cast("string"), 10, 16),
+        F.lit("#"),
+        F.pmod(F.col("url_hash"), salt_buckets).cast("string"),
+    )
+
+
+def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_order") -> DataFrame:
+    """Scalable deterministic global rank over a total order.
+
+    A naive `row_number().over(Window.orderBy(...))` funnels every row
+    through ONE reducer — a non-starter at 10^10 rows. Two-phase instead:
+
+      1. range-partition + sort by the order keys (distributed total sort);
+      2. per-partition local index via mapInPandas (zero shuffle);
+      3. add each partition's global offset (tiny driver-side prefix sum
+         over per-partition counts, broadcast back as a literal map).
+
+    The resulting rank equals the row's position in the total order, which
+    is fully determined by the data — identical at any parallelism even
+    though partition boundaries differ (the order keys must form a total
+    order; ties would make ranks partition-dependent).
+    """
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    sorted_df = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+
+    # NB StructType.add mutates in place — never call it on df.schema
+    out_schema = T.StructType(
+        list(sorted_df.schema.fields)
+        + [
+            T.StructField("_pid", T.IntegerType()),
+            T.StructField("_local_idx", T.LongType()),
+        ]
+    )
+
+    def local_index(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offset = 0
+        for pdf in batches:
+            pdf = pdf.assign(
+                _pid=pid, _local_idx=range(offset, offset + len(pdf))
+            )
+            offset += len(pdf)
+            yield pdf
+
+    indexed = sorted_df.mapInPandas(local_index, schema=out_schema)
+    counts = indexed.groupBy("_pid").count().collect()
+    sizes = {r["_pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    return (
+        indexed.withColumn(rank_col, (F.col("_local_idx") + offset_expr + 1))
+        .drop("_pid", "_local_idx")
+    )
+
+
+def schedule_fetch_batch(
+    frontier: DataFrame,
+    batch_size: int | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic global fetch order: rank by (priority DESC, canon_url).
+
+    Range-partitioned total sort + two-phase rank (see global_rank). The
+    salted key exists for upstream *shuffle* spreading of hot hosts; the
+    final order is pure (priority, canon_url) — salt never affects it.
+    """
+    order = [F.col("priority").desc(), F.col("canon_url").asc()]
+    batch = global_rank(frontier, order, "fetch_order")
+    if batch_size is not None:
+        batch = batch.filter(F.col("fetch_order") <= batch_size)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# one crawl round, end to end
+# ---------------------------------------------------------------------------
+
+
+def crawl_round(
+    candidates: DataFrame,
+    seen: DataFrame,
+    hosts: DataFrame,
+    robots: DataFrame | None = None,
+    batch_size: int | None = None,
+    default_budget: int = 10,
+) -> DataFrame:
+    """candidates(url, priority) → ordered fetch batch.
+
+    canonicalize → dedup (max priority per canon_url, deterministic) →
+    seen anti-join → robots → politeness → deterministic priority order.
+    Returns (canon_url, url_hash, host, priority, fetch_order).
+    """
+    canon = with_canonical(candidates)
+    deduped = canon.groupBy("canon_url", "url_hash", "host").agg(
+        F.max("priority").alias("priority")
+    )
+    unseen = filter_unseen(deduped, seen)
+    if robots is not None:
+        unseen = apply_robots(unseen, robots)
+    polite = apply_politeness(unseen, hosts, default_budget)
+    return schedule_fetch_batch(polite, batch_size).select(
+        "canon_url", "url_hash", "host", "priority", "fetch_order"
+    )

@@ -1,0 +1,143 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are plain ``binary`` columns with a typed
+metadata struct alongside — the Spark-side plumbing (schemas, batch shapes,
+partition sizing, UDF signatures) is real and tested; the actual
+decode/resample kernels are STUBBED (Pillow/ffmpeg are not in this
+container) behind clearly-marked seams:
+
+- :func:`sniff_media` — magic-byte container detection (real, pure bytes);
+- :func:`media_features` — deterministic fake featurizer standing in for a
+  decode→embed kernel, same signature/batching a real one would have;
+- :func:`decode_image` — raises NotImplementedError by design.
+
+Scale notes: media rows are fat (100 KB–10 MB). The operators below use
+``mapInPandas`` with small Arrow batches (set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` ≈ 256 for media tables so
+a batch stays ≤ a few hundred MB) and never shuffle payload bytes — feature
+extraction happens at the scan, only (id, features) moves on.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image | audio | video | unknown
+        T.StructField("container", T.StringType(), True),  # png | jpeg | gif | riff | mp4 | ...
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "image", "png"),
+    (b"\xff\xd8\xff", "image", "jpeg"),
+    (b"GIF87a", "image", "gif"),
+    (b"GIF89a", "image", "gif"),
+    (b"RIFF", "audio", "riff"),
+    (b"ID3", "audio", "mp3"),
+    (b"\x00\x00\x00", "video", "mp4"),  # ftyp boxes start with size prefix
+]
+
+
+def sniff_bytes(data: bytes | None) -> tuple[str, str]:
+    if not data:
+        return "unknown", "empty"
+    for magic, kind, container in _MAGIC:
+        if data.startswith(magic):
+            return kind, container
+    return "unknown", "unknown"
+
+
+def sniff_media(df: DataFrame, id_col: str = "media_id", bytes_col: str = "payload") -> DataFrame:
+    """binary payload → (media_id, kind, container, n_bytes) metadata."""
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(data) if data is not None else None
+                kind, container = sniff_bytes(b)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "container": container,
+                        "n_bytes": len(b) if b is not None else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "container", "n_bytes"])
+
+    return df.mapInPandas(sniff, schema=MEDIA_META)
+
+
+def decode_image(data: bytes) -> "object":
+    """Seam for a real image decoder (Pillow/turbojpeg). Deliberately not
+    implemented in this container — the pipeline around it is."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; plug Pillow/libjpeg here"
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_features(
+    df: DataFrame, dim: int = 16, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Deterministic stand-in featurizer: byte-histogram projection.
+
+    Real pipelines put decode→model-forward here; the batching, schema and
+    shuffle shape are identical. Fully deterministic (no model weights):
+    features = normalized 16-bin byte histogram."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(mid)
+                if data is None or len(data) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                arr = np.frombuffer(bytes(data), dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+                total = hist.sum()
+                feats.append((hist / total).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 30, id_col: str = "media_id"
+) -> DataFrame:
+    """Video frame-sampling *plan*: emits (media_id, frame_index) rows the
+    decode stage would materialize — demonstrates fan-out sizing without a
+    decoder. Deterministic synthetic duration from payload length."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.length(F.col("payload")) / 1000).cast("long"), F.lit(1)
+                )
+                - 1,
+                F.lit(every_n),
+            )
+        ).alias("frame_index"),
+    )

@@ -1,0 +1,187 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Baseline: exact cosine top-k via a relational cross-join restricted to a
+query subset — dot products with ``F.zip_with``/``F.aggregate`` (JVM-side).
+Scale path: random-hyperplane LSH buckets (deterministic planes from a fixed
+seed) so candidate generation is an equi-join on bucket signatures; only
+within-bucket pairs pay the O(d) dot product. Recall is tunable with the
+number of tables/bits; exactness of the returned distances is preserved
+(LSH only prunes candidates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, double precision,
+    deterministic left-to-right summation (F.aggregate folds in index
+    order, matching DuckDB's list_cosine_similarity evaluation order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries: (query_id, embedding). The corpus side is the big one — the
+    join broadcasts the QUERY side (queries ≪ corpus always in batch ANN),
+    so the corpus never shuffles; top-k is a per-query window, shuffling
+    only (query_id, vec_id, sim) triples.
+
+    Deterministic tie-break: (sim DESC, vec_id ASC).
+    """
+    q = queries.select(
+        F.col("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = embeddings.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, F.round("sim", 6).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed + 1000 * table)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, bits: int = 12, tables: int = 4, seed: int = 42):
+    """Returns a pandas UDF mapping an embedding to its array of LSH bucket
+    signatures (one int per table). Planes are deterministic from the seed
+    so the same vector always lands in the same buckets on any executor."""
+    planes = [_hyperplanes(dim, bits, t, seed) for t in range(tables)]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        out = []
+        mat = np.array(
+            [v if v is not None else np.zeros(dim) for v in vecs], dtype=np.float64
+        )
+        sigs = []
+        for t, pl in enumerate(planes):
+            proj = mat @ pl.T  # (n, bits)
+            bit_sig = (proj > 0).astype(np.int64) @ (1 << np.arange(bits, dtype=np.int64))
+            sigs.append(bit_sig + (t << bits))
+        stacked = np.stack(sigs, axis=1)
+        for row in stacked:
+            out.append(row.tolist())
+        return pd.Series(out, dtype=object)
+
+    return buckets
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 10,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: equi-join on shared LSH buckets, exact cosine within.
+
+    Candidate generation shuffles only (bucket, id) pairs; each corpus
+    vector is scored once per query it shares a bucket with (distinct
+    first). Recall < 1 by construction — the scale path when the query set
+    is too large to broadcast."""
+    bucketer = lsh_bucket_udf(dim, bits, tables, seed)
+    c = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id",
+        F.col(vec_col).alias("_qvec"),
+        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+    )
+    candidates = (
+        c.join(q, "bucket")
+        .select("query_id", id_col, "_qvec", "_cvec")
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = candidates.select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, F.round("sim", 6).alias("sim"))
+    )
+
+
+def pairwise_above_threshold(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 10,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via LSH blocking —
+    the embedding-space analogue of MinHash near-dup for text."""
+    bucketer = lsh_bucket_udf(dim, bits, tables, seed)
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
+        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "bucket"
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,440 @@
+"""Training-data text operators: dedup, language-ID, quality, tokens,
+fingerprints.
+
+Everything here is designed for the documents table at web scale:
+- exact dedup is a hash groupBy (shuffle on a 32-byte digest, not the text);
+- MinHash/LSH near-dup shuffles only (band_hash → doc_id) pairs — candidate
+  generation never moves document text;
+- SimHash is a single map pass + a self-join on rotated prefixes;
+- scoring functions are pure Column expressions (codegen'd, no Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_PATTERN = "[a-z0-9]+"  # lowercase alnum runs (RE2/Java/Python compatible)
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alnum tokens; the canonical tokenizer for all textops."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text digest.
+
+    groupBy on md5(text): the shuffle carries (digest, id) only — at 100 TB
+    the text stays columnar in the scan and the exchange is a few GB."""
+    digest = F.md5(F.col(text_col)).alias("text_md5")
+    w = Window.partitionBy("text_md5").orderBy(F.col(id_col).asc())
+    return (
+        documents.withColumn("text_md5", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exact_ids(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text_md5, dup_count) — survivors of exact dedup with their
+    duplicate-group size; aggregate form (map-side combinable)."""
+    return (
+        documents.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "text_md5", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash over word shingles.
+
+    One map pass, Arrow-batched; per-row work is numpy over the shingle
+    hash array (C-speed). Deterministic: fixed seed → fixed (a, b) params.
+    """
+    a, b = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in _py_tokens(t)]
+            if len(toks) < shingle_size:
+                shingles = [" ".join(toks)] if toks else [""]
+            else:
+                shingles = [
+                    " ".join(toks[i : i + shingle_size])
+                    for i in range(len(toks) - shingle_size + 1)
+                ]
+            hs = np.array(
+                [_stable_hash64(s) for s in set(shingles)], dtype=np.int64
+            ).astype(np.uint64)
+            # h_i = min over shingles of (a_i * h + b_i) mod p
+            vals = (
+                a.astype(np.uint64)[:, None] * hs[None, :] + b.astype(np.uint64)[:, None]
+            ) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out, dtype=object)
+
+    return documents.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re as _re
+
+    return _re.findall(TOKEN_PATTERN, text.lower())
+
+
+def _stable_hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a), reproducible everywhere."""
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band bucket.
+
+    explode signatures → (band, band_hash, id) → self-join per bucket.
+    Shuffle volume is ids+hashes only. Returns distinct (id_a, id_b), a<b.
+    """
+    sig_slices = F.array(
+        *[
+            F.hash(
+                F.slice(F.col("signature"), band * rows_per_band + 1, rows_per_band)
+            ).alias(f"b{band}")
+            for band in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(sig_slices).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    documents: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Joins the candidate pairs back to document shingle sets and computes
+    |∩|/|∪| relationally (explode + groupBy) — no driver-side loops.
+    """
+    shingled = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size(tokens(F.col(text_col))) - shingle_size, F.lit(0)
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tokens(F.col(text_col)), i + 1, shingle_size)
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("n_a") + F.col("n_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_minhash(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → banding → exact
+    Jaccard verify. Returns confirmed (id_a, id_b, jaccard) pairs."""
+    sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_size, seed)
+    pairs = minhash_lsh_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify_pairs(documents, pairs, text_col, id_col, shingle_size, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over token FNV hashes."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in _py_tokens(t):
+                h = _stable_hash64(tok)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= 1 << i
+            # to signed 64
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out.append(val)
+        return pd.Series(out, dtype=object)
+
+    return documents.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split 64 bits into `blocks` chunks — any pair
+    within distance < blocks shares at least one exact chunk → equi-join per
+    chunk, then exact popcount verify. No O(n²) comparison."""
+    width = 64 // blocks
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"c{i}")
+        for i in range(blocks)
+    ]
+    blocked = hashes.select(F.col(id_col), F.col("simhash"), *chunk_cols)
+    pairs = None
+    for i in range(blocks):
+        a = blocked.select(
+            F.col(id_col).alias("id_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col(f"c{i}").alias("chunk"),
+        )
+        b = blocked.select(
+            F.col(id_col).alias("id_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col(f"c{i}").alias("chunk"),
+        )
+        p = a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b")).drop("chunk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality / tokens / fingerprint (pure Column expressions)
+# ---------------------------------------------------------------------------
+
+# tiny deterministic stopword inventories (public common words)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit counts per language over the token array."""
+    toks = tokens(text)
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(markers))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Best-scoring language, 'und' when nothing matches. Deterministic
+    tie-break: language code ascending."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                p["score"].alias("score"),
+                # invert lang for max so that ties pick the ASCENDING code
+                F.lit(None).alias("_pad"),
+                p["lang"].alias("lang"),
+            ),
+        )
+    )
+    # array_max on structs compares fieldwise; to get asc-lang tie-break use
+    # a reduce instead:
+    best = F.reduce(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, p: F.when(
+            (p["score"] > acc["score"]),
+            F.struct(p["score"].alias("score"), p["lang"].alias("lang")),
+        ).otherwise(acc),
+    )
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (all JVM-side):
+    n_chars, n_tokens, mean_token_len, stopword_ratio, alnum_ratio."""
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    en = _LANG_MARKERS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
+    alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(n_tokens > 0, total_tok_chars / n_tokens).otherwise(
+            F.lit(0.0)
+        ),
+        "stopword_ratio": F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(
+            F.lit(0.0)
+        ),
+        "alnum_ratio": F.when(
+            F.length(text) > 0, alnum_chars / F.length(text)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite score in [0,1]: rewards stopword presence, sane token
+    length, alnum density. Fixed deterministic formula (documented in
+    oracle SQL form in __spark_entry__)."""
+    f = quality_features(text)
+    sane_len = F.when(
+        (f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return F.round(
+        (
+            F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+            + sane_len
+            + f["alnum_ratio"]
+        )
+        / 3.0,
+        6,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized token stream — the
+    content-defined identity used for cross-crawl dedup joins."""
+    return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+def rolling_hashes(text: Column, window: int = 8) -> Column:
+    """Karp-Rabin rolling hashes over the token stream (winnowing基 primitive
+    for plagiarism-style fingerprinting): array of int64, one per
+    window-gram. JVM-side via transform/aggregate — no Python."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n < window, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        )
+    )
