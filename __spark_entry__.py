@@ -1,38 +1,676 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 gets a ``queries()`` entry with a
+DuckDB ``oracle_sql()`` twin computed over the same parquet tables
+(documents / events / embeddings). The WARC kernel itself is exercised by
+synthesizing deterministic WARC archives *from* the documents table on the
+executors, scanning them with the distributed scanner, and checking that the
+extracted text round-trips byte-identically to the source column (the
+byte-identity invariant from BASELINE.json input_hint).
+
+Genuinely non-SQL-expressible sketch ops (MinHash-LSH banding, SimHash
+blocking, random-hyperplane LSH) have queries() entries only → the driver
+records rows-only checks for them, as allowed.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wbx import analytics, filters, simsearch, textops
+from wbx.extract import extract_text_udf
+from wbx.frontier import (
+    build_seen_bloom,
+    canonicalize_url,
+    crawl_round,
+    filter_unseen_with_bloom,
+    url_host,
+    with_canonical,
+)
+from wbx.warcio import scan_files_to_records
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _event_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → records-shaped DF for J1 pair matching: clicks are requests,
+    views are responses, user_id is the Target-URI, event_id is file order."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.lit("events").alias("source_file"),
+        F.col("event_id").alias("record_start"),
+        F.col("event_id").alias("record_end"),
+        F.when(F.col("event_type") == "click", "request")
+        .otherwise("response")
+        .alias("warc_type"),
+        F.col("user_id").cast("string").alias("target_uri"),
+    )
+
+
+_J1_ORACLE_BASE = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS uri,
+         CASE event_type WHEN 'click' THEN 'request' ELSE 'response' END AS side,
+         event_id
+  FROM events WHERE event_type IN ('click', 'view')
+), ranked AS (
+  SELECT uri, side, event_id,
+         row_number() OVER (PARTITION BY uri, side ORDER BY event_id) AS seq
+  FROM base
+), req AS (SELECT * FROM ranked WHERE side = 'request'),
+   resp AS (SELECT * FROM ranked WHERE side = 'response'),
+   pairs AS (
+  SELECT coalesce(req.uri, resp.uri) AS target_uri,
+         coalesce(req.seq, resp.seq) AS seq,
+         req.event_id AS req_event,
+         resp.event_id AS resp_event,
+         CASE WHEN req.event_id IS NOT NULL AND resp.event_id IS NOT NULL THEN 'pair'
+              WHEN req.event_id IS NOT NULL THEN 'lone_request'
+              ELSE 'lone_response' END AS pair_type
+  FROM req FULL OUTER JOIN resp ON req.uri = resp.uri AND req.seq = resp.seq
+)
+"""
+
+
+def _event_archive(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    """events split into two 'archives' (even/odd event_id) shaped as records
+    with a two-field headers map, for J2 compare-headers."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.pmod("event_id", F.lit(2)) == parity).select(
+        F.lit("e").alias("source_file"),
+        F.col("event_id").alias("record_start"),
+        F.col("event_type").alias("warc_type"),
+        F.col("user_id").cast("string").alias("target_uri"),
+        F.create_map(
+            F.lit("F0"),
+            F.array(F.floor(F.col("value") / 10).cast("long").cast("string")),
+            F.lit("F1"),
+            F.array(F.floor(F.col("value")).cast("long").cast("string")),
+        ).alias("headers"),
+    )
+
+
+def _messy_url(doc_id) -> F.Column:
+    """Deterministic mixed-case URL with default port + fragment per doc;
+    doc_id%5==0 rows additionally have an empty path (exercises '/' append)."""
+    return F.when(
+        F.pmod(doc_id, F.lit(5)) == 0,
+        F.concat(F.lit("HTTP://Host"), F.pmod(doc_id, F.lit(7)), F.lit(".COM:80#frag")),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            F.pmod(doc_id, F.lit(7)),
+            F.lit(".ORG:443/Path/"),
+            doc_id,
+            F.lit("?q="),
+            F.pmod(doc_id, F.lit(3)),
+            F.lit("#frag"),
+        )
+    )
+
+
+def _frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two candidate rows per document (messy-case + lowercase variants with
+    different priorities) so canonical dedup + max-priority is exercised."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTP://H"),
+        F.pmod("doc_id", F.lit(20)),
+        F.lit(".COM:80/d"),
+        F.pmod("doc_id", F.lit(10)),
+        F.lit("/"),
+        F.col("doc_id"),
+    )
+    c1 = docs.select(
+        url.alias("url"), F.pmod("doc_id", F.lit(5)).cast("double").alias("priority")
+    )
+    c2 = docs.select(
+        F.lower(url).alias("url"),
+        F.pmod(F.col("doc_id") + 1, F.lit(5)).cast("double").alias("priority"),
+    )
+    return c1.unionByName(c2)
+
+
+def _frontier_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://h"),
+        F.pmod("doc_id", F.lit(20)),
+        F.lit(".com/d"),
+        F.pmod("doc_id", F.lit(10)),
+        F.lit("/"),
+        F.col("doc_id"),
+    )
+    return with_canonical(
+        docs.filter(F.pmod("doc_id", F.lit(4)) == 0).select(url.alias("url"))
+    ).select("url_hash", "canon_url")
+
+
+def _synth_warc_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> DataFrame:
+    """Deterministic WARC archives built ON THE EXECUTORS from documents:
+    one response record per document, HTTP body gzip-encoded (mtime=0), so the
+    scan + header parse + HTTP split + content-decode kernel all run for real.
+    """
+    import gzip as _gzip
+
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for _, r in pdf.iterrows():
+            body = _gzip.compress(str(r["text"]).encode("utf-8"), 6, mtime=0)
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: gzip\r\n\r\n" + body
+            )
+            header = (
+                "WARC/1.1\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: https://docs.example/{int(r['doc_id'])}\r\n"
+                "Content-Type: application/http;msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n"
+            ).encode("ascii")
+            recs.append(header + b"\r\n" + http)
+        data = b"".join(rec + b"\r\n\r\n" for rec in recs)
+        grp = int(pdf["grp"].iloc[0])
+        return pd.DataFrame({"source_file": [f"synth-{grp}.warc"], "content": [data]})
+
+    return (
+        docs.withColumn("grp", F.pmod("doc_id", F.lit(n_files)))
+        .groupBy("grp")
+        .applyInPandas(build, schema="source_file string, content binary")
+    )
+
+
+def _warc_roundtrip(spark: SparkSession, sf_dir: str, style: str) -> DataFrame:
+    files = _synth_warc_files(spark, sf_dir)
+    recs = scan_files_to_records(files, style=style)
+    return recs.filter(F.col("is_warc")).select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "target_uri",
+        F.col("http_status").cast("long").alias("http_status"),
+        extract_text_udf(F.col("content_block"), F.col("header_bytes")).alias(
+            "text_out"
+        ),
+    )
+
+
+_WARC_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       'https://docs.example/' || doc_id AS target_uri,
+       CAST(200 AS BIGINT) AS http_status,
+       text AS text_out
+FROM documents
+"""
+
+_LANG_IN = {
+    "de": "'der','die','und','das','ist','nicht','ein','mit','von','zu'",
+    "en": "'the','and','of','to','in','is','that','it','for','was'",
+    "es": "'el','la','los','de','que','y','en','un','una','es'",
+    "fr": "'le','la','les','et','de','un','une','est','que','pour'",
+}
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one full deterministic crawl round (canonicalize → seen
+    anti-join → robots → politeness → global priority order) at sf0.001."""
+    return queries()["frontier_crawl_round"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- A1–A4: summarize aggregates ------------------------------------
+    q["a1_record_count"] = lambda spark, sf: analytics.record_count(
+        _t(spark, sf, "documents")
+    )
+
+    q["a2_count_by_type"] = lambda spark, sf: (
+        _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+
+    def a3(spark, sf):
+        docs = _t(spark, sf, "documents").select(
+            F.concat(
+                F.lit("HTTP://"),
+                F.upper("source"),
+                F.lit(".Example.COM:80/doc/"),
+                F.col("doc_id"),
+            ).alias("url")
+        )
+        return (
+            with_canonical(docs)
+            .groupBy(F.col("host").alias("domain"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["a3_count_by_domain"] = a3
+
+    # --- J1 + A5 + A7: FIFO pair matching --------------------------------
+    q["j1_match_pairs"] = lambda spark, sf: analytics.match_pairs(
+        _event_records(spark, sf)
+    ).select(
+        "target_uri",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("req_start").alias("req_event"),
+        F.col("resp_start").alias("resp_event"),
+        "pair_type",
+    )
+
+    q["j1_pair_counts"] = lambda spark, sf: analytics.pair_counts(
+        _event_records(spark, sf)
+    )
+
+    q["j1_pair_summary"] = lambda spark, sf: analytics.pair_summary_by_uri(
+        _event_records(spark, sf)
+    )
+
+    # --- J2/J3: two-archive comparison -----------------------------------
+    q["j2_compare_headers"] = lambda spark, sf: analytics.compare_headers(
+        _event_archive(spark, sf, 0),
+        _event_archive(spark, sf, 1),
+        compare_fields=["F0", "F1"],
+        near_match_fields=["F1"],
+    ).select(
+        "warc_type",
+        "target_uri",
+        F.col("seq").cast("long").alias("seq"),
+        "side",
+        "status",
+    )
+
+    q["j2_compare_summary"] = lambda spark, sf: analytics.compare_headers_summary(
+        _event_archive(spark, sf, 0),
+        _event_archive(spark, sf, 1),
+        compare_fields=["F0", "F1"],
+        near_match_fields=["F1"],
+    )
+
+    def j3(spark, sf):
+        sets = analytics.uri_set_ops(
+            _event_archive(spark, sf, 0), _event_archive(spark, sf, 1)
+        )
+        out = None
+        for which in ("common", "only_left", "only_right"):
+            tagged = sets[which].select(
+                "warc_type", "target_uri", F.lit(which).alias("which")
+            )
+            out = tagged if out is None else out.unionByName(tagged)
+        return out
+
+    q["j3_uri_sets"] = j3
+
+    # --- O1: stop-after-nth (file-order limit) ---------------------------
+    q["o1_stop_after_nth"] = lambda spark, sf: analytics.stop_after_nth(
+        _t(spark, sf, "documents").select(
+            F.col("source").alias("source_file"), F.col("doc_id").alias("record_start")
+        ),
+        3,
+    ).select(F.col("source_file").alias("source"), F.col("record_start").alias("doc_id"))
+
+    # --- F2/F3: content-length + content-type filters --------------------
+    def f_filters(spark, sf):
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.col("n_chars").alias("content_length"),
+            F.col("lang").alias("content_type"),
+        )
+        return docs.filter(
+            filters.record_content_length_filter(300, "ge")
+            & filters.record_content_type_filter("en", exact_match=True)
+        ).select("doc_id")
+
+    q["f_length_and_type"] = f_filters
+
+    # --- dedup / text ops -------------------------------------------------
+    q["dedup_exact"] = lambda spark, sf: textops.dedup_exact_ids(
+        _t(spark, sf, "documents")
+    )
+
+    q["text_fingerprint"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", textops.fingerprint(F.col("text")).alias("fp")
+    )
+
+    def quality(spark, sf):
+        docs = _t(spark, sf, "documents")
+        toks = textops.tokens(F.col("text"))
+        en = textops._LANG_MARKERS["en"]
+        return docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.filter(toks, lambda t: t.isin(en))).cast("long").alias("stop_hits"),
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+            .cast("long")
+            .alias("alnum_chars"),
+        )
+
+    q["text_quality"] = quality
+
+    q["text_lang_id"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", textops.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+    def jaccard(spark, sf):
+        docs = _t(spark, sf, "documents")
+        a = docs.select(F.col("doc_id").alias("id_a"), F.col("source"))
+        b = docs.select(F.col("doc_id").alias("id_b"), F.col("source"))
+        pairs = (
+            a.join(b, "source").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+        return textops.jaccard_verify_pairs(
+            docs, pairs, shingle_size=1, threshold=0.5
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["dedup_token_jaccard"] = jaccard
+
+    # rows-only (sketch ops; not ANSI-SQL-expressible):
+    q["dedup_minhash_pairs"] = lambda spark, sf: textops.dedup_minhash(
+        _t(spark, sf, "documents"), threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["dedup_simhash_pairs"] = lambda spark, sf: textops.simhash_near_pairs(
+        textops.simhash(_t(spark, sf, "documents")), max_hamming=8
+    )
+
+    # --- Sc12/Sc13 + J4 + north_rule frontier ----------------------------
+    def canonical(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id")
+        url = _messy_url(F.col("doc_id"))
+        canon = canonicalize_url(url)
+        return docs.select(
+            "doc_id", canon.alias("canon_url"), url_host(canon).alias("host")
+        )
+
+    q["url_canonicalize"] = canonical
+
+    def unseen(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id")
+        url = F.concat(
+            F.lit("HTTP://H"), F.pmod("doc_id", F.lit(20)), F.lit(".COM:80/d/"), F.col("doc_id")
+        )
+        cand = with_canonical(docs.select("doc_id", url.alias("url")))
+        seen = cand.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+            "url_hash", "canon_url"
+        )
+        bloom = build_seen_bloom(seen, partitions=16)
+        return filter_unseen_with_bloom(cand, seen, bloom, partitions=16).select(
+            "doc_id", "canon_url"
+        )
+
+    q["frontier_unseen"] = unseen
+
+    def round_q(spark, sf):
+        hosts = spark.range(20).select(
+            F.concat(F.lit("h"), F.col("id"), F.lit(".com")).alias("host"),
+            (F.lit(2) + F.pmod("id", F.lit(3))).cast("int").alias("budget"),
+        )
+        robots = spark.createDataFrame(
+            [("h1.com", "deny", "/d3"), ("h1.com", "allow", "/d3/1"), ("h2.com", "deny", "/")],
+            schema="host string, rule_type string, path_prefix string",
+        )
+        return crawl_round(
+            _frontier_candidates(spark, sf),
+            _frontier_seen(spark, sf),
+            hosts,
+            robots,
+        ).select("canon_url", "host", "priority", "fetch_order")
+
+    q["frontier_crawl_round"] = round_q
+
+    # --- similarity search ------------------------------------------------
+    def topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return simsearch.brute_force_topk(emb, queries_df, k=5).select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim"
+        )
+
+    q["sim_brute_topk"] = topk
+
+    # rows-only (LSH recall < 1 by construction):
+    def lsh(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return simsearch.lsh_topk(emb, queries_df, k=5, dim=64).select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim"
+        )
+
+    q["sim_lsh_topk"] = lsh
+
+    # --- WARC kernel end-to-end (S1/S2 scan, H2–H6 extraction) ------------
+    q["warc_roundtrip_content_length"] = lambda spark, sf: _warc_roundtrip(
+        spark, sf, "content_length"
+    )
+    q["warc_roundtrip_delimiter"] = lambda spark, sf: _warc_roundtrip(
+        spark, sf, "delimiter"
+    )
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_score = lambda lg: f"len(list_filter(toks, x -> x IN ({_LANG_IN[lg]})))"
+    return {
+        "a1_record_count": "SELECT count(*) AS record_count FROM documents",
+        "a2_count_by_type": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "a3_count_by_domain": (
+            "SELECT lower(source) || '.example.com' AS domain, count(*) AS n "
+            "FROM documents GROUP BY 1"
+        ),
+        "j1_match_pairs": _J1_ORACLE_BASE
+        + "SELECT target_uri, seq, req_event, resp_event, pair_type FROM pairs",
+        "j1_pair_counts": _J1_ORACLE_BASE
+        + "SELECT pair_type, count(*) AS n FROM pairs GROUP BY pair_type",
+        "j1_pair_summary": _J1_ORACLE_BASE
+        + """
+        SELECT target_uri,
+               count(*) FILTER (WHERE pair_type = 'pair') AS pairs,
+               count(*) FILTER (WHERE pair_type = 'lone_request') AS lone_requests,
+               count(*) FILTER (WHERE pair_type = 'lone_response') AS lone_responses
+        FROM pairs GROUP BY target_uri ORDER BY target_uri
+        """,
+        "j2_compare_headers": _J2_ORACLE
+        + "SELECT warc_type, target_uri, seq, side, status FROM classified",
+        "j2_compare_summary": _J2_ORACLE
+        + """
+        SELECT count(*) FILTER (WHERE status = 'matching') AS matching,
+               count(*) FILTER (WHERE status = 'near_matching') AS near_matching,
+               count(*) FILTER (WHERE status = 'unique' AND side IN ('both','left')) AS unique1,
+               count(*) FILTER (WHERE status = 'unique' AND side IN ('both','right')) AS unique2
+        FROM classified
+        """,
+        "j3_uri_sets": """
+        WITH l AS (SELECT DISTINCT event_type AS warc_type, CAST(user_id AS VARCHAR) AS target_uri
+                   FROM events WHERE event_id % 2 = 0),
+             r AS (SELECT DISTINCT event_type AS warc_type, CAST(user_id AS VARCHAR) AS target_uri
+                   FROM events WHERE event_id % 2 = 1)
+        SELECT l.warc_type, l.target_uri, 'common' AS which FROM l
+          WHERE EXISTS (SELECT 1 FROM r WHERE r.warc_type = l.warc_type AND r.target_uri = l.target_uri)
+        UNION ALL
+        SELECT l.warc_type, l.target_uri, 'only_left' FROM l
+          WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.warc_type = l.warc_type AND r.target_uri = l.target_uri)
+        UNION ALL
+        SELECT r.warc_type, r.target_uri, 'only_right' FROM r
+          WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.warc_type = r.warc_type AND l.target_uri = r.target_uri)
+        """,
+        "o1_stop_after_nth": """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn <= 3
+        """,
+        "f_length_and_type": (
+            "SELECT doc_id FROM documents WHERE n_chars >= 300 AND lower(lang) = 'en'"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS dup_count "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "text_fingerprint": (
+            f"SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM documents"
+        ),
+        "text_quality": f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_filter({_TOKS}, x -> x IN ({_LANG_IN['en']}))) AS stop_hits,
+               strlen(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars
+        FROM documents
+        """,
+        "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {lang_score('de')} AS s_de, {lang_score('en')} AS s_en,
+                     {lang_score('es')} AS s_es, {lang_score('fr')} AS s_fr FROM t)
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+        """,
+        "dedup_token_jaccard": f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t.t
+          FROM documents, unnest({_TOKS}) AS t(t)
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.id_a
+          JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
+        """,
+        "url_canonicalize": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'http://host' || (doc_id % 7) || '.com/'
+                    ELSE 'https://www.site' || (doc_id % 7) || '.org/Path/' || doc_id
+                         || '?q=' || (doc_id % 3) END AS canon_url,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'host' || (doc_id % 7) || '.com'
+                    ELSE 'www.site' || (doc_id % 7) || '.org' END AS host
+        FROM documents
+        """,
+        "frontier_unseen": """
+        SELECT doc_id, 'http://h' || (doc_id % 20) || '.com/d/' || doc_id AS canon_url
+        FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "frontier_crawl_round": """
+        WITH cand AS (
+          SELECT 'http://h' || (doc_id % 20) || '.com/d' || (doc_id % 10) || '/' || doc_id AS canon_url,
+                 'h' || (doc_id % 20) || '.com' AS host,
+                 '/d' || (doc_id % 10) || '/' || doc_id AS path,
+                 greatest(CAST(doc_id % 5 AS DOUBLE), CAST((doc_id + 1) % 5 AS DOUBLE)) AS priority,
+                 2 + ((doc_id % 20) % 3) AS budget,
+                 doc_id
+          FROM documents
+        ), unseen AS (
+          SELECT * FROM cand WHERE doc_id % 4 <> 0
+        ), allowed AS (
+          SELECT * FROM unseen
+          WHERE host <> 'h2.com'
+            AND NOT (host = 'h1.com' AND path LIKE '/d3%' AND path NOT LIKE '/d3/1%')
+        ), polite AS (
+          SELECT canon_url, host, priority, budget,
+                 row_number() OVER (PARTITION BY host ORDER BY priority DESC, canon_url ASC) AS rn
+          FROM allowed
+        )
+        SELECT canon_url, host, priority,
+               row_number() OVER (ORDER BY priority DESC, canon_url ASC) AS fetch_order
+        FROM polite WHERE rn <= budget
+        """,
+        "sim_brute_topk": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+          FROM q CROSS JOIN embeddings e
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
+        """,
+        "warc_roundtrip_content_length": _WARC_ROUNDTRIP_ORACLE,
+        "warc_roundtrip_delimiter": _WARC_ROUNDTRIP_ORACLE,
+    }
+
+
+_J2_ORACLE = """
+WITH e AS (
+  SELECT event_type AS wt, CAST(user_id AS VARCHAR) AS uri, event_id,
+         CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS f0,
+         CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS f1,
+         event_id % 2 AS arch
+  FROM events
+), l AS (
+  SELECT wt, uri, f0, f1,
+         row_number() OVER (PARTITION BY wt, uri ORDER BY event_id) AS seq,
+         count(*) OVER (PARTITION BY wt, uri) AS n
+  FROM e WHERE arch = 0
+), r AS (
+  SELECT wt, uri, f0, f1,
+         row_number() OVER (PARTITION BY wt, uri ORDER BY event_id) AS seq,
+         count(*) OVER (PARTITION BY wt, uri) AS n
+  FROM e WHERE arch = 1
+), j AS (
+  SELECT coalesce(l.wt, r.wt) AS warc_type,
+         coalesce(l.uri, r.uri) AS target_uri,
+         coalesce(l.seq, r.seq) AS seq,
+         CASE WHEN l.wt IS NOT NULL AND r.wt IS NOT NULL THEN 'both'
+              WHEN l.wt IS NOT NULL THEN 'left' ELSE 'right' END AS side,
+         CASE WHEN l.wt IS NOT NULL AND r.wt IS NOT NULL AND l.f0 = r.f0 AND l.f1 = r.f1 THEN 'matching'
+              WHEN l.wt IS NOT NULL AND r.wt IS NOT NULL AND l.f0 = r.f0 THEN 'near_matching'
+              ELSE 'unique' END AS fs,
+         l.n AS ln, r.n AS rn
+  FROM l FULL OUTER JOIN r ON l.wt = r.wt AND l.uri = r.uri AND l.seq = r.seq
+), classified AS (
+  SELECT warc_type, target_uri, seq, side,
+         CASE WHEN max(ln) OVER (PARTITION BY warc_type, target_uri) IS NULL
+                OR max(rn) OVER (PARTITION BY warc_type, target_uri) IS NULL THEN 'unique'
+              WHEN max(ln) OVER (PARTITION BY warc_type, target_uri)
+                <> max(rn) OVER (PARTITION BY warc_type, target_uri) THEN 'skipped'
+              ELSE fs END AS status
+  FROM j
+)
+"""

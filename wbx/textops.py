@@ -108,8 +108,8 @@ def minhash_signatures(
                     for i in range(len(toks) - shingle_size + 1)
                 ]
             hs = np.array(
-                [_stable_hash64(s) for s in set(shingles)], dtype=np.int64
-            ).astype(np.uint64)
+                [_stable_hash64(s) for s in set(shingles)], dtype=np.uint64
+            )
             # h_i = min over shingles of (a_i * h + b_i) mod p
             vals = (
                 a.astype(np.uint64)[:, None] * hs[None, :] + b.astype(np.uint64)[:, None]
