@@ -42,7 +42,14 @@ from wbx.warcio import scan_files_to_records
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # The test parquet files are single-split; a real corpus arrives in many
+    # files/row-groups. WBX_INPUT_PARTITIONS>0 (set by bench.py) simulates
+    # that pre-partitioned input so per-row kernels use every core.
+    n = int(os.environ.get("WBX_INPUT_PARTITIONS", "0"))
+    if n > 0:
+        df = df.repartition(n)
+    return df
 
 
 def _event_records(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,35 +50,29 @@ def canonicalize_url(url: Column) -> Column:
     - strip default port (http:80, https:443)
     - empty path → "/"
 
-    Composition of built-ins so Catalyst can constant-fold / push down; the
-    per-step regexes are anchored and RE2-compatible (also used verbatim in
-    the DuckDB oracle SQL).
+    Component-based single extraction (scheme / authority / rest each pulled
+    once from the defragged input) so the Catalyst expression tree stays
+    small — a naive step-by-step rewrite chain self-references the previous
+    step several times and the inlined tree grows exponentially (measured:
+    66 regex ops/row optimized; this form: ~12).
     """
-    u = F.trim(url)
-    # fragment off first
-    u = F.regexp_replace(u, r"#.*$", "")
-    # lowercase scheme
-    u = F.concat(
-        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
-        F.lit("://"),
-        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+    u0 = F.regexp_replace(F.trim(url), r"#.*$", "")  # defrag
+    scheme = F.lower(F.regexp_extract(u0, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(u0, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    auth = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    rest = F.regexp_replace(after, r"^[^/?#]*", "")
+    # strip default port (auth is host[:port] — ':80$' can only be the port)
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
     )
-    # lowercase the authority (host[:port], incl. optional userinfo@)
-    authority = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
-    rest = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*", "")
-    u = F.concat(
-        F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*://)", 1),
-        F.lower(authority),
-        rest,
+    # empty path (no /?#-tail at all) → "/"
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    # scheme-less input keeps the reference quirk: "://" + input unchanged
+    return F.when(scheme == "", F.concat(F.lit("://"), after)).otherwise(
+        F.concat(scheme, F.lit("://"), auth, rest)
     )
-    # strip default ports
-    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(?=[/?#]|$)", r"$1")
-    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(?=[/?#]|$)", r"$1")
-    # empty path with query/end → add "/"
-    u = F.when(
-        F.regexp_like(u, F.lit(r"^[a-z][a-z0-9+.-]*://[^/?#]*$")), F.concat(u, F.lit("/"))
-    ).otherwise(u)
-    return u
 
 
 def url_host(canon_url: Column) -> Column:
@@ -241,34 +235,39 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Keep frontier rows allowed by robots rules.
 
     rules: (host, rule_type ∈ {allow, deny}, path_prefix). Longest matching
-    prefix wins; tie → allow wins (deterministic tie-break rule_type asc:
-    'allow' < 'deny'); no matching rule → allowed. The rules table is tiny
-    relative to the frontier → broadcast join, no shuffle of the frontier.
+    prefix wins; tie → allow wins; no matching rule → allowed.
+
+    Plan shape (scale-critical): rules are pre-grouped per host and
+    broadcast, the frontier side does ONE equi broadcast-hash join on host —
+    no shuffle, no window, no nested-loop. Longest-prefix-wins is a pure
+    array expression (filter + array_max over (prefix_len, is_allow)
+    structs), evaluated inside whole-stage codegen.
     """
-    f = frontier.withColumn("_path", url_path(F.col("canon_url")))
-    r = robots.select(
-        F.col("host").alias("_rhost"),
-        F.col("rule_type").alias("_rtype"),
-        F.col("path_prefix").alias("_rprefix"),
+    rules = robots.groupBy("host").agg(
+        F.collect_list(F.struct("path_prefix", "rule_type")).alias("_rules")
     )
-    joined = f.join(
-        F.broadcast(r),
-        (f.host == F.col("_rhost")) & F.col("_path").startswith(F.col("_rprefix")),
-        "left",
+    f = frontier.withColumn("_path", url_path(F.col("canon_url"))).join(
+        F.broadcast(rules), "host", "left"
     )
-    w = Window.partitionBy("canon_url").orderBy(
-        F.length(F.col("_rprefix")).desc_nulls_last(), F.col("_rtype").asc_nulls_last()
+    matching = F.filter(
+        F.col("_rules"), lambda r: F.col("_path").startswith(r["path_prefix"])
     )
-    best = (
-        joined.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") == 1)
-        .withColumn(
-            "allowed", F.col("_rtype").isNull() | (F.col("_rtype") == "allow")
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["path_prefix"]).alias("l"),
+                F.when(r["rule_type"] == "allow", 1).otherwise(0).alias("pref"),
+                r["rule_type"].alias("rule_type"),
+            ),
         )
     )
-    return best.filter(F.col("allowed")).drop(
-        "_path", "_rhost", "_rtype", "_rprefix", "_rank", "allowed"
+    allowed = (
+        F.col("_rules").isNull()
+        | (F.size(matching) == 0)
+        | (best["rule_type"] == "allow")
     )
+    return f.filter(allowed).drop("_path", "_rules")
 
 
 # ---------------------------------------------------------------------------
@@ -313,63 +312,51 @@ def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_
     """Scalable deterministic global rank over a total order.
 
     A naive `row_number().over(Window.orderBy(...))` funnels every row
-    through ONE reducer — a non-starter at 10^10 rows. Two-phase instead:
+    through ONE reducer — a non-starter at 10^10 rows. Two-phase instead,
+    entirely JVM-side (no Python workers, no extra shuffle):
 
       1. range-partition + sort by the order keys (distributed total sort);
-      2. per-partition local index via mapInPandas (zero shuffle);
+      2. `monotonically_increasing_id()` over the sorted partitions encodes
+         (partition_id << 33 | local_row_index) — a per-partition local
+         index computed inside the same codegen stage as the sort output;
       3. add each partition's global offset (tiny driver-side prefix sum
          over per-partition counts, broadcast back as a literal map).
 
     The resulting rank equals the row's position in the total order, which
     is fully determined by the data — identical at any parallelism even
-    though partition boundaries differ (the order keys must form a total
+    though partition *boundaries* differ (the order keys must form a total
     order; ties would make ranks partition-dependent).
     """
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    sorted_df = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
-        *order_cols
+    # repartitionByRange launches a range-sampling job over `df` before the
+    # sort itself reads it — persist so the (potentially whole-crawl-round)
+    # input pipeline executes once, not twice.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # _mid layout: upper 31 bits = partition id, lower 33 bits = local index.
+    indexed = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    # NB StructType.add mutates in place — never call it on df.schema
-    out_schema = T.StructType(
-        list(sorted_df.schema.fields)
-        + [
-            T.StructField("_pid", T.IntegerType()),
-            T.StructField("_local_idx", T.LongType()),
-        ]
-    )
-
-    def local_index(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        offset = 0
-        for pdf in batches:
-            pdf = pdf.assign(
-                _pid=pid, _local_idx=range(offset, offset + len(pdf))
-            )
-            offset += len(pdf)
-            yield pdf
-
-    indexed = sorted_df.mapInPandas(local_index, schema=out_schema)
-    counts = indexed.groupBy("_pid").count().collect()
+    pid = F.shiftrightunsigned(F.col("_mid"), 33)
+    local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = indexed.groupBy(pid.alias("_pid")).count().collect()
+    df.unpersist()
     sizes = {r["_pid"]: r["count"] for r in counts}
     offsets = {}
     acc = 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
     offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ),
-        F.col("_pid"),
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        pid,
     )
-    return (
-        indexed.withColumn(rank_col, (F.col("_local_idx") + offset_expr + 1))
-        .drop("_pid", "_local_idx")
-    )
+    return indexed.withColumn(rank_col, local_idx + offset_expr + 1).drop("_mid")
 
 
 def schedule_fetch_batch(
