@@ -166,47 +166,12 @@ def _frontier_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url_hash", "canon_url")
 
 
-def _synth_warc_files(spark: SparkSession, sf_dir: str, n_files: int = 8) -> DataFrame:
-    """Deterministic WARC archives built ON THE EXECUTORS from documents:
-    one response record per document, HTTP body gzip-encoded (mtime=0), so the
-    scan + header parse + HTTP split + content-decode kernel all run for real.
-    """
-    import gzip as _gzip
-
-    import pandas as pd
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id")
-        recs = []
-        for _, r in pdf.iterrows():
-            body = _gzip.compress(str(r["text"]).encode("utf-8"), 6, mtime=0)
-            http = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                b"Content-Encoding: gzip\r\n\r\n" + body
-            )
-            header = (
-                "WARC/1.1\r\n"
-                "WARC-Type: response\r\n"
-                f"WARC-Target-URI: https://docs.example/{int(r['doc_id'])}\r\n"
-                "Content-Type: application/http;msgtype=response\r\n"
-                f"Content-Length: {len(http)}\r\n"
-            ).encode("ascii")
-            recs.append(header + b"\r\n" + http)
-        data = b"".join(rec + b"\r\n\r\n" for rec in recs)
-        grp = int(pdf["grp"].iloc[0])
-        return pd.DataFrame({"source_file": [f"synth-{grp}.warc"], "content": [data]})
-
-    return (
-        docs.withColumn("grp", F.pmod("doc_id", F.lit(n_files)))
-        .groupBy("grp")
-        .applyInPandas(build, schema="source_file string, content binary")
-    )
-
-
 def _warc_roundtrip(spark: SparkSession, sf_dir: str, style: str) -> DataFrame:
-    files = _synth_warc_files(spark, sf_dir)
+    """WARC kernel end-to-end: synthesize archives from documents on the
+    executors (wbx.fixtures, gzip bodies), scan, extract byte-exact text."""
+    from wbx.fixtures import synth_warc_files
+
+    files = synth_warc_files(_t(spark, sf_dir, "documents"))
     recs = scan_files_to_records(files, style=style)
     return recs.filter(F.col("is_warc")).select(
         F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),

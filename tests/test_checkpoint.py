@@ -1,0 +1,143 @@
+"""Checkpoint/resume tests: atomic snapshot commits, crash tolerance, and
+the north_rule resume contract (killed run → resume → identical state)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wbx.checkpoint import CheckpointStore, run_crawl
+
+
+def seeds_df(spark):
+    return spark.createDataFrame(
+        [(f"http://h{i % 5}.com/seed/{i}", float(i % 3)) for i in range(40)],
+        "url string, priority double",
+    )
+
+
+def hosts_df(spark):
+    return spark.createDataFrame(
+        [(f"h{i}.com", 6) for i in range(5)], "host string, budget int"
+    )
+
+
+def make_expand(spark):
+    """Deterministic expansion: each fetched URL yields two children derived
+    from its url_hash — same batch always produces the same candidates."""
+
+    def expand(batch):
+        kids = batch.select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+            F.col("url_hash"),
+            F.col("host"),
+            F.col("priority"),
+        )
+        return kids.select(
+            F.concat(
+                F.lit("http://"),
+                F.col("host"),
+                F.lit("/c/"),
+                F.pmod(F.col("url_hash"), F.lit(10000)),
+                F.lit("/"),
+                F.col("k"),
+            ).alias("url"),
+            F.pmod(F.col("url_hash") + F.col("k"), F.lit(3)).cast("double").alias("priority"),
+        )
+
+    return expand
+
+
+class TestStore:
+    def test_commit_load_roundtrip(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "cp"))
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        store.commit(1, {"t": df})
+        assert store.latest_round() == 1
+        got = sorted((r["id"], r["v"]) for r in store.load(spark, "t").collect())
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_manifest_points_to_last_complete_round(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "cp"))
+        df = spark.createDataFrame([(1,)], "id long")
+        store.commit(1, {"t": df})
+        store.commit(2, {"t": spark.createDataFrame([(2,)], "id long")})
+        m = store.manifest()
+        assert m["round"] == 2
+        assert m["tables"] == ["t"]
+
+    def test_orphan_tmp_ignored_and_cleaned(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "cp"))
+        df = spark.createDataFrame([(1,)], "id long")
+        store.commit(1, {"t": df})
+        # simulate a crash mid-write of round 2
+        orphan = tmp_path / "cp" / "rounds" / ".tmp-r000002"
+        os.makedirs(orphan / "t")
+        (orphan / "t" / "part-junk").write_text("junk")
+        assert store.latest_round() == 1  # reader follows manifest only
+        store.commit(2, {"t": spark.createDataFrame([(2,)], "id long")})
+        assert not orphan.exists()  # GC'd
+        assert store.latest_round() == 2
+
+    def test_recommit_crashed_round_is_idempotent(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "cp"))
+        df1 = spark.createDataFrame([(1,)], "id long")
+        store.commit(1, {"t": df1})
+        # round dir published but manifest flip "crashed": manifest says 1
+        rdir = tmp_path / "cp" / "rounds" / "r000002"
+        os.makedirs(rdir)
+        store.commit(2, {"t": spark.createDataFrame([(2,)], "id long")})
+        assert store.load(spark, "t", 2).collect()[0]["id"] == 2
+
+
+class TestResume:
+    def collect_state(self, spark, store, rounds):
+        logs = []
+        for rid in range(1, rounds + 1):
+            rows = store.load(spark, "fetch_log", rid).collect()
+            logs.extend(
+                sorted((r["round"], r["fetch_order"], r["canon_url"]) for r in rows)
+            )
+        seen = sorted(r["canon_url"] for r in store.load(spark, "seen").collect())
+        return logs, seen
+
+    def test_killed_run_resumes_to_identical_state(self, spark, tmp_path):
+        expand = make_expand(spark)
+        hosts = hosts_df(spark)
+
+        # uninterrupted: 3 rounds
+        full = CheckpointStore(str(tmp_path / "full"))
+        run_crawl(spark, full, seeds_df(spark), expand, hosts, rounds=3)
+
+        # killed after round 2, then resumed with the same arguments
+        part = CheckpointStore(str(tmp_path / "part"))
+        run_crawl(spark, part, seeds_df(spark), expand, hosts, rounds=2)
+        assert part.latest_round() == 2
+        part2 = CheckpointStore(str(tmp_path / "part"))  # fresh handle = new process
+        run_crawl(spark, part2, seeds_df(spark), expand, hosts, rounds=3)
+
+        assert self.collect_state(spark, full, 3) == self.collect_state(spark, part2, 3)
+
+    def test_resume_is_noop_when_already_complete(self, spark, tmp_path):
+        expand = make_expand(spark)
+        store = CheckpointStore(str(tmp_path / "cp"))
+        run_crawl(spark, store, seeds_df(spark), expand, hosts_df(spark), rounds=2)
+        before = json.dumps(store.manifest(), sort_keys=True)
+        out = run_crawl(spark, store, seeds_df(spark), expand, hosts_df(spark), rounds=2)
+        assert out["final_round"] == 2
+        assert json.dumps(store.manifest(), sort_keys=True) == before
+
+    def test_metrics_cover_every_round_and_partition_sums(self, spark, tmp_path):
+        expand = make_expand(spark)
+        store = CheckpointStore(str(tmp_path / "cp"))
+        run_crawl(spark, store, seeds_df(spark), expand, hosts_df(spark), rounds=2)
+        for rid in (1, 2):
+            m = store.load(spark, "metrics", rid)
+            sched = m.filter(F.col("metric") == "urls_scheduled").agg(
+                F.sum("value")
+            ).collect()[0][0]
+            n_batch = store.load(spark, "fetch_log", rid).count()
+            assert int(sched) == n_batch

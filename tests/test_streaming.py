@@ -1,0 +1,122 @@
+"""Streaming tests: file-source record scan, windowed aggregate parity with
+the batch A2, and stateful FIFO pair matching vs the reference oracle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.helpers import fifo_pairs_oracle
+from wbx import streaming
+from wbx.warcio import write_warc
+
+
+def make_record(uri: str, body: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+    header = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return header + b"\r\n" + http
+
+
+def run_available_now(stream_df, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestStreamScan:
+    def test_file_stream_scans_records(self, spark, tmp_path):
+        d = tmp_path / "in"
+        os.makedirs(d)
+        (d / "a.warc").write_bytes(
+            write_warc([make_record(f"https://a/{i}", b"x" * i) for i in range(3)])
+        )
+        (d / "b.warc").write_bytes(
+            write_warc([make_record(f"https://b/{i}", b"y") for i in range(2)])
+        )
+        recs = streaming.stream_file_records(spark, str(d))
+        run_available_now(recs, "recs_mem")
+        got = spark.sql("SELECT target_uri, http_status FROM recs_mem").collect()
+        assert len(got) == 5
+        assert all(r["http_status"] == 200 for r in got)
+        assert sorted(r["target_uri"] for r in got)[:3] == [
+            "https://a/0",
+            "https://a/1",
+            "https://a/2",
+        ]
+
+
+class TestWindowedCounts:
+    def test_matches_batch_aggregate(self, spark, tmp_path, sf_smoke):
+        d = str(tmp_path / "events")
+        ev = spark.read.parquet(os.path.join(sf_smoke, "events.parquet"))
+        ev.write.parquet(d)
+        stream = spark.readStream.schema(ev.schema).parquet(d)
+        agg = streaming.windowed_type_counts(stream, window="10 minutes")
+        run_available_now(agg, "win_mem", output_mode="complete")
+        got = (
+            spark.sql("SELECT event_type, sum(n) AS n FROM win_mem GROUP BY 1")
+            .collect()
+        )
+        expect = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+        assert {r["event_type"]: r["n"] for r in got} == expect
+
+
+class TestStatefulPairs:
+    def test_fifo_pairs_match_oracle(self, spark, tmp_path):
+        rows = []
+        # interleaved requests/responses incl. duplicates and lones
+        seq = [
+            ("u1", "request", 1),
+            ("u1", "response", 2),
+            ("u1", "request", 3),
+            ("u2", "response", 4),   # lone-ish: pairs if a request follows
+            ("u1", "response", 5),
+            ("u2", "request", 6),
+            ("u3", "request", 7),    # lone request
+        ]
+        for uri, side, start in seq:
+            rows.append(("f.warc", start, start + 1, side, uri))
+        df = spark.createDataFrame(
+            rows,
+            "source_file string, record_start long, record_end long, "
+            "warc_type string, target_uri string",
+        )
+        d = str(tmp_path / "recs")
+        df.write.parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        pairs = streaming.stateful_pair_match(stream)
+        run_available_now(pairs, "pairs_mem", output_mode="append")
+        got = sorted(
+            (r["req_start"], r["resp_start"])
+            for r in spark.sql("SELECT * FROM pairs_mem").collect()
+        )
+        oracle_rows = [
+            {
+                "source_file": "f.warc",
+                "record_start": s,
+                "warc_type": t,
+                "target_uri": u,
+            }
+            for (u, t, s) in seq
+        ]
+        expect_pairs, lone_req, lone_resp = fifo_pairs_oracle(oracle_rows)
+        assert got == sorted(expect_pairs)
+        # lones stay in state (not emitted)
+        assert len(got) * 2 + len(lone_req) + len(lone_resp) == len(seq)

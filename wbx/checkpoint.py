@@ -1,0 +1,195 @@
+"""Crawl-state checkpointing: atomic per-round snapshots + exact resume.
+
+north_rule: "checkpoints frontier state and the seen-set … so a killed run
+resumes exactly, emitting per-partition lineage and fetch/parse metrics".
+
+In production these tables are Iceberg and a round commit is one atomic
+multi-table snapshot. This container has no Iceberg jars, so the same
+semantics are built on parquet + an atomically-replaced manifest:
+
+    base/
+      rounds/r000001/<table>/*.parquet     (written to a tmp dir, then
+      rounds/r000002/...                    os.rename'd into place)
+      MANIFEST.json                        (os.replace — atomic pointer to
+                                            the latest complete round)
+
+A reader only ever follows MANIFEST.json, so a run killed mid-write leaves
+at most an orphan tmp dir (ignored, cleaned on the next commit) and the
+previous snapshot stays the visible state — exactly Iceberg's
+snapshot-pointer contract. Resume = read the manifest, load the tables,
+continue from round+1; re-running a round is idempotent because every
+operator in wbx.frontier is deterministic in the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "MANIFEST.json"
+
+
+class CheckpointStore:
+    """Atomic multi-table snapshot store for crawl rounds."""
+
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+        os.makedirs(os.path.join(base_dir, "rounds"), exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base, MANIFEST)
+
+    def manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def latest_round(self) -> int:
+        m = self.manifest()
+        return m["round"] if m else 0
+
+    # -- commit / load ------------------------------------------------------
+
+    def commit(self, round_id: int, tables: dict[str, DataFrame]) -> dict:
+        """Write all tables for one round, then atomically publish.
+
+        Write order: every table lands in rounds/.tmp-rNNN first; a single
+        os.rename publishes the round directory; a single os.replace flips
+        the manifest pointer. A crash anywhere before the final replace
+        leaves the previous snapshot as the visible state.
+        """
+        rname = f"r{round_id:06d}"
+        rounds_dir = os.path.join(self.base, "rounds")
+        tmp_dir = os.path.join(rounds_dir, f".tmp-{rname}")
+        final_dir = os.path.join(rounds_dir, rname)
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)  # idempotent re-commit of a crashed round
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(tmp_dir, name))
+        os.rename(tmp_dir, final_dir)
+        manifest = {
+            "round": round_id,
+            "path": final_dir,
+            "tables": sorted(tables),
+            "committed_at": time.time(),
+        }
+        tmp_manifest = self._manifest_path() + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, self._manifest_path())
+        # GC any orphan tmp dirs from crashed earlier attempts
+        for d in os.listdir(rounds_dir):
+            if d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(rounds_dir, d), ignore_errors=True)
+        return manifest
+
+    def load(self, spark: SparkSession, table: str, round_id: int | None = None) -> DataFrame:
+        rid = round_id if round_id is not None else self.latest_round()
+        path = os.path.join(self.base, "rounds", f"r{rid:06d}", table)
+        return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# lineage / metrics
+# ---------------------------------------------------------------------------
+
+
+def partition_metrics(df: DataFrame, round_id: int, metric: str) -> DataFrame:
+    """Per-partition lineage rows (round, partition_id, metric, value):
+    how many rows of `metric` each partition produced this round — the
+    north_rule's per-partition lineage signal, computed as a cheap
+    map-side groupBy on spark_partition_id()."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").cast("double").alias("value")
+    ).select(
+        F.lit(round_id).alias("round"),
+        "partition_id",
+        F.lit(metric).alias("metric"),
+        "value",
+    )
+
+
+def round_metrics(round_id: int, batch: DataFrame, new_seen: DataFrame) -> DataFrame:
+    return partition_metrics(batch, round_id, "urls_scheduled").unionByName(
+        partition_metrics(new_seen, round_id, "seen_added")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-round crawl driver with exact resume
+# ---------------------------------------------------------------------------
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: CheckpointStore,
+    seeds: DataFrame,
+    expand,
+    hosts: DataFrame,
+    robots: DataFrame | None = None,
+    rounds: int = 3,
+    batch_size: int | None = None,
+    default_budget: int = 10,
+) -> dict:
+    """Batch-iterative crawl: each round schedules a fetch batch from the
+    current frontier, marks it seen, expands it into next-round candidates,
+    and commits {frontier, seen, fetch_log, metrics} as one snapshot.
+
+    Resume contract: if the store already holds N committed rounds, the
+    loop continues at N+1 against the checkpointed state — a killed run
+    re-driven with the same arguments lands on the identical final state
+    (all ordering is deterministic in the data; see wbx.frontier).
+
+    ``expand(batch_df) -> DataFrame(url, priority)`` must be deterministic.
+    seeds: (url, priority).
+    """
+    from wbx.frontier import crawl_round
+
+    start = store.latest_round()
+    if start == 0:
+        seen = spark.createDataFrame([], "url_hash long, canon_url string")
+        frontier = seeds
+    else:
+        seen = store.load(spark, "seen")
+        frontier = store.load(spark, "frontier")
+
+    last = None
+    for rid in range(start + 1, rounds + 1):
+        batch = crawl_round(
+            frontier, seen, hosts, robots, batch_size, default_budget
+        ).persist()
+        new_seen = seen.unionByName(
+            batch.select("url_hash", "canon_url")
+        ).distinct()
+        next_frontier = expand(batch)
+        fetch_log = batch.select(
+            F.lit(rid).alias("round"), "fetch_order", "canon_url", "url_hash", "host", "priority"
+        )
+        metrics = round_metrics(rid, batch, new_seen)
+        store.commit(
+            rid,
+            {
+                "frontier": next_frontier,
+                "seen": new_seen,
+                "fetch_log": fetch_log,
+                "metrics": metrics,
+            },
+        )
+        # reload from the snapshot so each round's lineage is rooted in
+        # committed files, not an ever-deepening in-memory plan
+        seen = store.load(spark, "seen", rid)
+        frontier = store.load(spark, "frontier", rid)
+        batch.unpersist()
+        last = rid
+    return {"final_round": last or start, "store": store.base}

@@ -1,0 +1,83 @@
+"""Deterministic derived fixtures: WARC archives and pages tables built from
+the documents test table ON THE EXECUTORS (no external data, no randomness).
+
+Used by __spark_entry__ (oracle-checked roundtrip queries), bench.py
+(throughput corpus), and tests. The byte format is pinned: gzip mtime=0,
+level 6, fixed header field order — so extracted text is byte-identical to
+the source `text` column (the BASELINE.json input_hint invariant).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def warc_record_bytes(doc_id: int, text: str, gzip_body: bool = True) -> bytes:
+    body = text.encode("utf-8")
+    if gzip_body:
+        body = _gzip.compress(body, 6, mtime=0)
+        enc = b"Content-Encoding: gzip\r\n"
+    else:
+        enc = b""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + enc + b"\r\n" + body
+    header = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: https://docs.example/{doc_id}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode("ascii")
+    return header + b"\r\n" + http
+
+
+def synth_warc_files(
+    docs: DataFrame,
+    n_files: int = 8,
+    gzip_body: bool = True,
+    prefix: str = "synth",
+) -> DataFrame:
+    """documents(doc_id, text) → (source_file, content) WARC archives,
+    one response record per document, grouped deterministically by
+    doc_id % n_files and sorted by doc_id within each file."""
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            warc_record_bytes(int(r["doc_id"]), str(r["text"]), gzip_body)
+            for _, r in pdf.iterrows()
+        ]
+        data = b"".join(rec + b"\r\n\r\n" for rec in recs)
+        grp = int(pdf["grp"].iloc[0])
+        return pd.DataFrame(
+            {"source_file": [f"{prefix}-{grp}.warc"], "content": [data]}
+        )
+
+    return (
+        docs.select("doc_id", "text")
+        .withColumn("grp", F.pmod("doc_id", F.lit(n_files)))
+        .groupBy("grp")
+        .applyInPandas(build, schema="source_file string, content binary")
+    )
+
+
+def pages_from_documents(
+    spark: SparkSession, docs: DataFrame, base_ts: str = "2024-01-01 00:00:00"
+) -> DataFrame:
+    """documents → the BASELINE.json input_hint pages table
+    (url, warc_ts, html, text, lang), fully deterministic."""
+    return docs.select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
+        (F.to_timestamp(F.lit(base_ts)) + F.make_interval(secs=F.col("doc_id"))).alias(
+            "warc_ts"
+        ),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

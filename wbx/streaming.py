@@ -1,0 +1,165 @@
+"""Structured Streaming variants of the engine's operators (SURVEY §2.9).
+
+The reference's iterator protocol is a pull-based stream with stateful
+operators; the crawl pipeline itself deliberately uses deterministic batch
+rounds (crawl-order parity requires deterministic scheduling — see
+wbx.frontier). These streaming forms cover the continuous-ingest side:
+
+- stream_file_records : readStream over a directory of WARC archives →
+  records stream (same Arrow scan kernel as the batch path)
+- windowed_type_counts: event-time windowed A2 aggregate with watermarked
+  late-data handling
+- stateful_pair_match : J1 FIFO request↔response matching as
+  applyInPandasWithState keyed by target_uri — the exact per-URI deque
+  semantics of the reference (utils.py:458-525), held in group state
+
+All sinks are the caller's choice; helpers return streaming DataFrames.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_file_records(
+    spark: SparkSession, path: str, style: str = "content_length"
+) -> DataFrame:
+    """Streaming WARC source: each new file in `path` is scanned into record
+    rows with the same kernel as the batch path (wbx.warcio.scan_warc).
+
+    binaryFile streaming keeps whole files as rows; the gzip member index
+    (warcio.index_gzip_members) is what would split archives beyond one
+    task's memory at production scale.
+    """
+    from wbx.schema import RECORDS
+    from wbx.warcio import scan_warc, scan_warc_gz
+
+    binary_file_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select(F.col("path").alias("source_file"), F.col("content"))
+    )
+
+    from wbx.warcio import _REC_COLUMNS
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, row in pdf.iterrows():
+                data = bytes(row["content"])
+                if row["source_file"].endswith(".gz"):
+                    result, _non = scan_warc_gz(data, row["source_file"], style)
+                else:
+                    result = scan_warc(data, row["source_file"], style)
+                rows.extend(result.records)
+            out = pd.DataFrame(rows, columns=_REC_COLUMNS)
+            if not rows:
+                out = pd.DataFrame({c: pd.Series(dtype=object) for c in _REC_COLUMNS})
+            yield out
+
+    return files.mapInPandas(scan_batches, schema=RECORDS)
+
+
+def windowed_type_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed counts by key with late-data watermark — the
+    streaming form of the A2 summarize aggregate."""
+    # parquet timestamps infer as TIMESTAMP_NTZ, which event-time rejects
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+PAIR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("req_start", T.LongType()),
+        T.StructField("resp_start", T.LongType()),
+        T.StructField("pair_type", T.StringType()),
+    ]
+)
+
+_PAIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("unpaired_req", T.ArrayType(T.LongType())),
+        T.StructField("unpaired_resp", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _match_group(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-URI FIFO matcher (reference utils.py:471-501 semantics): a new
+    record pops the oldest unpaired opposite-side record, else queues."""
+    (uri,) = key
+    if state.exists:
+        (req_q, resp_q) = state.get
+        req_q, resp_q = list(req_q), list(resp_q)
+    else:
+        req_q, resp_q = [], []
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["source_file", "record_start"])
+        for _, r in pdf.iterrows():
+            side = str(r["warc_type"]).lower()
+            start = int(r["record_start"])
+            if side == "request":
+                if resp_q:
+                    out.append((uri, start, resp_q.pop(0), "pair"))
+                else:
+                    req_q.append(start)
+            elif side == "response":
+                if req_q:
+                    out.append((uri, req_q.pop(0), start, "pair"))
+                else:
+                    resp_q.append(start)
+    state.update((req_q, resp_q))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["target_uri", "req_start", "resp_start", "pair_type"]
+        )
+
+
+def stateful_pair_match(records: DataFrame) -> DataFrame:
+    """Streaming J1: emits a pair row the moment both sides of a URI have
+    arrived; unpaired records wait in group state (lones are the state
+    residue at stream end). Exactly the reference's arrival-order FIFO —
+    meaningful here because a stream HAS an arrival order, unlike the batch
+    relational rewrite which must impose file order (analytics.match_pairs).
+    """
+    base = records.filter(
+        F.lower(F.col("warc_type")).isin("request", "response")
+    ).select("target_uri", "warc_type", "source_file", "record_start")
+    return base.groupBy("target_uri").applyInPandasWithState(
+        _match_group,
+        outputStructType=PAIR_OUTPUT_SCHEMA,
+        stateStructType=_PAIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
