@@ -1,0 +1,246 @@
+"""wbx CLI — the engine's query surface, launched via spark-submit.
+
+Mirrors the reference's `wb` subcommands (scripts/__init__.py:12-53 command
+group; studied for behavior, not code) as thin argparse entries that build
+DataFrame jobs and print/collect small results:
+
+    spark-submit --py-files wbx.zip -m wbx.cli summarize --input DIR
+    python -m wbx.cli summarize --input /data/archives --format json
+    python -m wbx.cli filter-records --input DIR --http-status 200 --output-count
+    python -m wbx.cli match-pairs --input DIR
+    python -m wbx.cli compare-headers --input DIR1 --input2 DIR2
+    python -m wbx.cli crawl --seeds seeds.txt --store /ckpt --rounds 3
+
+Inputs are directories of .warc/.warc.gz files (read via binaryFile) or
+parquet `records` tables (--input-format parquet).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str) -> SparkSession:
+    from wbx.session import get_spark
+
+    return get_spark(app_name=f"wbx-{app}")
+
+
+def load_records(spark: SparkSession, path: str, fmt: str, style: str) -> DataFrame:
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    from wbx.warcio import scan_files_to_records
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select(F.col("path").alias("source_file"), "content")
+    )
+    return scan_files_to_records(files, style=style)
+
+
+def _emit(obj, fmt: str) -> None:
+    if fmt == "json":
+        print(json.dumps(obj, indent=2, default=str))
+    else:
+        for section, rows in obj.items():
+            print(f"== {section}")
+            if isinstance(rows, list):
+                for r in rows:
+                    print("  " + "  ".join(f"{k}={v}" for k, v in r.items()))
+            else:
+                print(f"  {rows}")
+
+
+def cmd_summarize(args) -> None:
+    from wbx import analytics
+
+    spark = _spark("summarize")
+    records = load_records(spark, args.input, args.input_format, args.style)
+    out = {}
+    parts = analytics.summarize(records)
+    out["record_count"] = parts["record_count"].collect()[0]["record_count"]
+    for key in ("record_types", "domains", "content_types"):
+        out[key] = [r.asDict() for r in parts[key].orderBy(parts[key].columns[0]).collect()]
+    _emit(out, args.format)
+
+
+def _build_filter(args):
+    from wbx import filters as flt
+
+    conds = []
+    if args.header_regex:
+        conds.append(flt.warc_header_regex_filter(args.header_regex))
+    if args.content_length is not None:
+        conds.append(
+            flt.record_content_length_filter(args.content_length, args.length_op)
+        )
+    if args.content_type:
+        conds.append(flt.record_content_type_filter(args.content_type))
+    if args.warc_field:
+        name, _, target = args.warc_field.partition("=")
+        conds.append(flt.warc_named_field_filter(name, target))
+    if args.http_verb:
+        conds.append(flt.http_verb_filter(args.http_verb))
+    if args.http_status is not None:
+        conds.append(flt.http_status_filter(args.http_status))
+    if args.http_header:
+        name, _, target = args.http_header.partition("=")
+        conds.append(flt.http_header_filter(name, target))
+    if args.http_content_type:
+        conds.append(flt.http_response_content_type_filter(args.http_content_type))
+    combined = None
+    for c in conds:
+        combined = c if combined is None else (combined & c)
+    if combined is not None and args.include_warcinfo:
+        combined = flt.force_include_warcinfo(combined)
+    return combined
+
+
+def cmd_filter_records(args) -> None:
+    spark = _spark("filter-records")
+    records = load_records(spark, args.input, args.input_format, args.style)
+    cond = _build_filter(args)
+    if cond is not None:
+        records = records.filter(cond)
+    if args.output_count:
+        print(records.count())
+        return
+    rows = (
+        records.select("source_file", "record_start", "record_end", "warc_type", "target_uri")
+        .orderBy("source_file", "record_start")
+        .limit(args.limit)
+        .collect()
+    )
+    _emit({"records": [r.asDict() for r in rows]}, args.format)
+
+
+def cmd_match_pairs(args) -> None:
+    from wbx import analytics
+
+    spark = _spark("match-pairs")
+    records = load_records(spark, args.input, args.input_format, args.style)
+    summary = analytics.pair_counts(records, exclude_file_uris=args.exclude_file_uris)
+    by_uri = analytics.pair_summary_by_uri(records)
+    _emit(
+        {
+            "counts": [r.asDict() for r in summary.collect()],
+            "by_uri": [r.asDict() for r in by_uri.collect()],
+        },
+        args.format,
+    )
+
+
+def cmd_compare_headers(args) -> None:
+    from wbx import analytics
+
+    spark = _spark("compare-headers")
+    r1 = load_records(spark, args.input, args.input_format, args.style)
+    r2 = load_records(spark, args.input2, args.input_format, args.style)
+    fields = args.fields.split(",") if args.fields else None
+    near = args.near_fields.split(",") if args.near_fields else None
+    summary = analytics.compare_headers_summary(r1, r2, fields, near)
+    _emit({"summary": [r.asDict() for r in summary.collect()]}, args.format)
+
+
+def cmd_crawl(args) -> None:
+    from wbx.checkpoint import CheckpointStore, run_crawl
+
+    spark = _spark("crawl")
+    with open(args.seeds) as f:
+        seeds = [line.strip() for line in f if line.strip()]
+    seeds_df = spark.createDataFrame(
+        [(u, 1.0) for u in seeds], "url string, priority double"
+    )
+    hosts = (
+        spark.read.parquet(args.hosts)
+        if args.hosts
+        else spark.createDataFrame([], "host string, budget int")
+    )
+    robots = spark.read.parquet(args.robots) if args.robots else None
+
+    def expand(batch):
+        # placeholder expansion: no fetching in-engine; downstream fetchers
+        # write discovered URLs back as the next round's frontier table
+        return batch.sparkSession.createDataFrame([], "url string, priority double")
+
+    store = CheckpointStore(args.store)
+    out = run_crawl(
+        spark,
+        store,
+        seeds_df,
+        expand,
+        hosts,
+        robots,
+        rounds=args.rounds,
+        batch_size=args.batch_size,
+        default_budget=args.budget,
+    )
+    print(json.dumps(out))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="wbx")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--input-format", choices=["warc", "parquet"], default="warc")
+        sp.add_argument("--style", choices=["content_length", "delimiter"], default="content_length")
+        sp.add_argument("--format", choices=["json", "text"], default="json")
+
+    s = sub.add_parser("summarize")
+    common(s)
+    s.set_defaults(fn=cmd_summarize)
+
+    s = sub.add_parser("filter-records")
+    common(s)
+    s.add_argument("--header-regex")
+    s.add_argument("--content-length", type=int)
+    s.add_argument("--length-op", default="eq", choices=["lt", "le", "eq", "ne", "gt", "ge"])
+    s.add_argument("--content-type")
+    s.add_argument("--warc-field", help="NAME=TARGET substring match")
+    s.add_argument("--http-verb")
+    s.add_argument("--http-status", type=int)
+    s.add_argument("--http-header", help="NAME=TARGET substring match")
+    s.add_argument("--http-content-type")
+    s.add_argument("--include-warcinfo", action="store_true")
+    s.add_argument("--output-count", action="store_true")
+    s.add_argument("--limit", type=int, default=100)
+    s.set_defaults(fn=cmd_filter_records)
+
+    s = sub.add_parser("match-pairs")
+    common(s)
+    s.add_argument("--exclude-file-uris", action="store_true")
+    s.set_defaults(fn=cmd_match_pairs)
+
+    s = sub.add_parser("compare-headers")
+    common(s)
+    s.add_argument("--input2", required=True)
+    s.add_argument("--fields")
+    s.add_argument("--near-fields")
+    s.set_defaults(fn=cmd_compare_headers)
+
+    s = sub.add_parser("crawl")
+    s.add_argument("--seeds", required=True)
+    s.add_argument("--store", required=True)
+    s.add_argument("--rounds", type=int, default=1)
+    s.add_argument("--batch-size", type=int)
+    s.add_argument("--budget", type=int, default=10)
+    s.add_argument("--hosts")
+    s.add_argument("--robots")
+    s.set_defaults(fn=cmd_crawl)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
