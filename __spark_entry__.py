@@ -444,6 +444,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "delimiter"
     )
 
+    def unparsable(spark, sf):
+        from wbx.fixtures import synth_warc_files
+        from wbx.warcio import scan_files_to_unparsable
+
+        files = synth_warc_files(
+            _t(spark, sf, "documents"), junk_every=10, prefix="junked"
+        )
+        lines = scan_files_to_unparsable(files)
+        # NB Spark rtrim strips spaces only — CRLF needs the regex form
+        decoded = F.regexp_replace(F.decode(F.col("bytes"), "UTF-8"), r"\s+$", "")
+        return lines.select(
+            F.regexp_extract(decoded, r"^JUNK (\d+)$", 1).cast("long").alias(
+                "junk_doc_id"
+            ),
+            decoded.alias("line"),
+        )
+
+    q["warc_unparsable_lines"] = unparsable
+
+    # --- time-window aggregate (streaming-shaped batch form) -------------
+    q["a_windowed_counts"] = lambda spark, sf: (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+    # --- exact embedding-cosine near-dup pairs ----------------------------
+    def cos_pairs(spark, sf):
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                simsearch.cosine_similarity(F.col("_va"), F.col("_vb")).alias("sim"),
+            )
+            .filter(F.col("sim") >= 0.2)
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        )
+
+    q["sim_pairs_exact"] = cos_pairs
+
     return q
 
 
@@ -605,6 +658,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_roundtrip_content_length": _WARC_ROUNDTRIP_ORACLE,
         "warc_roundtrip_delimiter": _WARC_ROUNDTRIP_ORACLE,
+        "warc_unparsable_lines": """
+        SELECT doc_id AS junk_doc_id, 'JUNK ' || doc_id AS line
+        FROM documents WHERE doc_id % 10 = 0
+        """,
+        "a_windowed_counts": """
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+        """,
+        "sim_pairs_exact": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 100),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_cosine_similarity(a.v, b.v) AS sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.2
+        """,
     }
 
 

@@ -39,18 +39,27 @@ def synth_warc_files(
     n_files: int = 8,
     gzip_body: bool = True,
     prefix: str = "synth",
+    junk_every: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, text) → (source_file, content) WARC archives,
     one response record per document, grouped deterministically by
-    doc_id % n_files and sorted by doc_id within each file."""
+    doc_id % n_files and sorted by doc_id within each file.
+
+    junk_every=N plants a non-WARC line ``JUNK <doc_id>\\r\\n`` after the
+    record of every doc_id divisible by N — malformed input is first-class
+    in the reference (UnparsableLine side-channel), so fixtures can produce
+    it deterministically."""
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
-        recs = [
-            warc_record_bytes(int(r["doc_id"]), str(r["text"]), gzip_body)
-            for _, r in pdf.iterrows()
-        ]
-        data = b"".join(rec + b"\r\n\r\n" for rec in recs)
+        parts = []
+        for _, r in pdf.iterrows():
+            doc_id = int(r["doc_id"])
+            parts.append(warc_record_bytes(doc_id, str(r["text"]), gzip_body))
+            parts.append(b"\r\n\r\n")
+            if junk_every and doc_id % junk_every == 0:
+                parts.append(f"JUNK {doc_id}\r\n".encode("ascii"))
+        data = b"".join(parts)
         grp = int(pdf["grp"].iloc[0])
         return pd.DataFrame(
             {"source_file": [f"{prefix}-{grp}.warc"], "content": [data]}
