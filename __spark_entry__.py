@@ -497,6 +497,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_pairs_exact"] = cos_pairs
 
+    def compare_parsers(spark, sf):
+        """wb compare-parsers parity: the content-length and delimiter scan
+        strategies must produce identical record offsets on well-formed
+        input — the result is the offset symmetric difference (empty).
+
+        Bodies are '\\n'-terminated text: the reference's delimiter scan only
+        finds the final record's boundary at EOF when two CRLF-only lines
+        precede it (tests/test_parser_parity.py pins this quirk)."""
+        from wbx.fixtures import synth_warc_files
+        from wbx.warcio import scan_files_to_records
+
+        docs = _t(spark, sf, "documents").withColumn(
+            "text", F.concat(F.col("text"), F.lit("\n"))
+        )
+        files = synth_warc_files(docs, gzip_body=False)
+        cols = ["source_file", "record_start", "record_end"]
+        a = scan_files_to_records(files, style="content_length").select(*cols)
+        b = scan_files_to_records(files, style="delimiter").select(*cols)
+        return a.join(b, cols, "left_anti").unionByName(
+            b.join(a, cols, "left_anti")
+        )
+
+    q["warc_compare_parsers"] = compare_parsers
+
     return q
 
 
@@ -657,7 +681,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
         """,
         "warc_roundtrip_content_length": _WARC_ROUNDTRIP_ORACLE,
-        "warc_roundtrip_delimiter": _WARC_ROUNDTRIP_ORACLE,
+        # delimiter mode: the reference truncates the last record of a file
+        # ending in CRLFCRLF (no WARC magic follows at EOF) to (start, start)
+        # — its header still parses but the content block is empty, so
+        # http_status/text_out are NULL for the max doc_id of each of the 8
+        # synthesized files. The oracle pins that quirk.
+        "warc_roundtrip_delimiter": """
+        SELECT doc_id,
+               'https://docs.example/' || doc_id AS target_uri,
+               CASE WHEN doc_id <> last_id THEN CAST(200 AS BIGINT) END AS http_status,
+               CASE WHEN doc_id <> last_id THEN text END AS text_out
+        FROM (SELECT doc_id, text,
+                     max(doc_id) OVER (PARTITION BY doc_id % 8) AS last_id
+              FROM documents)
+        """,
         "warc_unparsable_lines": """
         SELECT doc_id AS junk_doc_id, 'JUNK ' || doc_id AS line
         FROM documents WHERE doc_id % 10 = 0
@@ -666,6 +703,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n
         FROM events GROUP BY 1, 2
+        """,
+        "warc_compare_parsers": """
+        SELECT CAST(NULL AS VARCHAR) AS source_file,
+               CAST(NULL AS BIGINT) AS record_start,
+               CAST(NULL AS BIGINT) AS record_end
+        WHERE 1 = 0
         """,
         "sim_pairs_exact": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

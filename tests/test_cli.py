@@ -94,6 +94,15 @@ class TestCompareHeaders:
         assert s["unique1"] == 0 and s["unique2"] == 0
 
 
+class TestCompareParsers:
+    def test_strategies_agree(self, warc_dir, capsys):
+        out = json.loads(run_cli(capsys, ["compare-parsers", "--input", warc_dir]))
+        assert out["content_length_records"] == 6
+        assert out["delimiter_records"] == 6
+        assert out["only_content_length"] == []
+        assert out["only_delimiter"] == []
+
+
 class TestCrawl:
     def test_crawl_writes_snapshot(self, tmp_path, spark, capsys):
         seeds = tmp_path / "seeds.txt"

@@ -1,0 +1,92 @@
+"""Byte-parity goldens for the WARC scan strategies.
+
+The literal expectations below were verified identical to the reference
+parser's output (records, unparsable-line offsets, warnings) by running
+harvard-lil/warcbench's WARCParser side-by-side on the same inputs —
+including its delimiter-mode quirks:
+
+- a record with no delimiter before EOF collapses to (start, start) with a
+  'Last record may have been truncated.' warning, the cursor advances 4
+  bytes, and the remaining bytes (minus those 4) become unparsable lines
+  (parsers/warc.py:330-339 + utils.py preserve_cursor_position);
+- two consecutive CRLF-only lines followed by a non-CRLF byte end a record
+  even mid-content, magic or not (utils.py:168-174 'case A');
+- a content line + one CRLF-only line ends a record only when the WARC
+  magic follows (utils.py:176-189 'case B').
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wbx.fixtures import warc_record_bytes
+from wbx.warcio import scan_warc
+
+SEP = b"\r\n\r\n"
+
+
+def _data(label: str) -> bytes:
+    if label == "gzip_tail":
+        return b"".join(warc_record_bytes(i, f"text {i}", True) + SEP for i in range(3))
+    if label == "caseA_mid":
+        return (
+            warc_record_bytes(0, "line\n\r\n\r\nafter", False)
+            + SEP
+            + warc_record_bytes(1, "x\n\n", False)
+            + SEP
+        )
+    if label == "no_tail_sep":
+        return warc_record_bytes(0, "a\n\n", False)
+    raise KeyError(label)
+
+
+GOLDEN = {
+    ("gzip_tail", "content_length"): ([(0, 237), (241, 478), (482, 719)], [], []),
+    ("gzip_tail", "delimiter"): (
+        [(0, 237), (241, 478), (482, 482)],
+        [(486, 492), (492, 513), (513, 554), (554, 603), (603, 623), (623, 625),
+         (625, 642), (642, 667), (667, 691), (691, 693), (693, 721), (721, 723)],
+        ["Last record may have been truncated."],
+    ),
+    ("caseA_mid", "content_length"): ([(0, 201), (205, 395)], [], []),
+    ("caseA_mid", "delimiter"): (
+        [(0, 192), (205, 395)],
+        [(196, 203), (203, 205)],
+        [],
+    ),
+    ("no_tail_sep", "content_length"): (
+        [(0, 190)],
+        [],
+        ["The record between 0-190 was improperly terminated."],
+    ),
+    ("no_tail_sep", "delimiter"): (
+        [(0, 0)],
+        [(4, 10), (10, 31), (31, 72), (72, 121), (121, 141), (141, 143),
+         (143, 160), (160, 185), (185, 187), (187, 189), (189, 190)],
+        ["Last record may have been truncated."],
+    ),
+}
+
+
+@pytest.mark.parametrize("label,style", sorted(GOLDEN))
+def test_reference_parity(label, style):
+    want_records, want_unparsable, want_warnings = GOLDEN[(label, style)]
+    r = scan_warc(_data(label), "x", style)
+    assert [(x["record_start"], x["record_end"]) for x in r.records] == want_records
+    assert [(u["start"], u["end"]) for u in r.unparsable] == want_unparsable
+    assert r.warnings == want_warnings
+
+
+def test_strategies_agree_on_newline_terminated_bodies():
+    """Bodies ending in '\\n' give the delimiter scan its case-A boundary at
+    EOF, so both strategies agree on every record — the shape used by the
+    warc_compare_parsers oracle query."""
+    data = b"".join(
+        warc_record_bytes(i, f"text {i}\n", False) + SEP for i in range(4)
+    )
+    a = scan_warc(data, "x", "content_length")
+    b = scan_warc(data, "x", "delimiter")
+    assert [(x["record_start"], x["record_end"]) for x in a.records] == [
+        (x["record_start"], x["record_end"]) for x in b.records
+    ]
+    assert len(a.records) == 4 and not a.warnings and not b.warnings

@@ -147,14 +147,17 @@ class TestDelimiterScan:
         recs = warcio.scan_warc(data, "f", "delimiter").records
         assert recs[0]["content_length_ok"] is False
 
-    def test_truncated_last_record_warns_not_crashes(self):
-        # the reference delimiter parser crashes here (negative read);
-        # we emit the truncation warning and keep the record to EOF
+    def test_truncated_last_record_collapses_like_reference(self):
+        # reference parity (parsers/warc.py:336-339 + preserve_cursor): no
+        # delimiter before EOF ⇒ record collapses to (start, start), warning
+        # is emitted, and the tail (minus 4 skipped bytes) becomes
+        # unparsable lines — see tests/test_parser_parity.py for goldens
         data = make_record(b"hello")  # body has no trailing CRLF before terminator
         result = warcio.scan_warc(data, "f", "delimiter")
         assert result.warnings == ["Last record may have been truncated."]
         assert len(result.records) == 1
-        assert result.records[0]["record_end"] == len(data)
+        assert result.records[0]["record_start"] == result.records[0]["record_end"] == 0
+        assert result.unparsable and result.unparsable[0]["start"] == 4
 
 
 class TestGzip:

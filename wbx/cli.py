@@ -149,6 +149,24 @@ def cmd_compare_headers(args) -> None:
     _emit({"summary": [r.asDict() for r in summary.collect()]}, args.format)
 
 
+def cmd_compare_parsers(args) -> None:
+    spark = _spark("compare-parsers")
+    a = load_records(spark, args.input, "warc", "content_length")
+    b = load_records(spark, args.input, "warc", "delimiter")
+    cols = ["source_file", "record_start", "record_end"]
+    only_a = a.select(*cols).join(b.select(*cols), cols, "left_anti")
+    only_b = b.select(*cols).join(a.select(*cols), cols, "left_anti")
+    _emit(
+        {
+            "content_length_records": a.count(),
+            "delimiter_records": b.count(),
+            "only_content_length": [r.asDict() for r in only_a.collect()],
+            "only_delimiter": [r.asDict() for r in only_b.collect()],
+        },
+        args.format,
+    )
+
+
 def cmd_crawl(args) -> None:
     from wbx.checkpoint import CheckpointStore, run_crawl
 
@@ -226,6 +244,11 @@ def main(argv=None) -> int:
     s.add_argument("--fields")
     s.add_argument("--near-fields")
     s.set_defaults(fn=cmd_compare_headers)
+
+    s = sub.add_parser("compare-parsers")
+    s.add_argument("--input", required=True)
+    s.add_argument("--format", choices=["json", "text"], default="json")
+    s.set_defaults(fn=cmd_compare_parsers)
 
     s = sub.add_parser("crawl")
     s.add_argument("--seeds", required=True)

@@ -282,14 +282,15 @@ def _find_delimiter(data: bytes, pos: int) -> int | None:
         crlf_only = line == CRLF
         if ended_with_crlf:
             if crlf_only:
+                # two consecutive CRLF-only lines + next bytes ≠ CRLF ⇒
+                # boundary (reference utils.py:171-174 — magic NOT required)
                 if was_break and not data.startswith(CRLF, end):
                     return end
-                if had_break and (_at_magic(data, end) or end >= len(data)):
-                    # magic follows → record boundary. NB: the reference only
-                    # accepts magic here (EOF falls through to truncation);
-                    # we match that: EOF alone does not end the record.
-                    if _at_magic(data, end):
-                        return end
+                # content line + one CRLF-only line ⇒ boundary only when the
+                # WARC magic follows (utils.py:176-189; at EOF peek is empty
+                # so this falls through to the truncation path)
+                if had_break and _at_magic(data, end):
+                    return end
                 was_break = True
             else:
                 was_break = False
@@ -317,12 +318,20 @@ def scan_warc_delimiter(data: bytes, source: str = "") -> ScanResult:
         if stop is not None:
             record_end = stop - len(CRLF * 2)
         else:
+            # reference quirk (parsers/warc.py:336-339 + preserve_cursor):
+            # no delimiter before EOF ⇒ the record collapses to (start,
+            # start); the cursor still advances 4 bytes and the remaining
+            # bytes (minus those 4) land in unparsable_lines
             result.warnings.append("Last record may have been truncated.")
-            record_end = len(data)  # divergence: ref rewinds to start; we
-            # take EOF so the tail is still inspectable
+            record_end = record_start
 
         block_end = _header_block_end(data, record_start)
-        if block_end is not None and block_end - len(CRLF) <= record_end:
+        if block_end is not None and (
+            stop is None or block_end - len(CRLF) <= record_end
+        ):
+            # for the truncated record the reference still splits forward
+            # from record start, beyond record_end (find_next_header_end is
+            # not bounded by the record)
             header_end = block_end - len(CRLF)
             content_start = block_end
             _emit_record(
@@ -343,10 +352,7 @@ def scan_warc_delimiter(data: bytes, source: str = "") -> ScanResult:
                 "into header and content block components."
             )
 
-        pos = record_end + len(CRLF * 2)
-        if stop is None:
-            break
-        pos = _scavenge_junk(result, source, data, pos)
+        pos = _scavenge_junk(result, source, data, record_end + len(CRLF * 2))
 
     return result
 
