@@ -101,7 +101,7 @@ class TestResume:
             logs.extend(
                 sorted((r["round"], r["fetch_order"], r["canon_url"]) for r in rows)
             )
-        seen = sorted(r["canon_url"] for r in store.load(spark, "seen").collect())
+        seen = sorted(r["canon_url"] for r in store.load_seen(spark).collect())
         return logs, seen
 
     def test_killed_run_resumes_to_identical_state(self, spark, tmp_path):
@@ -129,6 +129,21 @@ class TestResume:
         out = run_crawl(spark, store, seeds_df(spark), expand, hosts_df(spark), rounds=2)
         assert out["final_round"] == 2
         assert json.dumps(store.manifest(), sort_keys=True) == before
+
+    def test_seen_commits_are_append_only_deltas(self, spark, tmp_path):
+        """north_rule scale contract: a round commits O(batch) seen rows —
+        never a rewrite of the cumulative set — and the deltas are disjoint,
+        so commit cost stays constant as the crawl ages."""
+        expand = make_expand(spark)
+        store = CheckpointStore(str(tmp_path / "cp"))
+        run_crawl(spark, store, seeds_df(spark), expand, hosts_df(spark), rounds=4)
+        cumulative = 0
+        for rid in range(1, 5):
+            delta = store.load(spark, "seen_delta", rid).count()
+            n_batch = store.load(spark, "fetch_log", rid).count()
+            assert delta == n_batch
+            cumulative += delta
+        assert store.load_seen(spark).count() == cumulative
 
     def test_metrics_cover_every_round_and_partition_sums(self, spark, tmp_path):
         expand = make_expand(spark)

@@ -99,6 +99,27 @@ class CheckpointStore:
         path = os.path.join(self.base, "rounds", f"r{rid:06d}", table)
         return spark.read.parquet(path)
 
+    def load_seen(self, spark: SparkSession, round_id: int | None = None) -> DataFrame:
+        """The full seen-set as of `round_id`: the union of every round's
+        append-only ``seen_delta`` partition (crawl_round's anti-join makes
+        the per-round deltas disjoint by construction, so a plain multi-path
+        parquet scan IS the exact set — no distinct needed).
+
+        This is the Iceberg-append analogue: a round commits only the keys
+        it newly scheduled (O(batch) bytes), never a rewrite of the whole
+        10^10-row seen table; readers see the set as a partitioned scan.
+        Production compaction (bin-packing small delta files) is an Iceberg
+        maintenance job, orthogonal to the semantics here."""
+        rid = round_id if round_id is not None else self.latest_round()
+        paths = [
+            os.path.join(self.base, "rounds", f"r{r:06d}", "seen_delta")
+            for r in range(1, rid + 1)
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return spark.createDataFrame([], "url_hash long, canon_url string")
+        return spark.read.parquet(*paths).select("url_hash", "canon_url")
+
 
 # ---------------------------------------------------------------------------
 # lineage / metrics
@@ -120,9 +141,12 @@ def partition_metrics(df: DataFrame, round_id: int, metric: str) -> DataFrame:
     )
 
 
-def round_metrics(round_id: int, batch: DataFrame, new_seen: DataFrame) -> DataFrame:
+def round_metrics(round_id: int, batch: DataFrame, seen_delta: DataFrame) -> DataFrame:
+    """`seen_added` counts THIS round's delta (the keys newly marked seen),
+    not the cumulative set — the lineage signal a crawl operator actually
+    watches round-over-round."""
     return partition_metrics(batch, round_id, "urls_scheduled").unionByName(
-        partition_metrics(new_seen, round_id, "seen_added")
+        partition_metrics(seen_delta, round_id, "seen_added")
     )
 
 
@@ -153,15 +177,23 @@ def run_crawl(
 
     ``expand(batch_df) -> DataFrame(url, priority)`` must be deterministic.
     seeds: (url, priority).
+
+    Seen-set growth contract (the 10^10-URL design point): a round writes
+    ONLY its delta — the keys it just scheduled — never a rewrite of the
+    cumulative set. crawl_round's anti-join guarantees the batch is disjoint
+    from every prior delta, so ``seen = union of deltas`` is exact with no
+    distinct/shuffle, and per-round commit cost is O(batch), constant in
+    crawl age (test_checkpoint pins this: round N's seen_delta row count
+    equals round N's fetch_log row count).
     """
-    from wbx.frontier import crawl_round
+    from wbx.frontier import crawl_round, release_rank_caches
 
     start = store.latest_round()
     if start == 0:
         seen = spark.createDataFrame([], "url_hash long, canon_url string")
         frontier = seeds
     else:
-        seen = store.load(spark, "seen")
+        seen = store.load_seen(spark)
         frontier = store.load(spark, "frontier")
 
     last = None
@@ -169,27 +201,28 @@ def run_crawl(
         batch = crawl_round(
             frontier, seen, hosts, robots, batch_size, default_budget
         ).persist()
-        new_seen = seen.unionByName(
-            batch.select("url_hash", "canon_url")
-        ).distinct()
+        # the batch is already unseen (anti-joined) and unique per canon_url
+        # (deduped), so it IS the round's exact seen-delta
+        seen_delta = batch.select("url_hash", "canon_url")
         next_frontier = expand(batch)
         fetch_log = batch.select(
             F.lit(rid).alias("round"), "fetch_order", "canon_url", "url_hash", "host", "priority"
         )
-        metrics = round_metrics(rid, batch, new_seen)
+        metrics = round_metrics(rid, batch, seen_delta)
         store.commit(
             rid,
             {
                 "frontier": next_frontier,
-                "seen": new_seen,
+                "seen_delta": seen_delta,
                 "fetch_log": fetch_log,
                 "metrics": metrics,
             },
         )
         # reload from the snapshot so each round's lineage is rooted in
         # committed files, not an ever-deepening in-memory plan
-        seen = store.load(spark, "seen", rid)
+        seen = store.load_seen(spark, rid)
         frontier = store.load(spark, "frontier", rid)
         batch.unpersist()
+        release_rank_caches()
         last = rid
     return {"final_round": last or start, "store": store.base}

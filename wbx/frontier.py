@@ -308,19 +308,51 @@ def salted_partition_key(host: Column, salt_buckets: int = 16) -> Column:
     )
 
 
+# DataFrames persisted by global_rank, released by release_rank_caches().
+# One entry per rank call; run_crawl releases per round, bench per query.
+_RANK_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches() -> None:
+    """Unpersist every DataFrame global_rank has cached since the last
+    release. Callers that materialized the ranked batch (wrote it, collected
+    it, or committed a checkpoint) own this call — it is what keeps a
+    long-lived multi-round crawl from accumulating storage memory."""
+    while _RANK_CACHES:
+        _RANK_CACHES.pop().unpersist()
+
+
 def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_order") -> DataFrame:
     """Scalable deterministic global rank over a total order.
 
     A naive `row_number().over(Window.orderBy(...))` funnels every row
     through ONE reducer — a non-starter at 10^10 rows. Two-phase instead,
-    entirely JVM-side (no Python workers, no extra shuffle):
+    entirely JVM-side, with NO driver collect (the round-1 form collected
+    per-partition counts to the driver — an extra synchronization point per
+    crawl round — and leaked its cache):
 
-      1. range-partition + sort by the order keys (distributed total sort);
+      1. range-partition + sort by the order keys (distributed total sort —
+         the same physical strategy Spark's own orderBy uses), `persist`ed;
       2. `monotonically_increasing_id()` over the sorted partitions encodes
          (partition_id << 33 | local_row_index) — a per-partition local
          index computed inside the same codegen stage as the sort output;
-      3. add each partition's global offset (tiny driver-side prefix sum
-         over per-partition counts, broadcast back as a literal map).
+      3. per-partition counts → cumulative-sum offsets (a single-reducer
+         window over ≤ `n_part` rows — trivially small) broadcast-joined
+         back on the partition id, all inside the caller's one action.
+
+    Why the persist is load-bearing (not a local-mode convenience): the
+    counts branch and the output branch must observe the SAME partition ids.
+    Without a shared materialization Catalyst plans two independent range
+    exchanges (column pruning rewrites the branches differently, so
+    ReuseExchange does not fire — verified on the physical plan), and two
+    range exchanges sample their boundaries independently — the pids could
+    disagree. An InMemoryRelation is shared by cache identity, which column
+    pruning cannot break; evicted partitions recompute deterministically
+    (fixed shuffle boundaries + total-order sort). The input `df` is also
+    persisted so the expensive upstream pipeline (anti-join, robots,
+    politeness) feeds BOTH the range sampler and the shuffle write exactly
+    once. Lifecycle: both handles are registered for
+    :func:`release_rank_caches`; run_crawl releases after each round commit.
 
     The resulting rank equals the row's position in the total order, which
     is fully determined by the data — identical at any parallelism even
@@ -331,9 +363,6 @@ def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_
 
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    # repartitionByRange launches a range-sampling job over `df` before the
-    # sort itself reads it — persist so the (potentially whole-crawl-round)
-    # input pipeline executes once, not twice.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # _mid layout: upper 31 bits = partition id, lower 33 bits = local index.
     indexed = (
@@ -342,21 +371,21 @@ def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_
         .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _RANK_CACHES.append(df)
+    _RANK_CACHES.append(indexed)
     pid = F.shiftrightunsigned(F.col("_mid"), 33)
     local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-    counts = indexed.groupBy(pid.alias("_pid")).count().collect()
-    df.unpersist()
-    sizes = {r["_pid"]: r["count"] for r in counts}
-    offsets = {}
-    acc = 0
-    for p in sorted(sizes):
-        offsets[p] = acc
-        acc += sizes[p]
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        pid,
+    counts = indexed.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
     )
-    return indexed.withColumn(rank_col, local_idx + offset_expr + 1).drop("_mid")
+    return (
+        indexed.withColumn("_pid", pid)
+        .join(F.broadcast(offsets), "_pid", "left")
+        .withColumn(rank_col, local_idx + F.coalesce(F.col("_offset"), F.lit(0)) + 1)
+        .drop("_mid", "_pid", "_offset")
+    )
 
 
 def schedule_fetch_batch(
@@ -395,12 +424,23 @@ def crawl_round(
     canonicalize → dedup (max priority per canon_url, deterministic) →
     seen anti-join → robots → politeness → deterministic priority order.
     Returns (canon_url, url_hash, host, priority, fetch_order).
+
+    Shuffle plan (scale-critical): the dedup groupBy keys are exactly the
+    anti-join keys IN THE SAME ORDER (url_hash, canon_url), so the groupBy's
+    HashPartitioning already satisfies the join's required distribution —
+    the candidate set is shuffled ONCE for dedup+membership, not twice.
+    `host` is functionally dependent on canon_url and is (re)derived as a
+    map expression after dedup instead of riding through the exchange.
     """
-    canon = with_canonical(candidates)
-    deduped = canon.groupBy("canon_url", "url_hash", "host").agg(
+    canon = candidates.select(
+        canonicalize_url(F.col("url")).alias("canon_url"), "priority"
+    ).withColumn("url_hash", url_hash(F.col("canon_url")))
+    deduped = canon.groupBy("url_hash", "canon_url").agg(
         F.max("priority").alias("priority")
     )
-    unseen = filter_unseen(deduped, seen)
+    unseen = filter_unseen(deduped, seen).withColumn(
+        "host", url_host(F.col("canon_url"))
+    )
     if robots is not None:
         unseen = apply_robots(unseen, robots)
     polite = apply_politeness(unseen, hosts, default_budget)

@@ -37,7 +37,6 @@ def dedup_exact(documents: DataFrame, text_col: str = "text", id_col: str = "doc
 
     groupBy on md5(text): the shuffle carries (digest, id) only — at 100 TB
     the text stays columnar in the scan and the exchange is a few GB."""
-    digest = F.md5(F.col(text_col)).alias("text_md5")
     w = Window.partitionBy("text_md5").orderBy(F.col(id_col).asc())
     return (
         documents.withColumn("text_md5", F.md5(F.col(text_col)))
@@ -347,19 +346,8 @@ def lang_id(text: Column) -> Column:
             for lang in sorted(scores)
         ]
     )
-    best = F.array_max(
-        F.transform(
-            pairs,
-            lambda p: F.struct(
-                p["score"].alias("score"),
-                # invert lang for max so that ties pick the ASCENDING code
-                F.lit(None).alias("_pad"),
-                p["lang"].alias("lang"),
-            ),
-        )
-    )
-    # array_max on structs compares fieldwise; to get asc-lang tie-break use
-    # a reduce instead:
+    # array_max on structs compares fieldwise (ties would pick the DESCENDING
+    # code); a reduce keeps the asc-lang tie-break:
     best = F.reduce(
         pairs,
         F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),

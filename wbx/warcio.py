@@ -430,8 +430,12 @@ def scan_warc_gz(
     if warn:
         result.warnings.insert(0, warn)
 
-    # attribute records to members by uncompressed start offset
+    # attribute records to members by uncompressed start offset, marking the
+    # covered members in the same linear sweep (records arrive in ascending
+    # record_start order and member spans are contiguous from 0, so the first
+    # member with record_start < unc_end is the containing one)
     non_warc: list[dict] = []
+    covered = [False] * len(members)
     mi = 0
     for rec in result.records:
         while mi < len(members) and rec["record_start"] >= members[mi][3]:
@@ -440,16 +444,11 @@ def scan_warc_gz(
             m = members[mi]
             rec["member_start"], rec["member_end"] = m[0], m[1]
             rec["unc_start"], rec["unc_end"] = m[2], m[3]
+            covered[mi] = True
 
     # non-WARC members: members whose uncompressed span contains no record
-    starts = {m: False for m in range(len(members))}
-    for rec in result.records:
-        for idx, m in enumerate(members):
-            if m[2] <= rec["record_start"] < m[3]:
-                starts[idx] = True
-                break
     for idx, m in enumerate(members):
-        if not starts[idx]:
+        if not covered[idx]:
             non_warc.append(
                 {
                     "source_file": source,
