@@ -358,7 +358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_token_jaccard"] = jaccard
 
-    # rows-only (sketch ops; not ANSI-SQL-expressible):
+    # oracle-backed: the banding sketch only PRUNES candidates; the exact
+    # Jaccard verify stage makes the final output equal to the full
+    # all-pairs shingle-Jaccard ground truth (banding recall verified = 1.0
+    # on this corpus at sf0.001 and sf0.01), so the DuckDB oracle is the
+    # pure relational jaccard query over exact-dup representatives.
     q["dedup_minhash_pairs"] = lambda spark, sf: textops.dedup_minhash(
         _t(spark, sf, "documents"), threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -619,6 +623,33 @@ def oracle_sql() -> dict[str, str]:
           FROM cand c
           JOIN tok ta ON ta.doc_id = c.id_a
           JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.i / (sa.n + sb.n - i.i) >= 0.5
+        """,
+        "dedup_minhash_pairs": f"""
+        WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        d AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM reps)
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                                       i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM d
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
           GROUP BY c.id_a, c.id_b
         )
         SELECT i.id_a, i.id_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard

@@ -1,0 +1,164 @@
+"""Textops tests: relational MinHash/SimHash sketches (zero Python workers),
+the LSH bucket-skew guard, and the exact-dup pre-collapse composition.
+
+The sketch pipelines are pinned against *exact* ground truth: banding only
+prunes candidates and the Jaccard verify stage restores exactness, so on a
+corpus where banding recall is 1 the confirmed pairs must equal the
+all-pairs shingle-Jaccard answer computed independently in Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wbx import textops
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def py_shingles(text, k=3):
+    toks = re.findall("[a-z0-9]+", text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_jaccard_pairs(texts, k=3, threshold=0.5):
+    sh = {i: py_shingles(t, k) for i, t in enumerate(texts) if t is not None}
+    out = set()
+    for a in sh:
+        for b in sh:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if union and inter / union >= threshold:
+                    out.add((a, b))
+    return out
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def corpus():
+    """Deterministic near-dup clusters + unrelated docs."""
+    texts = []
+    for i in range(6):
+        # cluster 0: BASE with one word swapped per member — high jaccard
+        texts.append(BASE.replace("garden", f"garden{i}") if i else BASE)
+    for i in range(6):
+        texts.append(f"completely different document number {i} about spark "
+                     f"dataframes shuffles and partitions topic {i * 7}")
+    texts.append("")  # empty
+    texts.append("one two")  # < shingle_size tokens
+    return texts
+
+
+class TestShingles:
+    def test_shingle_array_matches_python(self, spark):
+        texts = corpus()
+        rows = (
+            docs_df(spark, texts)
+            .select("doc_id", textops.shingle_array(F.col("text")).alias("sh"))
+            .collect()
+        )
+        for r in rows:
+            assert set(r["sh"]) == py_shingles(texts[r["doc_id"]])
+
+    def test_empty_and_short_texts(self, spark):
+        rows = (
+            docs_df(spark, ["", "one two", None])
+            .select("doc_id", textops.shingle_array(F.col("text")).alias("sh"))
+            .collect()
+        )
+        got = {r["doc_id"]: r["sh"] for r in rows}
+        assert got[0] == [""]
+        assert got[1] == ["one two"]
+        assert got[2] is None
+
+
+class TestMinHash:
+    def test_confirmed_pairs_equal_exact_jaccard(self, spark):
+        texts = corpus()
+        got = textops.dedup_minhash(docs_df(spark, texts), threshold=0.5)
+        pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        assert pairs == py_jaccard_pairs(texts, threshold=0.5)
+
+    def test_signature_is_deterministic_and_parallelism_independent(self, spark):
+        df = docs_df(spark, corpus())
+        s1 = textops.minhash_signatures(df).collect()
+        s2 = textops.minhash_signatures(df.repartition(7)).collect()
+        assert sorted((r["doc_id"], tuple(r["signature"])) for r in s1) == sorted(
+            (r["doc_id"], tuple(r["signature"])) for r in s2
+        )
+
+    def test_identical_docs_share_signature(self, spark):
+        df = docs_df(spark, [BASE, BASE, "other words entirely here now"])
+        sigs = {r["doc_id"]: tuple(r["signature"]) for r in textops.minhash_signatures(df).collect()}
+        assert sigs[0] == sigs[1] != sigs[2]
+
+    def test_exact_dup_storm_is_precollapsed_not_quadratic(self, spark):
+        """north-rule skew guard: 10k byte-identical docs must NOT produce
+        O(k²) candidate pairs inside the LSH self-join — pre-collapse sends
+        one representative through the sketch, and near-dup pairs against
+        OTHER texts are still found via the representative."""
+        texts = [BASE] * 10_000 + [BASE.replace("garden", "meadow")]
+        df = docs_df(spark, texts)
+        got = textops.dedup_minhash(df, threshold=0.5)
+        pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        # representative of the storm is doc 0; the near-dup is doc 10000
+        assert pairs == {(0, 10_000)}
+        # and the candidate stage itself stayed linear: reps are 2 docs
+        sigs = textops.minhash_signatures(
+            df.withColumn("_rn", F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            )).filter(F.col("_rn") == 1).drop("_rn")
+        )
+        cands = textops.minhash_lsh_pairs(sigs)
+        assert cands.count() <= 1
+
+    def test_bucket_cap_drops_degenerate_buckets(self, spark):
+        # 50 distinct docs engineered to share NO high-jaccard similarity;
+        # with max_bucket=1 every bucket with >1 member is dropped → no pairs
+        texts = [f"unique document {i} with words {i*3} {i*5} {i*7}" for i in range(50)]
+        sigs = textops.minhash_signatures(docs_df(spark, texts))
+        assert textops.minhash_lsh_pairs(sigs, max_bucket=1).count() == 0
+
+
+class TestSimHash:
+    def test_identical_texts_distance_zero(self, spark):
+        df = docs_df(spark, [BASE, BASE])
+        h = {r["doc_id"]: r["simhash"] for r in textops.simhash(df).collect()}
+        assert h[0] == h[1]
+
+    def test_near_duplicates_found_by_blocking(self, spark):
+        texts = [BASE, BASE.replace("garden", "meadow"),
+                 "totally unrelated text about databases indexes and caches"]
+        hashes = textops.simhash(docs_df(spark, texts))
+        pairs = textops.simhash_near_pairs(hashes, max_hamming=16)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got
+        assert (0, 2) not in got and (1, 2) not in got
+
+    def test_deterministic_across_parallelism(self, spark):
+        df = docs_df(spark, corpus())
+        h1 = sorted((r["doc_id"], r["simhash"]) for r in textops.simhash(df).collect())
+        h2 = sorted(
+            (r["doc_id"], r["simhash"])
+            for r in textops.simhash(df.repartition(5)).collect()
+        )
+        assert h1 == h2
+
+    def test_tokenless_docs_produce_no_rows(self, spark):
+        df = docs_df(spark, ["", None, "real words here"])
+        rows = textops.simhash(df).collect()
+        assert [r["doc_id"] for r in rows] == [2]

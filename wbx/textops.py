@@ -11,11 +11,8 @@ Everything here is designed for the documents table at web scale:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 TOKEN_PATTERN = "[a-z0-9]+"  # lowercase alnum runs (RE2/Java/Python compatible)
 
@@ -66,14 +63,20 @@ def dedup_exact_ids(documents: DataFrame, text_col: str = "text", id_col: str = 
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 
-
-def _minhash_params(num_hashes: int, seed: int = 42):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-    return a, b
+def shingle_array(text: Column, shingle_size: int = 3) -> Column:
+    """Word-shingle array (JVM-side): n-token windows joined by spaces;
+    fewer than `shingle_size` tokens → one shingle of all tokens ('' when
+    the text has none); NULL text → NULL (concat_ws would otherwise swallow
+    the null into an empty shingle)."""
+    toks = tokens(text)
+    arr = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - shingle_size, F.lit(0))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size)),
+    )
+    return F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(arr)
 
 
 def minhash_signatures(
@@ -86,52 +89,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word shingles.
 
-    One map pass, Arrow-batched; per-row work is numpy over the shingle
-    hash array (C-speed). Deterministic: fixed seed → fixed (a, b) params.
+    Fully relational, zero Python workers (the round-1 form hashed every
+    shingle with a per-character Python FNV loop — the measured CPU wall):
+    shingles explode to (id, xxhash64(shingle)) rows, and signature slot i
+    is ``min(xxhash64(shingle_hash, seed, i))`` — a 64-way map-side-
+    combinable aggregate, so the shuffle carries 64 longs per document and
+    everything stays inside whole-stage codegen.
+
+    Duplicate shingles need no dedup: min over a multiset equals min over
+    its set, so there is no distinct (and no extra shuffle) anywhere.
+    Deterministic: xxhash64 is a fixed function of (shingle, seed, i).
     """
-    a, b = _minhash_params(num_hashes, seed)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if t is None:
-                out.append(None)
-                continue
-            toks = [w for w in _py_tokens(t)]
-            if len(toks) < shingle_size:
-                shingles = [" ".join(toks)] if toks else [""]
-            else:
-                shingles = [
-                    " ".join(toks[i : i + shingle_size])
-                    for i in range(len(toks) - shingle_size + 1)
-                ]
-            hs = np.array(
-                [_stable_hash64(s) for s in set(shingles)], dtype=np.uint64
-            )
-            # h_i = min over shingles of (a_i * h + b_i) mod p
-            vals = (
-                a.astype(np.uint64)[:, None] * hs[None, :] + b.astype(np.uint64)[:, None]
-            ) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out, dtype=object)
-
-    return documents.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
-
-
-def _py_tokens(text: str) -> list[str]:
-    import re as _re
-
-    return _re.findall(TOKEN_PATTERN, text.lower())
-
-
-def _stable_hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a), reproducible everywhere."""
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    exploded = (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(shingle_array(F.col(text_col), shingle_size)).alias("_s"),
+        )
+        .select(id_col, F.xxhash64("_s").alias("_h"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(seed), F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -139,12 +127,21 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band bucket.
 
     explode signatures → (band, band_hash, id) → self-join per bucket.
     Shuffle volume is ids+hashes only. Returns distinct (id_a, id_b), a<b.
-    """
+
+    Skew guard (the 100 TB failure mode): one degenerate bucket — e.g.
+    boilerplate or empty documents all sharing a band value — makes the
+    self-join quadratic in that bucket. Buckets larger than `max_bucket`
+    are dropped BEFORE the join (a window count on the same keys the join
+    shuffles on, so no extra exchange on the probe side); members of a
+    dropped bucket can still pair through their other `bands-1` buckets,
+    and exact-duplicate storms never reach here at all when callers
+    pre-collapse identical texts (see dedup_minhash)."""
     sig_slices = F.array(
         *[
             F.hash(
@@ -157,6 +154,13 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.posexplode(sig_slices).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"
     )
@@ -186,19 +190,7 @@ def jaccard_verify_pairs(
     """
     shingled = documents.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(
-                        F.size(tokens(F.col(text_col))) - shingle_size, F.lit(0)
-                    ),
-                ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(tokens(F.col(text_col)), i + 1, shingle_size)
-                ),
-            )
-        ).alias("shingle"),
+        F.explode(shingle_array(F.col(text_col), shingle_size)).alias("shingle"),
     ).distinct()
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -231,11 +223,28 @@ def dedup_minhash(
     shingle_size: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket: int | None = 1000,
+    precollapse_exact: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature → banding → exact
-    Jaccard verify. Returns confirmed (id_a, id_b, jaccard) pairs."""
+    """Full MinHash-LSH near-dup pipeline: exact-dup pre-collapse →
+    signature → banding (skew-guarded) → exact Jaccard verify. Returns
+    confirmed (id_a, id_b, jaccard) pairs among the representatives.
+
+    Pre-collapse (on by default): byte-identical texts are collapsed to
+    their lowest-id representative BEFORE sketching. This is both the
+    correct composition (exact duplicates belong to dedup_exact, whose
+    output is a group, not O(k²) pairs) and the structural fix for LSH's
+    worst skew case — 10k copies of one page otherwise share every band
+    bucket and the self-join goes quadratic."""
+    if precollapse_exact:
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+        documents = (
+            documents.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_size, seed)
-    pairs = minhash_lsh_pairs(sigs, id_col, bands, num_hashes // bands)
+    pairs = minhash_lsh_pairs(sigs, id_col, bands, num_hashes // bands, max_bucket)
     return jaccard_verify_pairs(documents, pairs, text_col, id_col, shingle_size, threshold)
 
 
@@ -245,31 +254,42 @@ def dedup_minhash(
 
 
 def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over token FNV hashes."""
+    """(id, simhash long): 64-bit SimHash over token xxhash64 hashes.
 
-    @F.pandas_udf(T.LongType())
-    def sh(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if t is None:
-                out.append(None)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in _py_tokens(t):
-                h = _stable_hash64(tok)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits == 1, 1, -1)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            # to signed 64
-            if val >= 1 << 63:
-                val -= 1 << 64
-            out.append(val)
-        return pd.Series(out, dtype=object)
-
-    return documents.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+    Fully relational (the round-1 form ran a per-token Python FNV loop):
+    tokens explode to (id, xxhash64(token)) — duplicate tokens keep their
+    multiset weight, as SimHash requires — then bit i's accumulator is
+    ``sum(bit_i(h) ? 1 : -1)``, a 64-way map-side-combinable aggregate;
+    the final fingerprint ORs together 2^i for every positive accumulator
+    (bit 63 contributes the sign bit, hence the negative literal).
+    Documents with no tokens produce no rows (they carry no signal and
+    would otherwise all collide at hamming distance 0)."""
+    exploded = (
+        documents.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+        .select(id_col, F.xxhash64("_t").alias("_h"))
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    accs = exploded.groupBy(id_col).agg(*aggs)
+    bit_terms = [
+        F.when(
+            F.col(f"_b{i}") > 0,
+            F.lit(-(1 << 63) if i == 63 else (1 << i)),
+        ).otherwise(F.lit(0))
+        for i in range(64)
+    ]
+    val = bit_terms[0]
+    for t in bit_terms[1:]:
+        val = val + t
+    return accs.select(F.col(id_col), val.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
