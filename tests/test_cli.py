@@ -43,6 +43,23 @@ class TestSummarize:
         assert domains == {"one.example": 4, "two.example": 2}
 
 
+class TestWaczInput:
+    def test_summarize_counts_wacz_records(self, tmp_path, spark, capsys):
+        """Pointing the CLI at a dir whose archives are .wacz must work
+        exactly like the .warc.gz twins (reference's every test asset is
+        a wacz; round-1 silently skipped them)."""
+        from wbx.fixtures import wacz_bytes
+        from wbx.warcio import write_warc_gz
+
+        d = tmp_path / "wacz_archives"
+        os.makedirs(d)
+        recs = [make_record(f"https://w.example/{i}", b"X" * (i + 1)) for i in range(3)]
+        (d / "site.wacz").write_bytes(wacz_bytes(write_warc_gz(recs)))
+        out = json.loads(run_cli(capsys, ["summarize", "--input", str(d)]))
+        assert out["record_count"] == 3
+        assert {x["domain"]: x["n"] for x in out["domains"]} == {"w.example": 3}
+
+
 class TestFilterRecords:
     def test_count_with_status_filter(self, warc_dir, capsys):
         out = run_cli(
@@ -73,6 +90,67 @@ class TestFilterRecords:
             ],
         )
         assert out.strip() == "2"
+
+
+class TestCustomFilters:
+    """H12 plug-in protocol (reference tests/test_cli.py:589-671 in
+    spirit): a user python file exports Column-returning filters / DataFrame
+    handlers via __all__; filter-records composes them with the built-ins."""
+
+    def write_module(self, tmp_path, body):
+        p = tmp_path / "user_filters.py"
+        p.write_text(body)
+        return str(p)
+
+    def test_custom_filter_applied(self, warc_dir, tmp_path, capsys):
+        mod = self.write_module(tmp_path, (
+            "from pyspark.sql import functions as F\n"
+            "__all__ = ['one_example_only', 'early_records']\n"
+            "def one_example_only(records):\n"
+            "    return F.col('target_uri').startswith('https://one.example/')\n"
+            "def early_records():\n"
+            "    return F.col('record_start') >= 0\n"
+        ))
+        out = run_cli(capsys, [
+            "filter-records", "--input", warc_dir,
+            "--custom-filter-path", mod, "--output-count",
+        ])
+        # 4 one.example records; the no-arg filter keeps everything
+        assert out.strip() == "4"
+
+    def test_custom_filter_composes_with_builtin(self, warc_dir, tmp_path, capsys):
+        mod = self.write_module(tmp_path, (
+            "from pyspark.sql import functions as F\n"
+            "__all__ = ['one_example_only']\n"
+            "def one_example_only(records):\n"
+            "    return F.col('target_uri').startswith('https://one.example/')\n"
+        ))
+        out = run_cli(capsys, [
+            "filter-records", "--input", warc_dir, "--http-status", "200",
+            "--custom-filter-path", mod, "--output-count",
+        ])
+        assert out.strip() == "4"
+
+    def test_custom_handler_replaces_df(self, warc_dir, tmp_path, capsys):
+        mod = self.write_module(tmp_path, (
+            "__all__ = ['halve']\n"
+            "def halve(records):\n"
+            "    from pyspark.sql import functions as F\n"
+            "    return records.filter(F.col('record_start') == 0)\n"
+        ))
+        out = run_cli(capsys, [
+            "filter-records", "--input", warc_dir,
+            "--custom-record-handler-path", mod, "--output-count",
+        ])
+        assert out.strip() == "2"  # one record at offset 0 per file
+
+    def test_missing_all_rejected(self, warc_dir, tmp_path, capsys):
+        mod = self.write_module(tmp_path, "def f():\n    return None\n")
+        with pytest.raises(ValueError, match="__all__"):
+            run_cli(capsys, [
+                "filter-records", "--input", warc_dir,
+                "--custom-filter-path", mod, "--output-count",
+            ])
 
 
 class TestMatchPairs:
@@ -107,6 +185,108 @@ class TestCompareParsers:
         assert len(out["only_delimiter"]) == 2
         for r in out["only_delimiter"]:
             assert r["record_start"] == r["record_end"]
+
+
+def http_record(uri, body, content_type=b"text/html", encoding=None):
+    """Response record with explicit HTTP Content-Type and optional
+    Content-Encoding (pre-encoded body passed in by the caller)."""
+    enc = b"Content-Encoding: " + encoding + b"\r\n" if encoding else b""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + content_type + b"\r\n" + enc
+        + b"\r\n" + body
+    )
+    header = (
+        "WARC/1.1\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return header + b"\r\n" + http
+
+
+class TestExtract:
+    def make_archive(self, tmp_path):
+        import gzip as _gz
+
+        d = tmp_path / "xarch"
+        os.makedirs(d)
+        self.payload = b"<html><body>extract me</body></html>"
+        recs = [
+            http_record("https://x/0", _gz.compress(self.payload, 6, mtime=0),
+                        encoding=b"gzip"),
+            http_record("https://x/1", b"plain body here"),
+            http_record("https://x/2", b"{}", content_type=b"application/json"),
+            http_record("https://x/3", b"\xde\xad", encoding=b"nonsense"),
+        ]
+        (d / "in.warc").write_bytes(write_warc(recs))
+        return d
+
+    def test_roundtrip_decoded_bytes(self, tmp_path, spark, capsys):
+        """Reference parity (tests/test_cli.py:392-553 spirit): extracted
+        files are byte-exact decoded bodies named {basename}-{start}.{ext};
+        undecodable encodings fall back to the raw body; non-matching
+        mimetypes are skipped."""
+        d = self.make_archive(tmp_path)
+        out_dir = tmp_path / "out"
+        out = json.loads(run_cli(capsys, [
+            "extract", "--input", str(d), "--mimetype", "text/html",
+            "--extension", "html", "--output-dir", str(out_dir),
+        ]))
+        rows = out["extracted"]
+        assert len(rows) == 3  # json record excluded
+        by_start = {r["record_start"]: r for r in rows}
+        for r in rows:
+            assert r["path"].endswith(f"in.warc-{r['record_start']}.html")
+        # gzip record decoded byte-exactly
+        first = min(by_start)
+        with open(by_start[first]["path"], "rb") as fh:
+            assert fh.read() == self.payload
+        assert by_start[first]["decoded"] is True
+        # nonsense encoding fell back to raw bytes with the error recorded
+        last = max(by_start)
+        assert by_start[last]["decoded"] is False
+        assert "nonsense" in by_start[last]["decode_error"]
+        with open(by_start[last]["path"], "rb") as fh:
+            assert fh.read() == b"\xde\xad"
+
+    def test_no_decode_writes_raw(self, tmp_path, spark, capsys):
+        import gzip as _gz
+
+        d = self.make_archive(tmp_path)
+        out_dir = tmp_path / "raw"
+        out = json.loads(run_cli(capsys, [
+            "extract", "--input", str(d), "--mimetype", "text/html",
+            "--extension", "", "--output-dir", str(out_dir), "--no-decode",
+        ]))
+        first = min(r["record_start"] for r in out["extracted"])
+        path = [r for r in out["extracted"] if r["record_start"] == first][0]["path"]
+        assert not path.endswith(".")
+        with open(path, "rb") as fh:
+            assert fh.read() == _gz.compress(self.payload, 6, mtime=0)
+
+
+class TestInspect:
+    def test_reports_all_sections(self, warc_dir, capsys):
+        out = json.loads(run_cli(capsys, ["inspect", "--input", warc_dir]))
+        rows = out["records"]
+        assert len(rows) == 6
+        r = rows[0]
+        assert {"source_file", "record_start", "record_end",
+                "member_start", "member_end", "warc_headers", "http_headers"} <= set(r)
+        assert r["warc_headers"]["WARC-Type"] == ["response"]
+        assert r["http_headers"].startswith("HTTP/1.1 200 OK")
+        # plain .warc → no member offsets values
+        assert r["member_start"] is None
+
+    def test_sections_suppressible(self, warc_dir, capsys):
+        out = json.loads(run_cli(capsys, [
+            "inspect", "--input", warc_dir,
+            "--no-record-headers", "--no-member-offsets",
+        ]))
+        r = out["records"][0]
+        assert "warc_headers" not in r and "member_start" not in r
+        assert "record_start" in r and "http_headers" in r
 
 
 class TestCrawl:

@@ -221,6 +221,42 @@ class TestWacz:
             zf.writestr("archive/data.warc.gz", gz)
         assert warcio.open_wacz(buf.getvalue()) == gz
 
+    def test_wacz_scan_matches_inner_archive(self, spark):
+        """A .wacz and its inner .warc.gz must yield identical records —
+        the reference opens WACZ transparently (utils.py:307-369); every
+        record field except source_file must agree."""
+        from wbx.fixtures import wacz_bytes
+
+        gz = warcio.write_warc_gz(
+            [
+                make_record(b"HTTP/1.1 200 OK\r\n\r\nhello")[:-4],
+                make_record(b"HTTP/1.1 404\r\n\r\nbye")[:-4],
+            ]
+        )
+        files = spark.createDataFrame(
+            [("a.warc.gz", bytearray(gz)), ("a.wacz", bytearray(wacz_bytes(gz)))],
+            "source_file string, content binary",
+        )
+        rows = warcio.scan_files_to_records(files).collect()
+        key = lambda r: (r["record_start"], r["record_end"], r["member_start"],
+                         r["member_end"], r["warc_type"], r["http_status"],
+                         bytes(r["content_block"]))
+        via_gz = sorted(key(r) for r in rows if r["source_file"] == "a.warc.gz")
+        via_wacz = sorted(key(r) for r in rows if r["source_file"] == "a.wacz")
+        assert via_gz == via_wacz and len(via_gz) == 2
+
+    def test_wacz_with_plain_warc_resource(self, spark):
+        from wbx.fixtures import wacz_bytes
+
+        plain = make_record(b"HTTP/1.1 200 OK\r\n\r\nplain")
+        wz = wacz_bytes(plain, archive_name="archive/data.warc")
+        files = spark.createDataFrame(
+            [("p.wacz", bytearray(wz))], "source_file string, content binary"
+        )
+        rows = warcio.scan_files_to_records(files).collect()
+        assert len(rows) == 1 and rows[0]["warc_type"] == "response"
+        assert rows[0]["member_start"] is None  # not gzipped inside
+
 
 class TestSparkScan:
     def test_scan_files_to_records(self, spark):

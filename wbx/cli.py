@@ -11,8 +11,10 @@ DataFrame jobs and print/collect small results:
     python -m wbx.cli compare-headers --input DIR1 --input2 DIR2
     python -m wbx.cli crawl --seeds seeds.txt --store /ckpt --rounds 3
 
-Inputs are directories of .warc/.warc.gz files (read via binaryFile) or
-parquet `records` tables (--input-format parquet).
+Inputs are directories of .warc/.warc.gz/.wacz files (read via binaryFile;
+WACZ zips are unwrapped via datapackage.json like the reference's
+transparent wacz support, utils.py:307-369) or parquet `records` tables
+(--input-format parquet).
 """
 
 from __future__ import annotations
@@ -38,8 +40,8 @@ def load_records(spark: SparkSession, path: str, fmt: str, style: str) -> DataFr
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
         .load(path)
+        .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
         .select(F.col("path").alias("source_file"), "content")
     )
     return scan_files_to_records(files, style=style)
@@ -103,12 +105,53 @@ def _build_filter(args):
     return combined
 
 
+def _load_user_callables(path: str):
+    """H12 plug-in protocol (reference scripts/utils.py:46-70 behavior):
+    import a user python FILE and return the callables listed in its
+    ``__all__``, in declared order. wbx's Spark-native contract: a custom
+    FILTER is called with the records DataFrame (or no argument) and must
+    return a pyspark Column predicate; a custom HANDLER is called with the
+    current DataFrame and may return a replacement DataFrame (None keeps
+    it unchanged)."""
+    import importlib.util
+    import inspect as _inspect
+    import os as _os
+
+    name = _os.path.splitext(_os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(name, path)
+    if spec is None or spec.loader is None:
+        raise ImportError(f"Could not load module {name} from {path}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = getattr(mod, "__all__", None)
+    if names is None:
+        raise ValueError(
+            f"{path} must list its exported callables in __all__ "
+            "(the reference custom-filter protocol)"
+        )
+    out = []
+    for n in names:
+        fn = getattr(mod, n)
+        takes_df = len(_inspect.signature(fn).parameters) >= 1
+        out.append((fn, takes_df))
+    return out
+
+
 def cmd_filter_records(args) -> None:
     spark = _spark("filter-records")
     records = load_records(spark, args.input, args.input_format, args.style)
     cond = _build_filter(args)
+    if args.custom_filter_path:
+        for fn, takes_df in _load_user_callables(args.custom_filter_path):
+            c = fn(records) if takes_df else fn()
+            cond = c if cond is None else (cond & c)
     if cond is not None:
         records = records.filter(cond)
+    if args.custom_record_handler_path:
+        for fn, _ in _load_user_callables(args.custom_record_handler_path):
+            replaced = fn(records)
+            if replaced is not None:
+                records = replaced
     if args.output_count:
         print(records.count())
         return
@@ -165,6 +208,45 @@ def cmd_compare_parsers(args) -> None:
         },
         args.format,
     )
+
+
+def cmd_extract(args) -> None:
+    """S9 file-extraction sink (reference scripts/extract.py parity):
+    write HTTP bodies of MIMETYPE responses to --output-dir as
+    {basename}-{record_start}.{extension}."""
+    from wbx.sinks import extract_files
+
+    spark = _spark("extract")
+    records = load_records(spark, args.input, args.input_format, args.style)
+    manifest = extract_files(
+        records,
+        args.output_dir,
+        args.mimetype,
+        args.extension,
+        basename=args.basename,
+        decode=args.decode,
+    )
+    rows = manifest.orderBy("source_file", "record_start").collect()
+    _emit({"extracted": [r.asDict() for r in rows]}, args.format)
+
+
+def cmd_inspect(args) -> None:
+    """Detailed per-record metadata (reference scripts/inspect.py parity):
+    member offsets + record offsets + WARC headers + HTTP headers, each
+    section suppressible."""
+    from wbx.sinks import inspect_records
+
+    spark = _spark("inspect")
+    records = load_records(spark, args.input, args.input_format, args.style)
+    out = inspect_records(
+        records,
+        member_offsets=not args.no_member_offsets,
+        record_offsets=not args.no_record_offsets,
+        record_headers=not args.no_record_headers,
+        record_http_headers=not args.no_record_http_headers,
+    )
+    rows = out.limit(args.limit).collect()
+    _emit({"records": [r.asDict() for r in rows]}, args.format)
 
 
 def cmd_crawl(args) -> None:
@@ -229,6 +311,8 @@ def main(argv=None) -> int:
     s.add_argument("--http-header", help="NAME=TARGET substring match")
     s.add_argument("--http-content-type")
     s.add_argument("--include-warcinfo", action="store_true")
+    s.add_argument("--custom-filter-path", help="python file exporting Column-returning filters in __all__")
+    s.add_argument("--custom-record-handler-path", help="python file exporting DataFrame handlers in __all__")
     s.add_argument("--output-count", action="store_true")
     s.add_argument("--limit", type=int, default=100)
     s.set_defaults(fn=cmd_filter_records)
@@ -249,6 +333,24 @@ def main(argv=None) -> int:
     s.add_argument("--input", required=True)
     s.add_argument("--format", choices=["json", "text"], default="json")
     s.set_defaults(fn=cmd_compare_parsers)
+
+    s = sub.add_parser("extract")
+    common(s)
+    s.add_argument("--mimetype", required=True)
+    s.add_argument("--extension", default="")
+    s.add_argument("--basename")
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--decode", action=argparse.BooleanOptionalAction, default=True)
+    s.set_defaults(fn=cmd_extract)
+
+    s = sub.add_parser("inspect")
+    common(s)
+    s.add_argument("--no-member-offsets", action="store_true")
+    s.add_argument("--no-record-offsets", action="store_true")
+    s.add_argument("--no-record-headers", action="store_true")
+    s.add_argument("--no-record-http-headers", action="store_true")
+    s.add_argument("--limit", type=int, default=1000)
+    s.set_defaults(fn=cmd_inspect)
 
     s = sub.add_parser("crawl")
     s.add_argument("--seeds", required=True)

@@ -73,6 +73,30 @@ def synth_warc_files(
     )
 
 
+def wacz_bytes(archive: bytes, archive_name: str = "archive/data.warc.gz") -> bytes:
+    """Wrap WARC(.gz) bytes in a minimal deterministic WACZ zip: a
+    datapackage.json resource entry pointing at the archive (the layout
+    open_wacz resolves, mirroring reference utils.py:307-369). Fixed
+    ZipInfo timestamps keep the bytes reproducible."""
+    import io
+    import json
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        pkg = {
+            "profile": "data-package",
+            "resources": [{"name": "archive", "path": archive_name}],
+        }
+        for name, payload in (
+            ("datapackage.json", json.dumps(pkg).encode("ascii")),
+            (archive_name, archive),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, payload)
+    return buf.getvalue()
+
+
 def pages_from_documents(
     spark: SparkSession, docs: DataFrame, base_ts: str = "2024-01-01 00:00:00"
 ) -> DataFrame:

@@ -1,0 +1,143 @@
+"""File-extraction sink (reference S9) and record-inspection projection.
+
+Reference behavior being reproduced (studied, not copied):
+- scripts/extract.py:13-61 + scripts/utils.py:73-95 `extract_file`:
+  records passing an HTTP-response content-type filter have their HTTP
+  bodies written to ``{basename}-{record_start}{.extension}``; with
+  --decode the Content-Encoding chain is applied first, and a record that
+  fails to decode falls back to the RAW body (the reference logs the error
+  and keeps going — extraction never crashes the run); falsy bodies are
+  skipped entirely.
+- scripts/inspect.py:24-174: per-record metadata report composing member
+  offsets (H9), record offsets (H1), WARC headers (H2) and HTTP headers
+  (H4).
+
+Spark shape: the writer is a ``mapInPandas`` kernel — each task writes the
+files for its own partition of records directly from executor memory
+(payload bytes never pass through the driver or a shuffle) and emits one
+manifest row per file, so the sink is itself a queryable DataFrame and the
+caller's single action both writes and returns lineage.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wbx.extract import (
+    DecodingError,
+    decompressed_http_body,
+    split_http_message,
+    warc_content_type_is_http,
+)
+from wbx.filters import http_response_content_type_filter
+
+EXTRACT_MANIFEST_SCHEMA = (
+    "source_file string, record_start long, path string, n_bytes long, "
+    "decoded boolean, decode_error string"
+)
+
+
+def extract_files(
+    records: DataFrame,
+    out_dir: str,
+    mimetype: str,
+    extension: str = "",
+    basename: str | None = None,
+    decode: bool = True,
+) -> DataFrame:
+    """Write HTTP bodies of `mimetype` responses to disk, one file per
+    record, named ``{basename}-{record_start}{.extension}`` (reference
+    extract_file parity; `basename` defaults to the record's source file
+    name). Returns the manifest DataFrame — collect/write it to run the
+    extraction; rows carry the decode-fallback error when one occurred."""
+    picked = records.filter(http_response_content_type_filter(mimetype)).select(
+        "source_file", "record_start", "header_bytes", "content_block"
+    )
+    suffix = f".{extension}" if extension else ""
+
+    def write_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        cols = [
+            "source_file", "record_start", "path", "n_bytes", "decoded", "decode_error",
+        ]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                cb = bytes(row["content_block"])
+                hb = bytes(row["header_bytes"])
+                err = None
+                body = None
+                did_decode = False
+                if decode:
+                    try:
+                        body = decompressed_http_body(cb, hb)
+                        did_decode = True
+                    except DecodingError as e:
+                        err = str(e)
+                if not decode or err is not None:
+                    # reference fallback: raw body when decoding failed (or
+                    # was disabled); same http-content-type guard as
+                    # get_http_body_block
+                    if warc_content_type_is_http(hb):
+                        _, body = split_http_message(cb)
+                if not body:  # reference skips falsy bodies
+                    continue
+                base = basename or os.path.basename(row["source_file"])
+                path = os.path.join(
+                    out_dir, f"{base}-{int(row['record_start'])}{suffix}"
+                )
+                with open(path, "wb") as fh:
+                    fh.write(body)
+                rows.append(
+                    {
+                        "source_file": row["source_file"],
+                        "record_start": int(row["record_start"]),
+                        "path": path,
+                        "n_bytes": len(body),
+                        "decoded": did_decode and err is None,
+                        "decode_error": err,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols}
+            )
+
+    return picked.mapInPandas(write_batch, schema=EXTRACT_MANIFEST_SCHEMA)
+
+
+def inspect_records(
+    records: DataFrame,
+    member_offsets: bool = True,
+    record_offsets: bool = True,
+    record_headers: bool = True,
+    record_http_headers: bool = True,
+) -> DataFrame:
+    """Per-record metadata projection composing H1/H2/H4/H9 — the
+    relational form of `wb inspect`'s report (scripts/inspect.py). One row
+    per record in deterministic file order; suppressed sections are simply
+    absent columns."""
+    from wbx.extract import http_header_block_udf, parse_headers_udf, utf8_replace_udf
+
+    cols = [F.col("source_file"), F.col("record_start").alias("_order")]
+    if member_offsets:
+        cols += [F.col("member_start"), F.col("member_end")]
+    if record_offsets:
+        cols += [F.col("record_start"), F.col("record_end")]
+    if record_headers:
+        cols += [parse_headers_udf(F.col("header_bytes")).alias("warc_headers")]
+    if record_http_headers:
+        cols += [
+            utf8_replace_udf(
+                http_header_block_udf(F.col("content_block"), F.col("header_bytes"))
+            ).alias("http_headers")
+        ]
+    return (
+        records.select(*cols)
+        .orderBy("source_file", "_order")
+        .drop("_order")
+    )

@@ -485,6 +485,33 @@ def write_warc_gz(records: list[bytes], compresslevel: int = 9) -> bytes:
     return out.getvalue()
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def resolve_archive(source: str, data: bytes, gz_hint: bool | None = None) -> tuple[bytes, bool]:
+    """(warc_bytes, is_gzipped) for any supported container: .wacz zips are
+    unwrapped via datapackage.json and the inner archive is sniffed by gzip
+    magic (the resource may be .warc or .warc.gz); otherwise the hint / the
+    file extension decides."""
+    if source.endswith(".wacz"):
+        inner = open_wacz(data)
+        return inner, inner[:2] == GZIP_MAGIC
+    if gz_hint is not None:
+        return data, bool(gz_hint)
+    return data, source.endswith(".gz")
+
+
+def scan_archive(
+    data: bytes, source: str, style: str = "content_length", gz_hint: bool | None = None
+) -> tuple[ScanResult, list[dict]]:
+    """Container-transparent scan: wacz → unwrap, gz → member-indexed scan,
+    plain → direct scan. Returns (ScanResult, non_warc_member_rows)."""
+    data, gz = resolve_archive(source, data, gz_hint)
+    if gz:
+        return scan_warc_gz(data, source, style)
+    return scan_warc(data, source, style), []
+
+
 def open_wacz(data: bytes) -> bytes:
     """Extract the first .warc.gz (or .warc) resource from a WACZ zip,
     following datapackage.json when present (reference utils.py:287-369)."""
@@ -555,25 +582,23 @@ def scan_files_to_records(files_df, style: str = "content_length"):
             rows: list[dict] = []
             for _, row in pdf.iterrows():
                 data = bytes(row["content"])
-                gz = bool(row["is_gz"]) if has_gz else row["source_file"].endswith(".gz")
-                if gz:
-                    result, non_warc = scan_warc_gz(data, row["source_file"], style)
-                    rows.extend(result.records)
-                    for m in non_warc:
-                        rows.append(
-                            {
-                                "source_file": m["source_file"],
-                                "member_start": m["member_start"],
-                                "member_end": m["member_end"],
-                                "unc_start": m["unc_start"],
-                                "unc_end": m["unc_end"],
-                                "content_block": m["bytes"],
-                                "is_warc": False,
-                            }
-                        )
-                else:
-                    result = scan_warc(data, row["source_file"], style)
-                    rows.extend(result.records)
+                gz_hint = bool(row["is_gz"]) if has_gz else None
+                result, non_warc = scan_archive(
+                    data, row["source_file"], style, gz_hint
+                )
+                rows.extend(result.records)
+                for m in non_warc:
+                    rows.append(
+                        {
+                            "source_file": m["source_file"],
+                            "member_start": m["member_start"],
+                            "member_end": m["member_end"],
+                            "unc_start": m["unc_start"],
+                            "unc_end": m["unc_end"],
+                            "content_block": m["bytes"],
+                            "is_warc": False,
+                        }
+                    )
             out = pd.DataFrame(rows, columns=_REC_COLUMNS)
             if not rows:
                 out = pd.DataFrame({c: pd.Series(dtype=object) for c in _REC_COLUMNS})
@@ -591,7 +616,9 @@ def scan_files_to_unparsable(files_df, style: str = "content_length"):
         for pdf in batches:
             rows: list[dict] = []
             for _, row in pdf.iterrows():
-                result = scan_warc(bytes(row["content"]), row["source_file"], style)
+                result, _ = scan_archive(
+                    bytes(row["content"]), row["source_file"], style
+                )
                 rows.extend(result.unparsable)
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
                 {c: pd.Series(dtype=object) for c in cols}
@@ -609,7 +636,9 @@ def scan_files_to_diagnostics(files_df, style: str = "content_length"):
         for pdf in batches:
             rows: list[dict] = []
             for _, row in pdf.iterrows():
-                result = scan_warc(bytes(row["content"]), row["source_file"], style)
+                result, _ = scan_archive(
+                    bytes(row["content"]), row["source_file"], style
+                )
                 for w in result.warnings:
                     rows.append(
                         {"source_file": row["source_file"], "kind": "warning", "message": w}
