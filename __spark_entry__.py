@@ -317,6 +317,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f_length_and_type"] = f_filters
 
+    # --- F1/F5/F7/F8/F9/F10 + A4 over the rich mixed-container corpus -----
+    # (request+response+warcinfo records, plain .warc and record-per-member
+    # .warc.gz, with arithmetic field encodings — see fixtures.rich_record_bytes)
+    doc_id_col = F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+
+    def _rich(spark, sf):
+        from wbx.fixtures import synth_warc_files_rich
+
+        return scan_files_to_records(synth_warc_files_rich(_t(spark, sf, "documents")))
+
+    q["f1_header_regex"] = lambda spark, sf: (
+        _rich(spark, sf)
+        .filter(filters.warc_header_regex_filter(r"X-Doc-Parity: even"))
+        .select(doc_id_col.alias("doc_id"), "warc_type")
+    )
+
+    q["f5_http_verb"] = lambda spark, sf: (
+        _rich(spark, sf)
+        .filter(filters.http_verb_filter("GET"))
+        .select(doc_id_col.alias("doc_id"))
+    )
+
+    q["f7_http_header"] = lambda spark, sf: (
+        _rich(spark, sf)
+        .filter(filters.http_header_filter("X-Resp-Seq", "s3"))
+        .select(doc_id_col.alias("doc_id"))
+    )
+
+    q["f8_http_content_type"] = lambda spark, sf: (
+        _rich(spark, sf)
+        .filter(filters.http_response_content_type_filter("application/json"))
+        .select(doc_id_col.alias("doc_id"))
+    )
+
+    q["f9_member_records"] = lambda spark, sf: (
+        _rich(spark, sf)
+        .filter(filters.member_length_filter(1, "ge"))
+        .select(doc_id_col.alias("doc_id"), "warc_type")
+    )
+
+    q["f10_warcinfo_escape"] = lambda spark, sf: (
+        _rich(spark, sf)
+        .filter(
+            filters.force_include_warcinfo(
+                filters.http_response_content_type_filter("application/json")
+            )
+        )
+        .select(doc_id_col.alias("doc_id"), "warc_type")
+    )
+
+    q["a4_count_by_http_content_type"] = lambda spark, sf: (
+        _rich(spark, sf)
+        .filter(F.col("warc_type") == "response")
+        .groupBy(F.col("http_content_type").alias("ct"))
+        .agg(F.count("*").alias("n"))
+    )
+
     # --- dedup / text ops -------------------------------------------------
     q["dedup_exact"] = lambda spark, sf: textops.dedup_exact_ids(
         _t(spark, sf, "documents")
@@ -584,6 +641,35 @@ def oracle_sql() -> dict[str, str]:
         "f_length_and_type": (
             "SELECT doc_id FROM documents WHERE n_chars >= 300 AND lower(lang) = 'en'"
         ),
+        "f1_header_regex": """
+        SELECT doc_id, v.warc_type
+        FROM documents CROSS JOIN (VALUES ('request'), ('response')) v(warc_type)
+        WHERE doc_id % 2 = 0
+        """,
+        "f5_http_verb": "SELECT doc_id FROM documents WHERE doc_id % 4 <> 0",
+        "f7_http_header": "SELECT doc_id FROM documents WHERE doc_id % 5 = 3",
+        "f8_http_content_type": "SELECT doc_id FROM documents WHERE doc_id % 3 = 1",
+        "f9_member_records": """
+        SELECT CAST(NULL AS BIGINT) AS doc_id, 'warcinfo' AS warc_type
+        FROM (SELECT DISTINCT doc_id % 8 AS g FROM documents WHERE doc_id % 8 >= 4)
+        UNION ALL
+        SELECT doc_id, v.warc_type
+        FROM documents CROSS JOIN (VALUES ('request'), ('response')) v(warc_type)
+        WHERE doc_id % 8 >= 4
+        """,
+        "f10_warcinfo_escape": """
+        SELECT CAST(NULL AS BIGINT) AS doc_id, 'warcinfo' AS warc_type
+        FROM (SELECT DISTINCT doc_id % 8 AS g FROM documents)
+        UNION ALL
+        SELECT doc_id, 'response' AS warc_type FROM documents WHERE doc_id % 3 = 1
+        """,
+        "a4_count_by_http_content_type": """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'text/html'
+                               WHEN 1 THEN 'application/json'
+                               ELSE 'text/plain' END AS ct,
+               count(*) AS n
+        FROM documents GROUP BY 1
+        """,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, md5(text) AS text_md5, count(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

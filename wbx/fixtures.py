@@ -73,6 +73,75 @@ def synth_warc_files(
     )
 
 
+_RICH_CTS = ["text/html", "application/json", "text/plain"]
+
+
+def rich_record_bytes(doc_id: int | None = None, text: str | None = None, kind: str = "response") -> bytes:
+    """One record of the 'rich' corpus (no terminator). Deterministic
+    arithmetic encodings so every filter has a closed-form oracle:
+    - WARC header X-Doc-Parity: even/odd by doc_id%2 (F1 regex target)
+    - request verb: PUT when doc_id%4==0 else GET (F5)
+    - response HTTP Content-Type by doc_id%3 (F8/A4)
+    - response HTTP header X-Resp-Seq: s<doc_id%5> (F7)
+    - one warcinfo record per file (F10 escape hatch)."""
+    if kind == "warcinfo":
+        body = b"software: wbx\r\n"
+        header = (
+            "WARC/1.1\r\nWARC-Type: warcinfo\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            f"Content-Length: {len(body)}\r\n"
+        ).encode()
+        return header + b"\r\n" + body
+    parity = "even" if doc_id % 2 == 0 else "odd"
+    if kind == "request":
+        verb = "PUT" if doc_id % 4 == 0 else "GET"
+        http = f"{verb} /{doc_id} HTTP/1.1\r\nHost: docs.example\r\n\r\n".encode()
+    else:
+        ct = _RICH_CTS[doc_id % 3]
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n"
+            f"X-Resp-Seq: s{doc_id % 5}\r\n\r\n"
+        ).encode() + str(text).encode("utf-8")
+    header = (
+        "WARC/1.1\r\n"
+        f"WARC-Type: {kind}\r\n"
+        f"WARC-Target-URI: https://docs.example/{doc_id}\r\n"
+        f"X-Doc-Parity: {parity}\r\n"
+        f"Content-Type: application/http;msgtype={kind}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return header + b"\r\n" + http
+
+
+def synth_warc_files_rich(docs: DataFrame, n_files: int = 8) -> DataFrame:
+    """documents → mixed-container rich corpus: per file one warcinfo record
+    then (request, response) per document; files grp >= n_files/2 are
+    record-per-member .warc.gz (member columns populated → F9 is selective
+    by doc_id%n_files arithmetic), the rest plain .warc."""
+    from wbx.warcio import write_warc, write_warc_gz
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        grp = int(pdf["grp"].iloc[0])
+        recs = [rich_record_bytes(kind="warcinfo")]
+        for _, r in pdf.iterrows():
+            d = int(r["doc_id"])
+            recs.append(rich_record_bytes(d, r["text"], "request"))
+            recs.append(rich_record_bytes(d, r["text"], "response"))
+        if grp >= n_files // 2:
+            name, data = f"rich-{grp}.warc.gz", write_warc_gz(recs)
+        else:
+            name, data = f"rich-{grp}.warc", write_warc(recs)
+        return pd.DataFrame({"source_file": [name], "content": [data]})
+
+    return (
+        docs.select("doc_id", "text")
+        .withColumn("grp", F.pmod("doc_id", F.lit(n_files)))
+        .groupBy("grp")
+        .applyInPandas(build, schema="source_file string, content binary")
+    )
+
+
 def wacz_bytes(archive: bytes, archive_name: str = "archive/data.warc.gz") -> bytes:
     """Wrap WARC(.gz) bytes in a minimal deterministic WACZ zip: a
     datapackage.json resource entry pointing at the archive (the layout
