@@ -524,6 +524,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_unparsable_lines"] = unparsable
 
+    # --- multimodal: binary payloads + typed metadata ---------------------
+    def _media(spark, sf):
+        """Deterministic media table from documents: payload = container
+        magic (by doc_id%4) + utf-8 text bytes — exercises the opaque-binary
+        column shape of the input_hint without external assets."""
+        docs = _t(spark, sf, "documents")
+        magic = (
+            F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(b"\x89PNG\r\n\x1a\n"))
+            .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(b"\xff\xd8\xff"))
+            .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(b"GIF89a"))
+            .otherwise(F.lit(b"ID3"))
+        )
+        payload = F.concat(magic, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+        return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+    def mm_sniff(spark, sf):
+        from wbx import multimodal
+
+        return multimodal.sniff_media(_media(spark, sf))
+
+    q["multimodal_sniff"] = mm_sniff
+
+    def mm_frames(spark, sf):
+        from wbx import multimodal
+
+        return multimodal.frame_sample_plan(_media(spark, sf), every_n=30)
+
+    q["multimodal_frame_plan"] = mm_frames
+
+    # rows-only companion: the stand-in byte-histogram featurizer (numeric
+    # goldens live in tests/test_multimodal.py; DuckDB lacks byte indexing)
+    def mm_features(spark, sf):
+        from wbx import multimodal
+
+        return multimodal.media_features(_media(spark, sf)).select(
+            "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        )
+
+    q["multimodal_features_head"] = mm_features
+
     # --- time-window aggregate (streaming-shaped batch form) -------------
     q["a_windowed_counts"] = lambda spark, sf: (
         _t(spark, sf, "events")
@@ -815,6 +855,26 @@ def oracle_sql() -> dict[str, str]:
         "warc_unparsable_lines": """
         SELECT doc_id AS junk_doc_id, 'JUNK ' || doc_id AS line
         FROM documents WHERE doc_id % 10 = 0
+        """,
+        "multimodal_sniff": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 4 <= 2 THEN 'image' ELSE 'audio' END AS kind,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'gif' ELSE 'mp3' END AS container,
+               octet_length(encode(coalesce(text, '')))
+                 + (CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 3
+                                    WHEN 2 THEN 6 ELSE 3 END) AS n_bytes
+        FROM documents
+        """,
+        "multimodal_frame_plan": """
+        SELECT doc_id AS media_id, unnest(range(0, n, 30)) AS frame_index
+        FROM (
+          SELECT doc_id,
+                 greatest(CAST(floor((octet_length(encode(coalesce(text, '')))
+                   + (CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 3
+                                      WHEN 2 THEN 6 ELSE 3 END)) / 1000.0) AS BIGINT),
+                          1) AS n
+          FROM documents)
         """,
         "a_windowed_counts": """
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

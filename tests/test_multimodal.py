@@ -1,0 +1,91 @@
+"""Multimodal plumbing tests: magic sniffing, the deterministic stand-in
+featurizer (numeric goldens recomputed independently), and the frame-sample
+fan-out plan. The decode seam stays a declared NotImplementedError."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wbx import multimodal
+
+
+PAYLOADS = [
+    (0, b"\x89PNG\r\n\x1a\n" + b"pngdata" * 10, "image", "png"),
+    (1, b"\xff\xd8\xff\xe0" + b"\x00" * 50, "image", "jpeg"),
+    (2, b"GIF89a" + b"\x01\x02" * 8, "image", "gif"),
+    (3, b"GIF87a" + b"x", "image", "gif"),
+    (4, b"RIFF\x24\x00WAVE", "audio", "riff"),
+    (5, b"ID3\x03" + b"mp3" * 5, "audio", "mp3"),
+    (6, b"\x00\x00\x00\x18ftypmp42", "video", "mp4"),
+    (7, b"just plain text", "unknown", "unknown"),
+    (8, b"", "unknown", "empty"),
+    (9, None, "unknown", "empty"),
+]
+
+
+def media_df(spark, payloads=PAYLOADS):
+    return spark.createDataFrame(
+        [(i, bytearray(p) if p is not None else None) for i, p, _, _ in payloads],
+        "media_id long, payload binary",
+    )
+
+
+class TestSniff:
+    def test_sniff_bytes_goldens(self):
+        for _, payload, kind, container in PAYLOADS:
+            assert multimodal.sniff_bytes(payload) == (kind, container)
+
+    def test_sniff_media_dataframe(self, spark):
+        rows = multimodal.sniff_media(media_df(spark)).orderBy("media_id").collect()
+        for r, (mid, payload, kind, container) in zip(rows, PAYLOADS):
+            assert r["media_id"] == mid
+            assert (r["kind"], r["container"]) == (kind, container)
+            assert r["n_bytes"] == (len(payload) if payload else 0)
+
+
+class TestFeatures:
+    def test_histogram_matches_numpy_golden(self, spark):
+        rows = (
+            multimodal.media_features(media_df(spark), dim=16)
+            .orderBy("media_id")
+            .collect()
+        )
+        by_id = {r["media_id"]: r["features"] for r in rows}
+        for mid, payload, _, _ in PAYLOADS:
+            feats = by_id[mid]
+            assert len(feats) == 16
+            if not payload:
+                assert feats == [0.0] * 16
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+            expected = (hist / hist.sum()).astype(np.float32)
+            assert np.allclose(feats, expected)
+            assert abs(sum(feats) - 1.0) < 1e-5
+
+    def test_deterministic_across_parallelism(self, spark):
+        df = media_df(spark)
+        a = sorted(map(tuple, multimodal.media_features(df).collect()))
+        b = sorted(map(tuple, multimodal.media_features(df.repartition(4)).collect()))
+        assert a == b
+
+
+class TestFramePlan:
+    def test_fanout_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x" * 100)), (2, bytearray(b"y" * 65_000))],
+            "media_id long, payload binary",
+        )
+        rows = multimodal.frame_sample_plan(df, every_n=30).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["media_id"], []).append(r["frame_index"])
+        assert sorted(got[1]) == [0]  # <1000 bytes → 1 synthetic frame
+        assert sorted(got[2]) == [0, 30, 60]  # 65 frames, every 30th
+
+
+class TestDecodeSeam:
+    def test_decode_image_is_declared_unimplemented(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG\r\n\x1a\n")

@@ -38,7 +38,7 @@ def stream_file_records(
     task's memory at production scale.
     """
     from wbx.schema import RECORDS
-    from wbx.warcio import scan_warc, scan_warc_gz
+    from wbx.warcio import _REC_COLUMNS, scan_archive
 
     binary_file_schema = (
         "path string, modificationTime timestamp, length long, content binary"
@@ -46,22 +46,18 @@ def stream_file_records(
     files = (
         spark.readStream.format("binaryFile")
         .schema(binary_file_schema)
-        .option("pathGlobFilter", "*.warc*")
         .load(path)
+        .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
         .select(F.col("path").alias("source_file"), F.col("content"))
     )
-
-    from wbx.warcio import _REC_COLUMNS
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             for _, row in pdf.iterrows():
-                data = bytes(row["content"])
-                if row["source_file"].endswith(".gz"):
-                    result, _non = scan_warc_gz(data, row["source_file"], style)
-                else:
-                    result = scan_warc(data, row["source_file"], style)
+                result, _non = scan_archive(
+                    bytes(row["content"]), row["source_file"], style
+                )
                 rows.extend(result.records)
             out = pd.DataFrame(rows, columns=_REC_COLUMNS)
             if not rows:
@@ -124,8 +120,14 @@ def _match_group(
     else:
         req_q, resp_q = [], []
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["source_file", "record_start"])
+    chunks = list(pdfs)
+    if chunks:
+        # one concat + one sort across ALL Arrow chunks of the micro-batch:
+        # a URI group spanning chunk boundaries must still pair in global
+        # (source_file, record_start) order, matching the batch semantics
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["source_file", "record_start"]
+        )
         for _, r in pdf.iterrows():
             side = str(r["warc_type"]).lower()
             start = int(r["record_start"])
