@@ -276,3 +276,9 @@ class TestNetloc:
             (urlparse(u).netloc or None) if u is not None else None for u in urls
         ]
         assert got == exp
+        # fast JVM tier agrees with urlparse on the same corpus
+        fast = [
+            r["d"]
+            for r in df.select(analytics.netloc_expr(F.col("url")).alias("d")).collect()
+        ]
+        assert fast == exp

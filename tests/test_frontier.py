@@ -94,6 +94,27 @@ class TestSeenSet:
         exact = sorted(r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect())
         assert via_bloom == exact
 
+    def test_copartitioned_mode_bit_identical(self, spark):
+        """The scale-path filter distribution (cogrouped per hash range,
+        no driver collect) must tag exactly like the broadcast mode and
+        keep the exact-result contract."""
+        cand, seen = self.make_sets(spark)
+        bloom = frontier.build_seen_bloom(seen, partitions=8)
+        via_co = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_with_bloom(
+                cand, seen, bloom, 8, mode="copartition"
+            ).collect()
+        )
+        exact = sorted(r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect())
+        assert via_co == exact
+        # tag-level identity too
+        t_b = frontier.bloom_might_contain(cand, bloom, 8, mode="broadcast")
+        t_c = frontier.bloom_might_contain(cand, bloom, 8, mode="copartition")
+        b = sorted((r["canon_url"], r["_maybe_seen"]) for r in t_b.collect())
+        c = sorted((r["canon_url"], r["_maybe_seen"]) for r in t_c.collect())
+        assert b == c
+
     def test_bloom_has_no_false_negatives(self, spark):
         cand, seen = self.make_sets(spark, n=1000)
         bloom = frontier.build_seen_bloom(seen, partitions=4)

@@ -29,6 +29,17 @@ FILE_ORDER = ["source_file", "record_start"]
 _NULL_SENTINEL = "\x00null"
 
 
+def netloc_expr(url: Column) -> Column:
+    """Fast tier of urlparse().netloc: netloc exists iff '//' follows the
+    (optional) scheme, and runs to the first '/', '?' or '#'. Pure JVM
+    regexp — whole-stage codegen, no Python workers — matching urlparse on
+    every well-formed URL; :func:`netloc_udf` is the byte-exact parity
+    fallback for urlparse's exotic edge handling (e.g. embedded control
+    characters)."""
+    n = F.regexp_extract(url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#]*)", 1)
+    return F.when(n == "", F.lit(None)).otherwise(n)
+
+
 @F.pandas_udf(T.StringType())
 def netloc_udf(url: pd.Series) -> pd.Series:
     """urlparse().netloc parity (summarize.py:95-99): keeps port and case,
@@ -65,11 +76,20 @@ def count_by_type(records: DataFrame) -> DataFrame:
     )
 
 
-def count_by_domain(records: DataFrame) -> DataFrame:
-    """A3: counts by urlparse-netloc of WARC-Target-URI."""
+def count_by_domain(records: DataFrame, parity_udf: bool = False) -> DataFrame:
+    """A3: counts by urlparse-netloc of WARC-Target-URI.
+
+    Default tier is the JVM regexp (codegen'd — this is a hot path over
+    every record at 100 TB); pass parity_udf=True for the Python urlparse
+    fallback when byte-exact urlparse edge semantics matter."""
+    dom = (
+        netloc_udf(F.col("target_uri"))
+        if parity_udf
+        else netloc_expr(F.col("target_uri"))
+    )
     return (
         records.filter(F.col("target_uri").isNotNull())
-        .withColumn("domain", netloc_udf(F.col("target_uri")))
+        .withColumn("domain", dom)
         .filter(F.col("domain").isNotNull())
         .groupBy("domain")
         .agg(F.count("*").alias("n"))

@@ -161,16 +161,21 @@ def build_seen_bloom(
 
 
 def bloom_might_contain(
-    candidates: DataFrame, bloom: DataFrame, partitions: int = 64
+    candidates: DataFrame, bloom: DataFrame, partitions: int = 64, mode: str = "broadcast"
 ) -> DataFrame:
     """Adds `_maybe_seen boolean`: False ⇒ definitely unseen (Bloom filters
     never produce false negatives); True ⇒ must be confirmed exactly.
 
-    Local-mode: the (small) bloom table is collected and broadcast to
-    executors; at 10^10 scale the filters are instead co-partitioned with
-    candidates on pmod(url_hash, P) so each task reads only its own ~180 MB
-    filter — same semantics, no broadcast.
+    mode="broadcast" (small/total-filter-fits path): the bloom table is
+    collected and broadcast once; candidates are checked map-side with no
+    shuffle at all. mode="copartition" (the 10^10 path): see
+    :func:`bloom_might_contain_copartitioned` — at 64 partitions × ~180 MB
+    a driver collect would be an 11 GB pull, so the filters are instead
+    shuffled to the tasks that own their hash range. Both modes are
+    bit-identical (tested).
     """
+    if mode == "copartition":
+        return bloom_might_contain_copartitioned(candidates, bloom, partitions)
     rows = bloom.collect()
     filters = {
         r["bloom_part"]: (int(r["m"]), np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8))
@@ -199,6 +204,49 @@ def bloom_might_contain(
     return candidates.withColumn("_maybe_seen", might_contain(F.col("url_hash")))
 
 
+def bloom_might_contain_copartitioned(
+    candidates: DataFrame, bloom: DataFrame, partitions: int = 64
+) -> DataFrame:
+    """Scale-path membership tagging: candidates and per-partition Bloom
+    filters are COGROUPED on pmod(url_hash, P), so each task receives (its
+    candidate slice, its one filter row) — the bitmap crosses the wire once
+    per partition, never per candidate row, and no filter ever touches the
+    driver. Shuffle volume: candidates keyed by an 8-byte hash + P filter
+    rows. Semantics identical to the broadcast mode."""
+    import pandas as _pd
+
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
+    )
+    cand = candidates.withColumn(
+        "_bp", F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int")
+    )
+    blm = bloom.withColumnRenamed("bloom_part", "_bp")
+
+    def check(left: _pd.DataFrame, right: _pd.DataFrame) -> _pd.DataFrame:
+        out = left.drop(columns=["_bp"]).copy()
+        if len(left) == 0:
+            out["_maybe_seen"] = _pd.Series(dtype=bool)
+            return out
+        if len(right) == 0:  # empty hash range → definitely unseen
+            out["_maybe_seen"] = False
+            return out
+        h = left["url_hash"].to_numpy()
+        m = int(right["m"].iloc[0])
+        bits = np.frombuffer(bytes(right["bitmap"].iloc[0]), dtype=np.uint8)
+        hit = np.ones(len(h), dtype=bool)
+        for idx in _bloom_positions(h, m):
+            hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        out["_maybe_seen"] = hit
+        return out
+
+    return (
+        cand.groupBy("_bp")
+        .cogroup(blm.groupBy("_bp"))
+        .applyInPandas(check, schema=out_schema)
+    )
+
+
 def filter_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     """Exact frontier ∖ seen: left_anti on (url_hash, canon_url).
 
@@ -211,16 +259,19 @@ def filter_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
 
 
 def filter_unseen_with_bloom(
-    candidates: DataFrame, seen: DataFrame, bloom: DataFrame, partitions: int = 64
+    candidates: DataFrame, seen: DataFrame, bloom: DataFrame, partitions: int = 64,
+    mode: str = "broadcast",
 ) -> DataFrame:
     """Bloom fast path + exact anti-join confirm.
 
     definitely-unseen rows (bloom miss) skip the shuffle entirely; only the
     maybe-seen minority (true hits + ~1% false positives) is anti-joined.
     Result is bit-identical to :func:`filter_unseen` — the sketch only ever
-    ADMITS candidates to the exact check, never drops them.
+    ADMITS candidates to the exact check, never drops them. `mode` picks the
+    filter-distribution strategy (broadcast vs copartition), see
+    :func:`bloom_might_contain`.
     """
-    tagged = bloom_might_contain(candidates, bloom, partitions)
+    tagged = bloom_might_contain(candidates, bloom, partitions, mode)
     definite = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return definite.unionByName(filter_unseen(maybe, seen))
