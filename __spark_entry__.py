@@ -8,9 +8,12 @@ executors, scanning them with the distributed scanner, and checking that the
 extracted text round-trips byte-identically to the source column (the
 byte-identity invariant from BASELINE.json input_hint).
 
-Genuinely non-SQL-expressible sketch ops (MinHash-LSH banding, SimHash
-blocking, random-hyperplane LSH) have queries() entries only → the driver
-records rows-only checks for them, as allowed.
+Genuinely non-SQL-expressible sketch ops (SimHash blocking,
+random-hyperplane LSH top-k — recall < 1 by construction) have queries()
+entries only → the driver records rows-only checks for them, as allowed.
+MinHash-LSH IS oracle-backed: its exact-Jaccard verify stage makes the
+final output equal to the relational ground truth (banding recall verified
+1.0 on this corpus), so the sketch is checked end-to-end.
 """
 
 from __future__ import annotations
@@ -501,6 +504,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["warc_roundtrip_content_length"] = lambda spark, sf: _warc_roundtrip(
         spark, sf, "content_length"
     )
+
+    def roundtrip_codecs(spark, sf):
+        """H6 full-parity: bodies rotate through gzip/br/zstd
+        Content-Encoding (wbx.codecs ctypes decoders); extracted text must
+        still be byte-identical to the source column."""
+        from wbx.fixtures import synth_warc_files
+
+        files = synth_warc_files(
+            _t(spark, sf, "documents"), gzip_body="mixed", prefix="mixedenc"
+        )
+        recs = scan_files_to_records(files)
+        return recs.filter(F.col("is_warc")).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+            "target_uri",
+            F.col("http_status").cast("long").alias("http_status"),
+            extract_text_udf(F.col("content_block"), F.col("header_bytes")).alias(
+                "text_out"
+            ),
+        )
+
+    q["warc_roundtrip_codecs"] = roundtrip_codecs
     q["warc_roundtrip_delimiter"] = lambda spark, sf: _warc_roundtrip(
         spark, sf, "delimiter"
     )
@@ -838,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM ranked WHERE rank <= 5
         """,
         "warc_roundtrip_content_length": _WARC_ROUNDTRIP_ORACLE,
+        "warc_roundtrip_codecs": _WARC_ROUNDTRIP_ORACLE,
         # delimiter mode: the reference truncates the last record of a file
         # ending in CRLFCRLF (no WARC magic follows at EOF) to (start, start)
         # — its header still parses but the content block is empty, so

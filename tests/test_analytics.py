@@ -221,6 +221,89 @@ class TestCompareHeaders:
         self.check(spark, mk(60), mk(50))
 
 
+class TestDecodedUriKeys:
+    def test_three_decodings_and_collision_safety(self, spark):
+        """Sc7 parity: by-URI keys are the RAW Target-URI bytes reported as
+        latin1 / utf-8-replace / base64; two byte sequences that
+        utf-8-replace to the SAME string must stay separate rows."""
+        import base64
+
+        def hb(uri_bytes, wtype):
+            return (
+                b"WARC/1.1\r\nWARC-Type: " + wtype + b"\r\n"
+                b"WARC-Target-URI: " + uri_bytes + b"\r\n"
+            )
+
+        u1, u2 = b"http://x/\xff", b"http://x/\xfe"
+        rows = [
+            ("a", 0, 5, "request", bytearray(hb(u1, b"request"))),
+            ("a", 10, 15, "response", bytearray(hb(u1, b"response"))),
+            ("a", 20, 25, "request", bytearray(hb(u2, b"request"))),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "source_file string, record_start long, record_end long, "
+            "warc_type string, header_bytes binary",
+        )
+        got = {
+            r["uri_latin1"]: r
+            for r in analytics.pair_summary_by_uri_decoded(df).collect()
+        }
+        assert set(got) == {u1.decode("latin1"), u2.decode("latin1")}
+        r1 = got[u1.decode("latin1")]
+        assert r1["uri_utf8_replace"] == u1.decode("utf-8", errors="replace")
+        assert r1["uri_base64"] == base64.b64encode(u1).decode("ascii")
+        assert (r1["pairs"], r1["lone_requests"], r1["lone_responses"]) == (1, 0, 0)
+        r2 = got[u2.decode("latin1")]
+        assert (r2["pairs"], r2["lone_requests"], r2["lone_responses"]) == (0, 1, 0)
+        # the two keys collide under utf-8-replace but stay distinct rows
+        assert r1["uri_utf8_replace"] == r2["uri_utf8_replace"]
+
+
+class TestNearMatchDiffs:
+    def archive(self, spark, f1_val):
+        rows = [
+            rec_row(
+                record_start=0,
+                warc_type="response",
+                target_uri="u",
+                headers={"F0": ["same"], "F1": [f1_val]},
+                header_bytes=bytearray(
+                    f"WARC/1.1\r\nF0: same\r\nF1: {f1_val}\r\n".encode()
+                ),
+            )
+        ]
+        schema = RECORDS_MINI_SCHEMA + ", header_bytes binary"
+        return spark.createDataFrame(rows, schema)
+
+    def test_ndiff_of_near_matching_headers(self, spark):
+        """Sc9 parity: difflib.ndiff of the two header blocks (utf-8-replace
+        decoded, keepends splitlines), exactly as compare_headers.py:355-374."""
+        import difflib
+
+        a, b = self.archive(spark, "one"), self.archive(spark, "two")
+        got = analytics.near_match_header_diffs(
+            a, b, compare_fields=["F0", "F1"], near_match_fields=["F1"]
+        ).collect()
+        assert len(got) == 1
+        exp = list(
+            difflib.ndiff(
+                "WARC/1.1\r\nF0: same\r\nF1: one\r\n".splitlines(keepends=True),
+                "WARC/1.1\r\nF0: same\r\nF1: two\r\n".splitlines(keepends=True),
+            )
+        )
+        assert got[0]["diff"] == exp
+
+    def test_matching_pairs_produce_no_diffs(self, spark):
+        a, b = self.archive(spark, "one"), self.archive(spark, "one")
+        assert (
+            analytics.near_match_header_diffs(
+                a, b, compare_fields=["F0", "F1"], near_match_fields=["F1"]
+            ).count()
+            == 0
+        )
+
+
 class TestSummarize:
     @pytest.fixture(scope="class")
     def records(self, spark):

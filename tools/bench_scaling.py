@@ -73,10 +73,16 @@ def run_level(cpus: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.pop("WBX_INPUT_PARTITIONS", None)  # let bench derive 2*CPUS
-    env.setdefault("SPARK_GRAFT_REPS", "1")  # interleaved rounds instead
+    # 2 reps inside each fresh JVM with min kept: the FIRST execution of the
+    # frontier pipeline pays JIT/codegen warmup (measured ~2× on this host);
+    # steady-state throughput is the cluster-relevant number
+    env.setdefault("SPARK_GRAFT_REPS", "2")
     env.setdefault("SPARK_GRAFT_SUITE", "0")  # headline jobs only
-    env.setdefault("SPARK_GRAFT_AMPLIFY_FRONTIER", "20")
-    env.setdefault("SPARK_GRAFT_AMPLIFY_PAGES", "15")
+    # enough work per round that fixed stage overheads (~2s/job) amortize:
+    # 6M candidate URLs, 300k pages, input file count FIXED across levels
+    env.setdefault("SPARK_GRAFT_AMPLIFY_FRONTIER", "60")
+    env.setdefault("SPARK_GRAFT_AMPLIFY_PAGES", "60")
+    env.setdefault("SPARK_GRAFT_PAGE_FILES", "128")
     # a faithful N-core "cluster": pin the whole JVM (GC/shuffle threads
     # included) to N cpus, else local[8] borrows the other 24 cores
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")]
@@ -86,9 +92,15 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    # default pair is 4→16 (factor 4): with 32 busy threads the oversubscribed
+    # Firecracker host throttles sustained load several-fold (measured: the
+    # identical frontier job at local[32] flips between 8s and 60s across
+    # fresh JVMs while local[8] stays stable), so 8→32 measures the
+    # hypervisor, not the engine; 4→16 keeps the N→4N factor with honest
+    # CPU delivery on this host.
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     factor = n_big / n_small
 
     hw = hw_ceiling(n_small, n_big)

@@ -195,6 +195,52 @@ def pair_counts(records: DataFrame, exclude_file_uris: bool = False) -> DataFram
     )
 
 
+@F.pandas_udf(T.BinaryType())
+def target_uri_bytes_udf(header_bytes: pd.Series) -> pd.Series:
+    """Raw (undecoded) WARC-Target-URI bytes via the reference header
+    parser — the collision-safe report key of Sc7."""
+    from wbx.extract import get_field, parse_header_fields
+
+    out = []
+    for hb in header_bytes:
+        if hb is None:
+            out.append(None)
+            continue
+        out.append(get_field(parse_header_fields(bytes(hb)), "WARC-Target-URI", b""))
+    return pd.Series(out, dtype=object)
+
+
+def pair_summary_by_uri_decoded(
+    records: DataFrame, exclude_file_uris: bool = True
+) -> DataFrame:
+    """Sc7 parity (scripts/match_record_pairs.py:169-189): the by-URI pair
+    summary keyed by the RAW Target-URI bytes, reported in the reference's
+    three decodings — latin1 (readable, bijective with the bytes, so no
+    collisions), utf-8-replace, and base64-ascii.
+
+    Keying by the latin-1 decoding IS keying by the raw bytes (latin-1 is a
+    bijection byte↔codepoint), so FIFO matching groups exactly like the
+    reference even when two byte sequences utf-8-replace-decode to the same
+    string. The bytes are recovered JVM-side with encode(…, 'ISO-8859-1')
+    for the base64 column; utf-8-replace uses the byte-exact Python UDF."""
+    from wbx.extract import utf8_replace_udf
+
+    keyed = records.withColumn(
+        "target_uri",
+        F.decode(target_uri_bytes_udf(F.col("header_bytes")), "ISO-8859-1"),
+    )
+    summary = pair_summary_by_uri(keyed, exclude_file_uris)
+    raw = F.encode(F.col("target_uri"), "ISO-8859-1")
+    return summary.select(
+        F.col("target_uri").alias("uri_latin1"),
+        utf8_replace_udf(raw).alias("uri_utf8_replace"),
+        F.base64(raw).alias("uri_base64"),
+        "pairs",
+        "lone_requests",
+        "lone_responses",
+    )
+
+
 def pair_summary_by_uri(records: DataFrame, exclude_file_uris: bool = True) -> DataFrame:
     """A7: per-URI pair/lone counts, sorted for stable reports (O2)."""
     return (
@@ -234,6 +280,7 @@ def compare_headers(
     records2: DataFrame,
     compare_fields: list[str] | None = None,
     near_match_fields: list[str] | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Classify records across two archives (compare_headers.py:21-328).
 
@@ -248,6 +295,8 @@ def compare_headers(
     Returns one row per classified record-pair or lone record:
     (warc_type, target_uri, seq, side ∈ {both, left, right},
      status ∈ {matching, near_matching, unique, skipped}).
+    `carry_cols` rides extra record columns through as l_<col>/r_<col>
+    (used by near_match_header_diffs for Sc9 diff output).
     """
     compare_fields = compare_fields or list(DEFAULT_COMPARE_FIELDS)
     near_match_fields = near_match_fields or list(DEFAULT_COMPARE_FIELDS)
@@ -267,6 +316,8 @@ def compare_headers(
         ]
         for i, field in enumerate(compare_fields):
             cols.append(_field_value(field).alias(f"{tag}_f{i}"))
+        for c in carry_cols or []:
+            cols.append(F.col(c).alias(f"{tag}_{c}"))
         return base.select(*cols)
 
     left = prep(records1, "l")
@@ -307,6 +358,7 @@ def compare_headers(
         .alias("_field_status"),
         "l_n",
         "r_n",
+        *[F.col(f"{tag}_{c}") for c in (carry_cols or []) for tag in ("l", "r")],
     )
     wkey = Window.partitionBy("warc_type", "target_uri")
     key_l_n = F.max("l_n").over(wkey)
@@ -320,6 +372,7 @@ def compare_headers(
         .when(key_l_n != key_r_n, "skipped")
         .otherwise(F.col("_field_status"))
         .alias("status"),
+        *[F.col(f"{tag}_{c}") for c in (carry_cols or []) for tag in ("l", "r")],
     )
 
 
@@ -352,6 +405,56 @@ def compare_headers_summary(
             ).otherwise(0)
         ).alias("unique2"),
     )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _ndiff_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """difflib.ndiff of two byte blocks (utf-8-replace decoded, splitlines
+    with keepends) — Sc9 parity with compare_headers.py:355-391."""
+    import difflib
+
+    out = []
+    for x, y in zip(a, b):
+        xs = (bytes(x).decode("utf-8", errors="replace") if x is not None else "").splitlines(
+            keepends=True
+        )
+        ys = (bytes(y).decode("utf-8", errors="replace") if y is not None else "").splitlines(
+            keepends=True
+        )
+        out.append(list(difflib.ndiff(xs, ys)))
+    return pd.Series(out, dtype=object)
+
+
+def near_match_header_diffs(
+    records1: DataFrame,
+    records2: DataFrame,
+    compare_fields: list[str] | None = None,
+    near_match_fields: list[str] | None = None,
+    http: bool = False,
+) -> DataFrame:
+    """Sc9: per near-matching record pair, the line-level difflib.ndiff of
+    the two WARC header blocks (http=True diffs the HTTP header blocks
+    instead, empty string when a side has none — reference
+    compare_headers.py:355-391). Returns (warc_type, target_uri, seq,
+    diff array<string>) in deterministic key order."""
+    carry = ["header_bytes", "content_block"] if http else ["header_bytes"]
+    classified = compare_headers(
+        records1, records2, compare_fields, near_match_fields, carry_cols=carry
+    )
+    near = classified.filter(F.col("status") == "near_matching")
+    if http:
+        from wbx.extract import http_header_block_udf
+
+        left = http_header_block_udf(F.col("l_content_block"), F.col("l_header_bytes"))
+        right = http_header_block_udf(F.col("r_content_block"), F.col("r_header_bytes"))
+    else:
+        left, right = F.col("l_header_bytes"), F.col("r_header_bytes")
+    return near.select(
+        "warc_type",
+        "target_uri",
+        "seq",
+        _ndiff_udf(left, right).alias("diff"),
+    ).orderBy("warc_type", "target_uri", "seq")
 
 
 def uri_set_ops(records1: DataFrame, records2: DataFrame) -> dict[str, DataFrame]:

@@ -170,7 +170,11 @@ def cmd_match_pairs(args) -> None:
     spark = _spark("match-pairs")
     records = load_records(spark, args.input, args.input_format, args.style)
     summary = analytics.pair_counts(records, exclude_file_uris=args.exclude_file_uris)
-    by_uri = analytics.pair_summary_by_uri(records)
+    by_uri = (
+        analytics.pair_summary_by_uri_decoded(records)
+        if args.decode_uris
+        else analytics.pair_summary_by_uri(records)
+    )
     _emit(
         {
             "counts": [r.asDict() for r in summary.collect()],
@@ -189,7 +193,14 @@ def cmd_compare_headers(args) -> None:
     fields = args.fields.split(",") if args.fields else None
     near = args.near_fields.split(",") if args.near_fields else None
     summary = analytics.compare_headers_summary(r1, r2, fields, near)
-    _emit({"summary": [r.asDict() for r in summary.collect()]}, args.format)
+    out = {"summary": [r.asDict() for r in summary.collect()]}
+    if args.near_header_diffs:
+        diffs = analytics.near_match_header_diffs(r1, r2, fields, near)
+        out["near_matching_header_diffs"] = [r.asDict() for r in diffs.collect()]
+    if args.near_http_header_diffs:
+        diffs = analytics.near_match_header_diffs(r1, r2, fields, near, http=True)
+        out["near_matching_http_header_diffs"] = [r.asDict() for r in diffs.collect()]
+    _emit(out, args.format)
 
 
 def cmd_compare_parsers(args) -> None:
@@ -320,6 +331,8 @@ def main(argv=None) -> int:
     s = sub.add_parser("match-pairs")
     common(s)
     s.add_argument("--exclude-file-uris", action="store_true")
+    s.add_argument("--decode-uris", action="store_true",
+                   help="report by-URI keys in latin1/utf-8-replace/base64 (Sc7)")
     s.set_defaults(fn=cmd_match_pairs)
 
     s = sub.add_parser("compare-headers")
@@ -327,6 +340,8 @@ def main(argv=None) -> int:
     s.add_argument("--input2", required=True)
     s.add_argument("--fields")
     s.add_argument("--near-fields")
+    s.add_argument("--near-header-diffs", action="store_true")
+    s.add_argument("--near-http-header-diffs", action="store_true")
     s.set_defaults(fn=cmd_compare_headers)
 
     s = sub.add_parser("compare-parsers")

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # optional codecs — not in this container; gate behind import-try
+try:  # python wheels if present; else the ctypes system-library bindings
     import brotli  # type: ignore[import-not-found]
 except ImportError:  # pragma: no cover
     brotli = None
@@ -55,6 +55,8 @@ try:
     import pyzstd  # type: ignore[import-not-found]
 except ImportError:  # pragma: no cover
     pyzstd = None
+
+from wbx import codecs as _codecs
 
 
 class DecodingError(Exception):
@@ -173,13 +175,19 @@ def _decode_one(body: bytes, encoding: str) -> bytes:
     if encoding == "deflate":
         return zlib.decompress(body, -15)
     if encoding == "br":
-        if brotli is None:
-            raise DecodingError("brotli codec not available in this environment")
-        return brotli.decompress(body)
+        if brotli is not None:
+            return brotli.decompress(body)
+        try:
+            return _codecs.brotli_decompress(body)
+        except (_codecs.CodecUnavailable, ValueError) as e:
+            raise DecodingError(f"brotli: {e}")
     if encoding == "zstd":
-        if pyzstd is None:
-            raise DecodingError("zstd codec not available in this environment")
-        return pyzstd.decompress(body)
+        if pyzstd is not None:
+            return pyzstd.decompress(body)
+        try:
+            return _codecs.zstd_decompress(body)
+        except (_codecs.CodecUnavailable, ValueError) as e:
+            raise DecodingError(f"zstd: {e}")
     if encoding in ("dcb", "dcz"):
         raise DecodingError(f"{encoding} decoding not yet implemented")
     if not encoding:

@@ -16,11 +16,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def warc_record_bytes(doc_id: int, text: str, gzip_body: bool = True) -> bytes:
+def warc_record_bytes(
+    doc_id: int, text: str, gzip_body: bool = True, encoding: str | None = None
+) -> bytes:
     body = text.encode("utf-8")
-    if gzip_body:
+    enc_name = encoding if encoding is not None else ("gzip" if gzip_body else None)
+    if enc_name == "gzip":
         body = _gzip.compress(body, 6, mtime=0)
         enc = b"Content-Encoding: gzip\r\n"
+    elif enc_name == "br":
+        from wbx.codecs import brotli_compress
+
+        body = brotli_compress(body)
+        enc = b"Content-Encoding: br\r\n"
+    elif enc_name == "zstd":
+        from wbx.codecs import zstd_compress
+
+        body = zstd_compress(body)
+        enc = b"Content-Encoding: zstd\r\n"
     else:
         enc = b""
     http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + enc + b"\r\n" + body
@@ -48,14 +61,23 @@ def synth_warc_files(
     junk_every=N plants a non-WARC line ``JUNK <doc_id>\\r\\n`` after the
     record of every doc_id divisible by N — malformed input is first-class
     in the reference (UnparsableLine side-channel), so fixtures can produce
-    it deterministically."""
+    it deterministically.
+
+    gzip_body="mixed" rotates the HTTP Content-Encoding through
+    gzip/br/zstd by doc_id%3 (full codec parity via wbx.codecs)."""
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
         parts = []
         for _, r in pdf.iterrows():
             doc_id = int(r["doc_id"])
-            parts.append(warc_record_bytes(doc_id, str(r["text"]), gzip_body))
+            if gzip_body == "mixed":
+                enc = ["gzip", "br", "zstd"][doc_id % 3]
+                parts.append(
+                    warc_record_bytes(doc_id, str(r["text"]), encoding=enc)
+                )
+            else:
+                parts.append(warc_record_bytes(doc_id, str(r["text"]), gzip_body))
             parts.append(b"\r\n\r\n")
             if junk_every and doc_id % junk_every == 0:
                 parts.append(f"JUNK {doc_id}\r\n".encode("ascii"))

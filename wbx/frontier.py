@@ -50,41 +50,86 @@ def canonicalize_url(url: Column) -> Column:
     - strip default port (http:80, https:443)
     - empty path → "/"
 
-    Component-based single extraction (scheme / authority / rest each pulled
-    once from the defragged input) so the Catalyst expression tree stays
-    small — a naive step-by-step rewrite chain self-references the previous
-    step several times and the inlined tree grows exponentially (measured:
-    66 regex ops/row optimized; this form: ~12).
+    This is THE hot kernel of the frontier (every candidate and every seen
+    key passes through it); stage profiling measured the earlier
+    regex-component form at ~110 µs/URL — regexp dominated the whole crawl
+    round's CPU. This form uses only cheap string primitives (locate /
+    substring / substring_index / endswith), with a single short ``rlike``
+    on the already-extracted scheme token to keep the reference's
+    scheme-charset rule. Semantics are pinned by tests/test_frontier.py
+    CANON_CASES and the url_canonicalize oracle.
     """
-    u0 = F.regexp_replace(F.trim(url), r"#.*$", "")  # defrag
-    scheme = F.lower(F.regexp_extract(u0, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    after = F.regexp_replace(u0, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    auth = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
-    rest = F.regexp_replace(after, r"^[^/?#]*", "")
+    u0 = F.substring_index(F.trim(url), "#", 1)  # defrag ('' stays '')
+    sep = F.instr(u0, "://")
+    scheme_raw = F.substring(u0, 1, sep - 1)
+    scheme_ok = (sep > 0) & scheme_raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$")
+    scheme = F.lower(scheme_raw)
+    after = F.substring(u0, sep + 3, F.lit(1 << 30))
+    # authority ends at the first '/' or '?' ('#' already stripped)
+    slash = F.locate("/", after)
+    qm = F.locate("?", after)
+    cut = (
+        F.when((slash > 0) & ((qm == 0) | (slash < qm)), slash)
+        .when(qm > 0, qm)
+        .otherwise(F.lit(0))
+    )
+    auth = F.lower(F.when(cut > 0, F.substring(after, 1, cut - 1)).otherwise(after))
+    rest = F.when(cut > 0, F.substring(after, cut, F.lit(1 << 30))).otherwise(
+        F.lit("/")  # no path/query at all → "/"
+    )
     # strip default port (auth is host[:port] — ':80$' can only be the port)
     auth = (
-        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        F.when(
+            (scheme == "http") & auth.endswith(":80"),
+            F.substring(auth, 1, F.length(auth) - 3),
+        )
+        .when(
+            (scheme == "https") & auth.endswith(":443"),
+            F.substring(auth, 1, F.length(auth) - 4),
+        )
         .otherwise(auth)
     )
-    # empty path (no /?#-tail at all) → "/"
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
     # scheme-less input keeps the reference quirk: "://" + input unchanged
-    return F.when(scheme == "", F.concat(F.lit("://"), after)).otherwise(
+    return F.when(~scheme_ok, F.concat(F.lit("://"), u0)).otherwise(
         F.concat(scheme, F.lit("://"), auth, rest)
     )
 
 
+def _split_authority(canon_url: Column) -> tuple[Column, Column, Column]:
+    """(scheme_ok, authority, rest) via string primitives — shared hot-path
+    skeleton for url_host/url_path (same cost rationale as
+    canonicalize_url; a canonical URL has no fragment)."""
+    sep = F.instr(canon_url, "://")
+    scheme_ok = (sep > 0) & F.substring(canon_url, 1, sep - 1).rlike(
+        r"^[a-z][a-z0-9+.-]*$"
+    )
+    after = F.substring(canon_url, sep + 3, F.lit(1 << 30))
+    slash = F.locate("/", after)
+    qm = F.locate("?", after)
+    cut = (
+        F.when((slash > 0) & ((qm == 0) | (slash < qm)), slash)
+        .when(qm > 0, qm)
+        .otherwise(F.lit(0))
+    )
+    auth = F.when(cut > 0, F.substring(after, 1, cut - 1)).otherwise(after)
+    rest = F.when(cut > 0, F.substring(after, cut, F.lit(1 << 30))).otherwise(F.lit(""))
+    return scheme_ok, auth, rest
+
+
 def url_host(canon_url: Column) -> Column:
     """Lowercase host (no port, no userinfo) of a canonical URL."""
-    authority = F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
-    no_user = F.regexp_replace(authority, r"^.*@", "")
-    return F.regexp_replace(no_user, r":[0-9]+$", "")
+    scheme_ok, auth, _ = _split_authority(canon_url)
+    no_user = F.substring_index(auth, "@", -1)
+    host = F.regexp_replace(no_user, r":[0-9]+$", "")  # short-token regex
+    return F.when(scheme_ok, host).otherwise(F.lit(""))
 
 
 def url_path(canon_url: Column) -> Column:
     """Path component (leading /, no query/fragment); empty → "/"."""
-    p = F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    scheme_ok, _, rest = _split_authority(canon_url)
+    p = F.when(
+        scheme_ok & rest.startswith("/"), F.substring_index(rest, "?", 1)
+    ).otherwise(F.lit(""))
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
