@@ -529,6 +529,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "delimiter"
     )
 
+    def text_fused(spark, sf):
+        """Fused scan+extract hot path (wbx.warcio.scan_files_to_text):
+        same byte-identity invariant as the roundtrip queries but with one
+        Python stage and no payload bytes crossing the Arrow boundary."""
+        from wbx.fixtures import synth_warc_files
+        from wbx.warcio import scan_files_to_text
+
+        files = synth_warc_files(_t(spark, sf, "documents"))
+        return scan_files_to_text(files).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+            "target_uri",
+            F.col("http_status").cast("long").alias("http_status"),
+            F.col("text").alias("text_out"),
+        )
+
+    q["warc_text_fused"] = text_fused
+
     def unparsable(spark, sf):
         from wbx.fixtures import synth_warc_files
         from wbx.warcio import scan_files_to_unparsable
@@ -863,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_roundtrip_content_length": _WARC_ROUNDTRIP_ORACLE,
         "warc_roundtrip_codecs": _WARC_ROUNDTRIP_ORACLE,
+        "warc_text_fused": _WARC_ROUNDTRIP_ORACLE,
         # delimiter mode: the reference truncates the last record of a file
         # ending in CRLFCRLF (no WARC magic follows at EOF) to (start, start)
         # — its header still parses but the content block is empty, so

@@ -184,19 +184,20 @@ def materialize_warc_corpus(spark) -> str:
 
 
 def bench_warc_parse(spark, corpus_path: str) -> tuple[float, int]:
+    """Scan + byte-exact text extraction via the fused kernel
+    (wbx.warcio.scan_files_to_text): one Python stage, payload bytes never
+    cross the Arrow boundary. Parity with the two-stage general path is
+    pinned by tests/test_warcio.py::TestFusedTextScan."""
     from pyspark.sql import functions as F
 
-    from wbx.extract import extract_text_udf
-    from wbx.warcio import scan_files_to_records
+    from wbx.warcio import scan_files_to_text
 
     files = spark.read.parquet(corpus_path)
     files.count()  # warm the page cache; scan itself is the timed region
     t0 = time.time()
-    recs = scan_files_to_records(files)
     n = (
-        recs.filter(F.col("is_warc"))
-        .select(extract_text_udf(F.col("content_block"), F.col("header_bytes")).alias("t"))
-        .filter(F.col("t").isNotNull())
+        scan_files_to_text(files)
+        .filter(F.col("text").isNotNull())
         .count()
     )
     dt = time.time() - t0

@@ -292,3 +292,123 @@ class TestSparkScan:
         assert [(d["kind"], d["message"]) for d in diag] == [
             ("error", "No WARC header found.")
         ]
+
+
+def _mixed_corpus(spark):
+    """Plain + record-gz containers, warcinfo/request/response records,
+    gzip/br/zstd bodies, junk lines — every shape the scan kernels handle."""
+    from wbx.fixtures import synth_warc_files, synth_warc_files_rich
+
+    docs = spark.range(24).selectExpr(
+        "id AS doc_id", "concat('fused parity text ', id, ' lorem ipsum') AS text"
+    )
+    rich = synth_warc_files_rich(docs, n_files=4)
+    coded = synth_warc_files(
+        docs, n_files=2, gzip_body="mixed", prefix="coded", junk_every=5
+    )
+    return rich.unionByName(coded)
+
+
+class TestFusedTextScan:
+    """scan_files_to_text must be indistinguishable (on its columns) from
+    scan_files_to_records → extract_text_udf — the fused hot path is an
+    optimization, never a semantics change."""
+
+    def test_fused_matches_general_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from wbx.extract import extract_text_udf
+
+        files = _mixed_corpus(spark)
+        general = (
+            warcio.scan_files_to_records(files)
+            .filter(F.col("is_warc"))
+            .select(
+                "source_file",
+                "record_start",
+                "record_end",
+                "warc_type",
+                "target_uri",
+                "http_status",
+                extract_text_udf(
+                    F.col("content_block"), F.col("header_bytes")
+                ).alias("text"),
+            )
+        )
+        fused = warcio.scan_files_to_text(files)
+        a = sorted(tuple(r) for r in general.collect())
+        b = sorted(tuple(r) for r in fused.collect())
+        assert a == b
+        assert any(r[6] for r in b)  # texts actually extracted
+
+    def test_fused_delimiter_style(self, spark):
+        # rich corpus only: delimiter scanning over COMPRESSED bodies that
+        # happen to contain CRLFCRLF mis-splits records and the decode then
+        # raises — identically on both paths (reference DecodingException
+        # parity), so the comparison needs text bodies.
+        from pyspark.sql import functions as F
+
+        from wbx.extract import extract_text_udf
+        from wbx.fixtures import synth_warc_files_rich
+
+        docs = spark.range(24).selectExpr(
+            "id AS doc_id", "concat('fused parity text ', id) AS text"
+        )
+        files = synth_warc_files_rich(docs, n_files=4)
+        general = (
+            warcio.scan_files_to_records(files, style="delimiter")
+            .filter(F.col("is_warc"))
+            .select(
+                "source_file",
+                "record_start",
+                extract_text_udf(
+                    F.col("content_block"), F.col("header_bytes")
+                ).alias("text"),
+            )
+        )
+        fused = warcio.scan_files_to_text(files, style="delimiter").select(
+            "source_file", "record_start", "text"
+        )
+        assert sorted(map(tuple, general.collect())) == sorted(
+            map(tuple, fused.collect())
+        )
+
+
+class TestColumnPruning:
+    """scan_files_to_records(columns=...) must agree with the full scan on
+    the requested columns for every container/record shape."""
+
+    def test_pruned_matches_full(self, spark):
+        files = _mixed_corpus(spark)
+        cols = [
+            "source_file",
+            "record_start",
+            "warc_type",
+            "target_uri",
+            "http_status",
+            "http_verb",
+            "content_length",
+            "is_warc",
+        ]
+        full = warcio.scan_files_to_records(files).select(*cols)
+        pruned = warcio.scan_files_to_records(files, columns=cols)
+        assert set(pruned.columns) == set(cols)  # RECORDS order, caller's set
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, pruned.select(*cols).collect())
+        )
+
+    def test_pruned_offsets_only(self, spark):
+        files = _mixed_corpus(spark)
+        cols = ["source_file", "record_start", "record_end", "is_warc"]
+        full = warcio.scan_files_to_records(files).select(*cols)
+        pruned = warcio.scan_files_to_records(files, columns=cols).select(*cols)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, pruned.collect())
+        )
+
+    def test_unknown_column_rejected(self, spark):
+        files = _mixed_corpus(spark)
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown record columns"):
+            warcio.scan_files_to_records(files, columns=["nope"])

@@ -33,7 +33,14 @@ def _spark(app: str) -> SparkSession:
     return get_spark(app_name=f"wbx-{app}")
 
 
-def load_records(spark: SparkSession, path: str, fmt: str, style: str) -> DataFrame:
+def load_records(
+    spark: SparkSession, path: str, fmt: str, style: str, columns=None
+) -> DataFrame:
+    """``columns``: optional pruning set pushed INTO the scan kernel — for
+    parquet input Catalyst prunes the scan natively, but a projection can't
+    cross the mapInPandas boundary, so archive scans take it explicitly
+    (commands with a closed column set pass it; payload-consuming commands
+    like extract keep the full schema)."""
     if fmt == "parquet":
         return spark.read.parquet(path)
     from wbx.warcio import scan_files_to_records
@@ -44,7 +51,7 @@ def load_records(spark: SparkSession, path: str, fmt: str, style: str) -> DataFr
         .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
         .select(F.col("path").alias("source_file"), "content")
     )
-    return scan_files_to_records(files, style=style)
+    return scan_files_to_records(files, style=style, columns=columns)
 
 
 def _emit(obj, fmt: str) -> None:
@@ -64,7 +71,15 @@ def cmd_summarize(args) -> None:
     from wbx import analytics
 
     spark = _spark("summarize")
-    records = load_records(spark, args.input, args.input_format, args.style)
+    records = load_records(
+        spark,
+        args.input,
+        args.input_format,
+        args.style,
+        # closed column set of the A1–A4 aggregates: the kernel never slices
+        # payload bytes, so Arrow ships KBs per archive instead of the archive
+        columns=["warc_type", "target_uri", "content_type", "http_content_type"],
+    )
     out = {}
     parts = analytics.summarize(records)
     out["record_count"] = parts["record_count"].collect()[0]["record_count"]
@@ -205,9 +220,9 @@ def cmd_compare_headers(args) -> None:
 
 def cmd_compare_parsers(args) -> None:
     spark = _spark("compare-parsers")
-    a = load_records(spark, args.input, "warc", "content_length")
-    b = load_records(spark, args.input, "warc", "delimiter")
     cols = ["source_file", "record_start", "record_end"]
+    a = load_records(spark, args.input, "warc", "content_length", columns=cols)
+    b = load_records(spark, args.input, "warc", "delimiter", columns=cols)
     only_a = a.select(*cols).join(b.select(*cols), cols, "left_anti")
     only_b = b.select(*cols).join(a.select(*cols), cols, "left_anti")
     _emit(

@@ -58,6 +58,20 @@ RECORDS = T.StructType(
     ]
 )
 
+# Output of the fused scan+extract hot path (warcio.scan_files_to_text):
+# payload bytes never cross the Arrow boundary, only these slim columns do.
+TEXT_RECORDS = T.StructType(
+    [
+        T.StructField("source_file", T.StringType(), False),
+        T.StructField("record_start", T.LongType(), True),
+        T.StructField("record_end", T.LongType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
 UNPARSABLE_LINES = T.StructType(
     [
         T.StructField("source_file", T.StringType(), False),

@@ -53,8 +53,6 @@ from wbx.extract import (
     HTTP_VERB_RE,
     decode_header_fields,
     parse_header_fields,
-    split_http_message,
-    utf8_replace,
     warc_content_type_is_http,
 )
 
@@ -94,6 +92,24 @@ def _header_block_end(data: bytes, pos: int) -> int | None:
         cur = end
 
 
+# column-pruning groups: which output columns force which per-record work.
+# Catalyst can't prune a projection through mapInPandas, so the scan kernels
+# accept an explicit `wanted` set (None = everything) and skip building
+# anything no requested column derives from — the Python-boundary analogue
+# of a data source's column pruning.
+_WARC_FIELD_COLS = frozenset({"headers", "warc_type", "target_uri", "warc_date"})
+_HTTP_COLS = frozenset({"http_status", "http_verb", "http_content_type"})
+
+
+def _first_decoded(fields: dict[bytes, list[bytes | None]], name: bytes) -> str | None:
+    """decoded[name][0] without materializing the whole decoded map."""
+    values = fields.get(name)
+    if not values:
+        return None
+    v = values[0]
+    return v.decode("utf-8", errors="replace") if v else None
+
+
 def _emit_record(
     result: ScanResult,
     source: str,
@@ -106,77 +122,101 @@ def _emit_record(
     content_end: int,
     member: tuple[int, int, int, int] | None = None,
     check_content_length: bool = False,
+    wanted: frozenset[str] | None = None,
 ) -> None:
+    need = (lambda _k: True) if wanted is None else wanted.__contains__
     header_bytes = data[header_start:header_end]
-    content = data[content_start:content_end]
-    fields = parse_header_fields(header_bytes)
-    decoded = decode_header_fields(fields)
+    rec: dict = {
+        "source_file": source,
+        "member_start": member[0] if member else None,
+        "member_end": member[1] if member else None,
+        "unc_start": member[2] if member else None,
+        "unc_end": member[3] if member else None,
+        "record_start": record_start,
+        "record_end": record_end,
+        "header_start": header_start,
+        "header_end": header_end,
+        "content_start": content_start,
+        "content_end": content_end,
+        "is_warc": True,
+    }
 
-    def first(name: str) -> str | None:
-        values = decoded.get(name)
-        return values[0] if values else None
+    if wanted is None or (wanted & _WARC_FIELD_COLS):
+        fields = parse_header_fields(header_bytes)
+        if need("headers"):
+            decoded = decode_header_fields(fields)
+            rec["headers"] = decoded
 
-    version = None
-    magic = _at_magic(data, record_start)
-    if magic:
-        version = magic[:-2].decode("ascii")
+            def first(name: str) -> str | None:
+                values = decoded.get(name)
+                return values[0] if values else None
 
-    cl_match = CONTENT_LENGTH_RE.search(header_bytes)
-    content_length = int(cl_match.group(1)) if cl_match else None
-    ct_match = CONTENT_TYPE_RE.search(header_bytes)
-    content_type = (
-        ct_match.group(1).decode("utf-8", errors="replace") if ct_match else None
-    )
+            rec["warc_type"] = first("WARC-Type")
+            rec["target_uri"] = first("WARC-Target-URI")
+            rec["warc_date"] = first("WARC-Date")
+        else:
+            rec["warc_type"] = _first_decoded(fields, b"WARC-Type")
+            rec["target_uri"] = _first_decoded(fields, b"WARC-Target-URI")
+            rec["warc_date"] = _first_decoded(fields, b"WARC-Date")
 
-    http_status = http_verb = http_ct = None
-    if warc_content_type_is_http(header_bytes):
-        http_header, _ = split_http_message(content)
-        if http_header is not None:
-            sm = HTTP_STATUS_RE.search(http_header)
-            if sm:
-                http_status = int(sm.group(1))
-            vm = HTTP_VERB_RE.match(http_header)
-            if vm:
-                http_verb = vm.group(1).decode("ascii")
-            cm = CONTENT_TYPE_RE.search(http_header)
-            if cm:
-                http_ct = cm.group(1).decode("utf-8", errors="replace")
+    if need("warc_version"):
+        magic = _at_magic(data, record_start)
+        rec["warc_version"] = magic[:-2].decode("ascii") if magic else None
 
-    content_length_ok = None
-    if check_content_length:
-        content_length_ok = (
-            content_length is not None and (content_end - content_start) == content_length
+    content_length = None
+    if need("content_length") or need("content_length_ok"):
+        cl_match = CONTENT_LENGTH_RE.search(header_bytes)
+        content_length = int(cl_match.group(1)) if cl_match else None
+        rec["content_length"] = content_length
+    if need("content_type"):
+        ct_match = CONTENT_TYPE_RE.search(header_bytes)
+        rec["content_type"] = (
+            ct_match.group(1).decode("utf-8", errors="replace") if ct_match else None
         )
 
-    result.records.append(
-        {
-            "source_file": source,
-            "member_start": member[0] if member else None,
-            "member_end": member[1] if member else None,
-            "unc_start": member[2] if member else None,
-            "unc_end": member[3] if member else None,
-            "record_start": record_start,
-            "record_end": record_end,
-            "header_start": header_start,
-            "header_end": header_end,
-            "content_start": content_start,
-            "content_end": content_end,
-            "warc_version": version,
-            "headers": decoded,
-            "warc_type": first("WARC-Type"),
-            "target_uri": first("WARC-Target-URI"),
-            "warc_date": first("WARC-Date"),
-            "content_type": content_type,
-            "content_length": content_length,
-            "header_bytes": header_bytes,
-            "content_block": content,
-            "http_status": http_status,
-            "http_verb": http_verb,
-            "http_content_type": http_ct,
-            "content_length_ok": content_length_ok,
-            "is_warc": True,
-        }
-    )
+    if wanted is None or (wanted & _HTTP_COLS):
+        http_status = http_verb = http_ct = None
+        if warc_content_type_is_http(header_bytes):
+            # split_http_message parity without slicing the whole content
+            # block: find()==0 (content starts with CRLFCRLF) → no split
+            # (the truthiness quirk); find()==-1 → header is the whole block.
+            idx = data.find(CRLF * 2, content_start, content_end)
+            http_header = (
+                None
+                if idx == content_start
+                else data[content_start : (idx if idx != -1 else content_end)]
+            )
+            if http_header is not None:
+                sm = HTTP_STATUS_RE.search(http_header)
+                if sm:
+                    http_status = int(sm.group(1))
+                if need("http_verb"):
+                    vm = HTTP_VERB_RE.match(http_header)
+                    if vm:
+                        http_verb = vm.group(1).decode("ascii")
+                if need("http_content_type"):
+                    cm = CONTENT_TYPE_RE.search(http_header)
+                    if cm:
+                        http_ct = cm.group(1).decode("utf-8", errors="replace")
+        rec["http_status"] = http_status
+        rec["http_verb"] = http_verb
+        rec["http_content_type"] = http_ct
+
+    if need("header_bytes"):
+        rec["header_bytes"] = header_bytes
+    if need("content_block"):
+        rec["content_block"] = data[content_start:content_end]
+
+    if need("content_length_ok"):
+        content_length_ok = None
+        if check_content_length:
+            content_length_ok = (
+                content_length is not None
+                and (content_end - content_start) == content_length
+            )
+        rec["content_length_ok"] = content_length_ok
+
+    result.records.append(rec)
 
 
 def _scavenge_junk(
@@ -199,7 +239,9 @@ def _scavenge_junk(
     return None
 
 
-def scan_warc_content_length(data: bytes, source: str = "") -> ScanResult:
+def scan_warc_content_length(
+    data: bytes, source: str = "", wanted: frozenset[str] | None = None
+) -> ScanResult:
     """Content-length strategy (reference parsers/warc.py:404-508 parity)."""
     result = ScanResult()
 
@@ -251,6 +293,7 @@ def scan_warc_content_length(data: bytes, source: str = "") -> ScanResult:
             header_end=header_end,
             content_start=content_start,
             content_end=content_end,
+            wanted=wanted,
         )
 
         pos = content_end
@@ -301,7 +344,9 @@ def _find_delimiter(data: bytes, pos: int) -> int | None:
         cur = end
 
 
-def scan_warc_delimiter(data: bytes, source: str = "") -> ScanResult:
+def scan_warc_delimiter(
+    data: bytes, source: str = "", wanted: frozenset[str] | None = None
+) -> ScanResult:
     """Delimiter strategy (reference parsers/warc.py:277-401 parity)."""
     result = ScanResult()
 
@@ -345,6 +390,7 @@ def scan_warc_delimiter(data: bytes, source: str = "") -> ScanResult:
                 content_start=content_start,
                 content_end=record_end,
                 check_content_length=True,
+                wanted=wanted,
             )
         else:
             result.warnings.append(
@@ -357,11 +403,16 @@ def scan_warc_delimiter(data: bytes, source: str = "") -> ScanResult:
     return result
 
 
-def scan_warc(data: bytes, source: str = "", style: str = "content_length") -> ScanResult:
+def scan_warc(
+    data: bytes,
+    source: str = "",
+    style: str = "content_length",
+    wanted: frozenset[str] | None = None,
+) -> ScanResult:
     if style == "content_length":
-        return scan_warc_content_length(data, source)
+        return scan_warc_content_length(data, source, wanted)
     if style == "delimiter":
-        return scan_warc_delimiter(data, source)
+        return scan_warc_delimiter(data, source, wanted)
     raise ValueError("Supported parsing styles: delimiter, content_length")
 
 
@@ -408,7 +459,10 @@ def decompress_member(data: bytes, comp_start: int, comp_end: int) -> bytes:
 
 
 def scan_warc_gz(
-    data: bytes, source: str = "", style: str = "content_length"
+    data: bytes,
+    source: str = "",
+    style: str = "content_length",
+    wanted: frozenset[str] | None = None,
 ) -> tuple[ScanResult, list[dict]]:
     """Two-stage gz scan: index members, decompress, scan records, attribute
     each record to its member by uncompressed offset.
@@ -426,7 +480,7 @@ def scan_warc_gz(
         warn = None
 
     unc = b"".join(decompress_member(data, m[0], m[1]) for m in members)
-    result = scan_warc(unc, source, style)
+    result = scan_warc(unc, source, style, wanted)
     if warn:
         result.warnings.insert(0, warn)
 
@@ -502,14 +556,18 @@ def resolve_archive(source: str, data: bytes, gz_hint: bool | None = None) -> tu
 
 
 def scan_archive(
-    data: bytes, source: str, style: str = "content_length", gz_hint: bool | None = None
+    data: bytes,
+    source: str,
+    style: str = "content_length",
+    gz_hint: bool | None = None,
+    wanted: frozenset[str] | None = None,
 ) -> tuple[ScanResult, list[dict]]:
     """Container-transparent scan: wacz → unwrap, gz → member-indexed scan,
     plain → direct scan. Returns (ScanResult, non_warc_member_rows)."""
     data, gz = resolve_archive(source, data, gz_hint)
     if gz:
-        return scan_warc_gz(data, source, style)
-    return scan_warc(data, source, style), []
+        return scan_warc_gz(data, source, style, wanted)
+    return scan_warc(data, source, style, wanted), []
 
 
 def open_wacz(data: bytes) -> bytes:
@@ -566,14 +624,35 @@ _REC_COLUMNS = [
 ]
 
 
-def scan_files_to_records(files_df, style: str = "content_length"):
+def scan_files_to_records(files_df, style: str = "content_length", columns=None):
     """(source_file string, content binary[, is_gz boolean]) → records DF.
 
     mapInPandas kernel: each input row is one archive file (or one member
     range at scale — the member index makes .warc.gz splittable so a 1 GB
     archive fans out across tasks). All byte work happens executor-side in
-    Arrow batches."""
+    Arrow batches.
+
+    ``columns``: optional subset of RECORDS column names to produce. Catalyst
+    cannot prune a projection through the mapInPandas boundary, so a query
+    that only needs e.g. (warc_type, target_uri) should pass them here — the
+    kernel then never slices payload bytes or builds the headers map, and the
+    Arrow transfer shrinks from ~the archive size to a few slim columns."""
+    from pyspark.sql import types as T
+
     from wbx.schema import RECORDS
+
+    if columns is None:
+        out_cols = _REC_COLUMNS
+        schema = RECORDS
+        wanted = None
+    else:
+        keep = set(columns) | {"source_file", "is_warc"}
+        unknown = keep - set(_REC_COLUMNS)
+        if unknown:
+            raise ValueError(f"unknown record columns: {sorted(unknown)}")
+        out_cols = [c for c in _REC_COLUMNS if c in keep]
+        schema = T.StructType([f for f in RECORDS.fields if f.name in keep])
+        wanted = frozenset(out_cols)
 
     has_gz = "is_gz" in files_df.columns
 
@@ -584,7 +663,7 @@ def scan_files_to_records(files_df, style: str = "content_length"):
                 data = bytes(row["content"])
                 gz_hint = bool(row["is_gz"]) if has_gz else None
                 result, non_warc = scan_archive(
-                    data, row["source_file"], style, gz_hint
+                    data, row["source_file"], style, gz_hint, wanted
                 )
                 rows.extend(result.records)
                 for m in non_warc:
@@ -599,12 +678,81 @@ def scan_files_to_records(files_df, style: str = "content_length"):
                             "is_warc": False,
                         }
                     )
-            out = pd.DataFrame(rows, columns=_REC_COLUMNS)
+            out = pd.DataFrame(rows, columns=out_cols)
             if not rows:
-                out = pd.DataFrame({c: pd.Series(dtype=object) for c in _REC_COLUMNS})
+                out = pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
             yield out
 
-    return files_df.mapInPandas(scan_batches, schema=RECORDS)
+    return files_df.mapInPandas(scan_batches, schema=schema)
+
+
+# what the fused text kernel needs from the record scan: URI/type for the
+# output, header+content bytes for the extractor (in-process only — they
+# never reach Arrow), http_status for the projection.
+_TEXT_WANTED = frozenset(
+    {"warc_type", "target_uri", "http_status", "header_bytes", "content_block"}
+)
+
+
+def scan_files_to_text(files_df, style: str = "content_length"):
+    """Fused scan + byte-exact text extraction — the 100-TB hot path.
+
+    The general path (scan_files_to_records → extract_text_udf) Arrow-ships
+    every record's payload bytes JVM→Python→JVM→Python because the two
+    Python stages are separate operators. This kernel runs scan and extract
+    in ONE Python pass per archive split: payload bytes stay in-process and
+    only the slim (source_file, offsets, type, uri, status, text) columns
+    cross the Arrow boundary — the dominant memory-bandwidth cost of the
+    pipeline disappears. Parity with the general path is pinned by
+    tests/test_warcio fused-parity tests; extraction semantics are
+    wbx.extract.extracted_text (reference models.py:153-170 behavior).
+
+    Non-WARC gzip members carry no text and are not emitted (the general
+    path keeps them as is_warc=false rows; use scan_files_to_records for
+    forensics)."""
+    from wbx.extract import extracted_text
+    from wbx.schema import TEXT_RECORDS
+
+    has_gz = "is_gz" in files_df.columns
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src: list = []
+            rstart: list = []
+            rend: list = []
+            wtype: list = []
+            uri: list = []
+            status: list = []
+            text: list = []
+            for _, row in pdf.iterrows():
+                data = bytes(row["content"])
+                gz_hint = bool(row["is_gz"]) if has_gz else None
+                result, _ = scan_archive(
+                    data, row["source_file"], style, gz_hint, _TEXT_WANTED
+                )
+                for rec in result.records:
+                    src.append(rec["source_file"])
+                    rstart.append(rec["record_start"])
+                    rend.append(rec["record_end"])
+                    wtype.append(rec["warc_type"])
+                    uri.append(rec["target_uri"])
+                    status.append(rec["http_status"])
+                    text.append(
+                        extracted_text(rec["content_block"], rec["header_bytes"])
+                    )
+            yield pd.DataFrame(
+                {
+                    "source_file": pd.Series(src, dtype=object),
+                    "record_start": pd.Series(rstart, dtype=object),
+                    "record_end": pd.Series(rend, dtype=object),
+                    "warc_type": pd.Series(wtype, dtype=object),
+                    "target_uri": pd.Series(uri, dtype=object),
+                    "http_status": pd.Series(status, dtype=object),
+                    "text": pd.Series(text, dtype=object),
+                }
+            )
+
+    return files_df.mapInPandas(scan_batches, schema=TEXT_RECORDS)
 
 
 def scan_files_to_unparsable(files_df, style: str = "content_length"):
