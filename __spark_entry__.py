@@ -405,6 +405,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", textops.lang_id(F.col("text")).alias("lang_pred")
     )
 
+    # winnowing fingerprint pipeline: hash values are xxhash64 (not
+    # reproducible in DuckDB), so the oracle pins the windowing arithmetic
+    # (count per doc) and pytest pins the algebraic guarantees.
+    q["text_rolling_hashes"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(textops.rolling_hashes(F.col("text"), window=8))
+        .cast("long")
+        .alias("n_hashes"),
+    )
+
+    q["text_winnow"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(textops.winnow(F.col("text"), window=8, guarantee=16))
+        .cast("long")
+        .alias("n_fingerprints"),
+    )
+
     def jaccard(spark, sf):
         docs = _t(spark, sf, "documents")
         a = docs.select(F.col("doc_id").alias("id_a"), F.col("source"))
@@ -639,6 +656,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_pairs_exact"] = cos_pairs
 
+    def emb_pairs(spark, sf):
+        """Embedding-cosine near-duplicate pairs via LSH blocking
+        (wbx.simsearch.pairwise_above_threshold). Returned sims are exact
+        cosine; blocking recall < 1 by construction, hence rows-only
+        (precision/recall are pinned in tests/test_simsearch.py)."""
+        emb = _t(spark, sf, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        # synthetic embeddings are near-orthogonal, so a production 0.9
+        # threshold returns nothing — 0.3 keeps the operator's output
+        # non-empty at every sf while exercising the same plan
+        return simsearch.pairwise_above_threshold(
+            emb, threshold=0.3, dim=dim, bits=10, tables=6
+        )
+
+    q["dedup_embedding_pairs"] = emb_pairs
+
     def compare_parsers(spark, sf):
         """wb compare-parsers parity: the content-length and delimiter scan
         strategies must produce identical record offsets on well-formed
@@ -758,6 +791,13 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             f"SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM documents"
         ),
+        # n_hashes = max(n_tokens - window + 1, 0); empty when n_tokens < 8
+        "text_rolling_hashes": f"""
+        SELECT doc_id,
+               CAST(CASE WHEN len({_TOKS}) < 8 THEN 0
+                         ELSE len({_TOKS}) - 7 END AS BIGINT) AS n_hashes
+        FROM documents
+        """,
         "text_quality": f"""
         SELECT doc_id,
                len({_TOKS}) AS n_tokens,

@@ -215,6 +215,7 @@ def main() -> None:
     throughput: dict[str, float] = {}
 
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    jobs = os.environ.get("SPARK_GRAFT_JOBS", "parse,frontier").split(",")
 
     import shutil
 
@@ -223,29 +224,31 @@ def main() -> None:
     # depresses a subsequent Python-kernel job by ~4× (measured). Inputs are
     # materialized once per process; reps time only the engine work and the
     # min is kept (host CPU-steal noise + first-rep JIT warmup).
-    corpus = materialize_warc_corpus(spark)
-    runs = []
-    for _ in range(reps):
-        runs.append(bench_warc_parse(spark, corpus))
-        spark.catalog.clearCache()
-    shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
-    dt, n_pages = min(runs, key=lambda r: r[0])
-    qtimes["warc_parse"] = round(dt, 3)
-    throughput["pages_parsed_per_sec"] = round(n_pages / dt)
-    throughput["pages_parsed"] = n_pages
+    if "parse" in jobs:
+        corpus = materialize_warc_corpus(spark)
+        runs = []
+        for _ in range(reps):
+            runs.append(bench_warc_parse(spark, corpus))
+            spark.catalog.clearCache()
+        shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
+        dt, n_pages = min(runs, key=lambda r: r[0])
+        qtimes["warc_parse"] = round(dt, 3)
+        throughput["pages_parsed_per_sec"] = round(n_pages / dt)
+        throughput["pages_parsed"] = n_pages
 
     # headline 2: frontier round
-    fbase = materialize_frontier_inputs(spark)
-    runs = []
-    for _ in range(reps):
-        runs.append(bench_frontier(spark, fbase))
-        spark.catalog.clearCache()
-    shutil.rmtree(fbase, ignore_errors=True)
-    dt, n_in, n_sched = min(runs, key=lambda r: r[0])
-    qtimes["frontier_round"] = round(dt, 3)
-    throughput["frontier_urls_per_sec"] = round(n_in / dt)
-    throughput["frontier_candidates"] = n_in
-    throughput["frontier_scheduled"] = n_sched
+    if "frontier" in jobs:
+        fbase = materialize_frontier_inputs(spark)
+        runs = []
+        for _ in range(reps):
+            runs.append(bench_frontier(spark, fbase))
+            spark.catalog.clearCache()
+        shutil.rmtree(fbase, ignore_errors=True)
+        dt, n_in, n_sched = min(runs, key=lambda r: r[0])
+        qtimes["frontier_round"] = round(dt, 3)
+        throughput["frontier_urls_per_sec"] = round(n_in / dt)
+        throughput["frontier_candidates"] = n_in
+        throughput["frontier_scheduled"] = n_sched
 
     # operator suite at sf scale (each is count-terminated)
     qs = entry.queries()

@@ -1,0 +1,141 @@
+"""Similarity-search tests: exact brute-force top-k pinned against a numpy
+oracle, LSH ANN recall/precision on clustered synthetic embeddings, and the
+embedding near-duplicate pair operator.
+
+The LSH operators are approximate by design (banding only prunes
+candidates), so the invariants pinned here are:
+- returned similarities are EXACT (the final filter/score is true cosine);
+- recall against brute-force ground truth is high on clustered data;
+- results are deterministic and independent of parallelism (fixed-seed
+  hyperplanes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wbx import simsearch
+
+
+def clustered_vectors(n_clusters=6, per_cluster=8, dim=16, noise=0.02, seed=7):
+    """Deterministic clustered unit vectors: items within a cluster have
+    cosine ~1-ε, across clusters ~uncorrelated."""
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + noise * rng.standard_normal(dim)
+            vecs.append(v / np.linalg.norm(v))
+    return np.array(vecs)
+
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def np_cosine_matrix(vecs):
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    return v @ v.T
+
+
+class TestBruteForce:
+    def test_topk_matches_numpy(self, spark):
+        vecs = clustered_vectors()
+        df = emb_df(spark, vecs)
+        queries = df.filter("vec_id < 3").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        out = simsearch.brute_force_topk(df, queries, k=5)
+        got = {
+            (r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()
+        }
+        # float32 storage: compute the oracle on the float32-rounded vectors
+        sims = np_cosine_matrix(vecs.astype(np.float32).astype(np.float64))
+        for q in range(3):
+            order = sorted(
+                range(len(vecs)), key=lambda i: (-round(sims[q, i], 9), i)
+            )[:5]
+            for rank, vid in enumerate(order, start=1):
+                assert got[(q, rank)] == vid, (q, rank)
+
+    def test_sim_values_exact(self, spark):
+        vecs = clustered_vectors(n_clusters=2, per_cluster=3)
+        df = emb_df(spark, vecs)
+        queries = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+        out = simsearch.brute_force_topk(df, queries, k=len(vecs)).collect()
+        sims = np_cosine_matrix(vecs.astype(np.float32).astype(np.float64))
+        for r in out:
+            assert r["sim"] == pytest.approx(sims[0, r["vec_id"]], abs=1e-5)
+
+
+class TestLshTopk:
+    def test_recall_on_clusters(self, spark):
+        vecs = clustered_vectors(dim=16)
+        df = emb_df(spark, vecs)
+        queries = df.filter("vec_id % 8 = 0").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        exact = simsearch.brute_force_topk(df, queries, k=5)
+        approx = simsearch.lsh_topk(
+            df, queries, k=5, dim=16, bits=6, tables=8
+        )
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.9, recall
+
+    def test_deterministic_across_parallelism(self, spark):
+        vecs = clustered_vectors(dim=16)
+        df = emb_df(spark, vecs)
+        queries = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+        a = simsearch.lsh_topk(df.repartition(1), queries, k=3, dim=16, bits=6, tables=8)
+        b = simsearch.lsh_topk(df.repartition(16), queries, k=3, dim=16, bits=6, tables=8)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestPairwiseAboveThreshold:
+    def test_precision_exact_and_recall_high(self, spark):
+        vecs = clustered_vectors(n_clusters=5, per_cluster=6, dim=16)
+        df = emb_df(spark, vecs)
+        out = simsearch.pairwise_above_threshold(
+            df, threshold=0.98, dim=16, bits=6, tables=8
+        ).collect()
+        sims = np_cosine_matrix(vecs.astype(np.float32).astype(np.float64))
+        truth = {
+            (i, j)
+            for i in range(len(vecs))
+            for j in range(i + 1, len(vecs))
+            if sims[i, j] >= 0.98
+        }
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        # precision is exact by construction: every returned pair passed the
+        # true-cosine filter
+        for r in out:
+            assert r["sim"] >= 0.98 - 1e-6
+            assert r["sim"] == pytest.approx(sims[r["id_a"], r["id_b"]], abs=1e-5)
+        # within-cluster pairs are near-identical → LSH blocking recall ~1
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.95, recall
+
+    def test_no_pairs_when_threshold_unreachable(self, spark):
+        rng = np.random.RandomState(3)
+        vecs = rng.standard_normal((20, 16))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = emb_df(spark, vecs)
+        out = simsearch.pairwise_above_threshold(
+            df, threshold=0.999, dim=16, bits=6, tables=8
+        )
+        sims = np_cosine_matrix(vecs.astype(np.float32).astype(np.float64))
+        truth = {
+            (i, j)
+            for i in range(20)
+            for j in range(i + 1, 20)
+            if sims[i, j] >= 0.999
+        }
+        assert {(r["id_a"], r["id_b"]) for r in out.collect()} == truth == set()

@@ -162,3 +162,56 @@ class TestSimHash:
         df = docs_df(spark, ["", None, "real words here"])
         rows = textops.simhash(df).collect()
         assert [r["doc_id"] for r in rows] == [2]
+
+
+class TestWinnowing:
+    """rolling_hashes + winnow (SIGMOD'03 winnowing): pure-Column operators,
+    pinned on their algebraic guarantees rather than hash constants."""
+
+    def test_rolling_hash_count_and_shift_invariance(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = docs_df(spark, [base, "PREFIX " + base]).select(
+            "doc_id", textops.rolling_hashes(F.col("text"), window=4).alias("h")
+        )
+        rows = {r["doc_id"]: list(r["h"]) for r in df.collect()}
+        assert len(rows[0]) == 10 - 4 + 1
+        assert len(rows[1]) == 11 - 4 + 1
+        # the same 4-gram windows hash identically wherever they appear
+        assert rows[1][1:] == rows[0]
+
+    def test_short_text_empty(self, spark):
+        df = docs_df(spark, ["one two three", ""]).select(
+            textops.rolling_hashes(F.col("text"), window=8).alias("h")
+        )
+        assert [list(r["h"]) for r in df.collect()] == [[], []]
+
+    def test_winnow_guarantee_property(self, spark):
+        # two docs sharing a run of >= `guarantee` tokens MUST share a
+        # fingerprint; disjoint docs share none
+        shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eleifend"
+        texts = [
+            "intro words here " + shared + " tail one",
+            "completely different opening " + shared,
+            "unrelated content about spark partitions and shuffles entirely",
+        ]
+        df = docs_df(spark, texts).select(
+            "doc_id", textops.winnow(F.col("text"), window=4, guarantee=8).alias("fp")
+        )
+        fps = {r["doc_id"]: set(r["fp"]) for r in df.collect()}
+        assert fps[0] & fps[1]
+        assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+    def test_winnow_subset_of_rolling_and_deterministic(self, spark):
+        texts = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 2
+        df = docs_df(spark, texts).select(
+            "doc_id",
+            textops.winnow(F.col("text"), window=4, guarantee=8).alias("fp"),
+            textops.rolling_hashes(F.col("text"), window=4).alias("h"),
+        )
+        rows = df.collect()
+        assert list(rows[0]["fp"]) == list(rows[1]["fp"])  # identical docs
+        assert set(rows[0]["fp"]) <= set(rows[0]["h"])  # selection, no invention
+
+    def test_winnow_validates_params(self, spark):
+        with pytest.raises(ValueError, match="guarantee"):
+            textops.winnow(F.lit("x"), window=8, guarantee=4)

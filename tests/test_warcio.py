@@ -412,3 +412,93 @@ class TestColumnPruning:
 
         with pytest.raises(ValueError, match="unknown record columns"):
             warcio.scan_files_to_records(files, columns=["nope"])
+
+
+class TestMemberStyle:
+    """S5 per-member decompression (reference decompression_style='member',
+    GzippedWARCMemberParser) vs the whole-file scan."""
+
+    def _clean_gz(self):
+        recs = [
+            make_record(b"HTTP/1.1 200 OK\r\nX: 1\r\n\r\nhello")[:-4],
+            make_record(b"HTTP/1.1 404\r\n\r\nbye")[:-4],
+        ]
+        return warcio.write_warc_gz(recs)
+
+    def test_member_matches_file_on_record_gz(self):
+        gz = self._clean_gz()
+        file_res, file_nw = warcio.scan_warc_gz(gz, "a.warc.gz")
+        mem_res, mem_nw = warcio.scan_warc_gz_member(gz, "a.warc.gz")
+        assert file_nw == [] and mem_nw == []
+        keys = [
+            "record_start", "record_end", "header_start", "header_end",
+            "content_start", "content_end", "member_start", "member_end",
+            "unc_start", "unc_end", "warc_type", "target_uri",
+            "content_length", "http_status", "content_block",
+        ]
+        assert [
+            {k: r[k] for k in keys} for r in file_res.records
+        ] == [{k: r[k] for k in keys} for r in mem_res.records]
+        # quirk parity (ref gzipped_warc.py:553-557): the reference warns
+        # on members that DO end with CRLFCRLF — i.e. on every well-formed
+        # record-per-member archive
+        assert (
+            sum("expected WARC delimiter" in w for w in mem_res.warnings) == 2
+        )
+
+    def test_member_parses_only_first_record_per_member(self):
+        # one member containing TWO records: member style sees only the first
+        two = make_record(b"HTTP/1.1 200 OK\r\n\r\nab") + make_record(
+            b"HTTP/1.1 200 OK\r\n\r\ncd"
+        )
+        gz = warcio.write_warc_gz([two[:-4]])
+        file_res, _ = warcio.scan_warc_gz(gz, "f")
+        mem_res, _ = warcio.scan_warc_gz_member(gz, "f")
+        assert len(file_res.records) == 2
+        assert len(mem_res.records) == 1
+        assert mem_res.records[0]["record_start"] == 0
+        # single-member warning text differs from the file-style parser's
+        assert any("may not be composed" in w for w in mem_res.warnings)
+
+    def test_non_warc_member(self):
+        import gzip as _g
+
+        gz = warcio.write_warc_gz(
+            [make_record(b"HTTP/1.1 200 OK\r\n\r\nok")[:-4]]
+        ) + _g.compress(b"not a warc record", mtime=0)
+        mem_res, non_warc = warcio.scan_warc_gz_member(gz, "f")
+        assert len(mem_res.records) == 1
+        assert len(non_warc) == 1
+        assert bytes(non_warc[0]["bytes"]) == b"not a warc record"
+        assert any("does not appear to be a WARC record" in w for w in mem_res.warnings)
+
+    def test_content_length_zero_member_is_non_warc(self):
+        rec = (
+            b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n"
+        )
+        gz = warcio.write_warc_gz([rec])
+        mem_res, non_warc = warcio.scan_warc_gz_member(gz, "f")
+        assert mem_res.records == [] and len(non_warc) == 1
+
+    def test_no_split_records_offsets(self):
+        gz = self._clean_gz()
+        mem_res, _ = warcio.scan_warc_gz_member(gz, "f", split_records=False)
+        assert len(mem_res.records) == 2
+        r0, r1 = mem_res.records
+        # record spans the member minus trailing CRLFCRLF, in unc-file coords
+        assert r0["record_start"] == r0["unc_start"] == 0
+        assert r0["record_end"] == r0["unc_end"] - 4
+        assert r1["record_start"] == r1["unc_start"] == r0["unc_end"]
+        assert r1["record_end"] == r1["unc_end"] - 4
+
+    def test_spark_gz_style_member(self, spark):
+        gz = self._clean_gz()
+        files = spark.createDataFrame(
+            [("a.warc.gz", bytearray(gz))], "source_file string, content binary"
+        )
+        mem = warcio.scan_files_to_records(files, gz_style="member")
+        fil = warcio.scan_files_to_records(files, gz_style="file")
+        cols = ["source_file", "record_start", "record_end", "target_uri", "http_status"]
+        assert sorted(map(tuple, mem.select(*cols).collect())) == sorted(
+            map(tuple, fil.select(*cols).collect())
+        )

@@ -79,9 +79,11 @@ def run_level(cpus: int) -> dict:
     env.setdefault("SPARK_GRAFT_REPS", "2")
     env.setdefault("SPARK_GRAFT_SUITE", "0")  # headline jobs only
     # enough work per round that fixed stage overheads (~2s/job) amortize:
-    # 6M candidate URLs, 300k pages, input file count FIXED across levels
+    # 6M candidate URLs, 1.2M pages (the fused parse kernel finishes 300k
+    # pages in ~1.4s at 16 cores — too short to measure a ratio against
+    # ~0.5s of fixed stage overhead), input file count FIXED across levels
     env.setdefault("SPARK_GRAFT_AMPLIFY_FRONTIER", "60")
-    env.setdefault("SPARK_GRAFT_AMPLIFY_PAGES", "60")
+    env.setdefault("SPARK_GRAFT_AMPLIFY_PAGES", "240")
     env.setdefault("SPARK_GRAFT_PAGE_FILES", "128")
     # a faithful N-core "cluster": pin the whole JVM (GC/shuffle threads
     # included) to N cpus, else local[8] borrows the other 24 cores

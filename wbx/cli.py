@@ -34,7 +34,12 @@ def _spark(app: str) -> SparkSession:
 
 
 def load_records(
-    spark: SparkSession, path: str, fmt: str, style: str, columns=None
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    style: str,
+    columns=None,
+    gz_style: str = "file",
 ) -> DataFrame:
     """``columns``: optional pruning set pushed INTO the scan kernel — for
     parquet input Catalyst prunes the scan natively, but a projection can't
@@ -51,7 +56,9 @@ def load_records(
         .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
         .select(F.col("path").alias("source_file"), "content")
     )
-    return scan_files_to_records(files, style=style, columns=columns)
+    return scan_files_to_records(
+        files, style=style, columns=columns, gz_style=gz_style
+    )
 
 
 def _emit(obj, fmt: str) -> None:
@@ -79,6 +86,7 @@ def cmd_summarize(args) -> None:
         # closed column set of the A1–A4 aggregates: the kernel never slices
         # payload bytes, so Arrow ships KBs per archive instead of the archive
         columns=["warc_type", "target_uri", "content_type", "http_content_type"],
+        gz_style=args.gz_style,
     )
     out = {}
     parts = analytics.summarize(records)
@@ -154,7 +162,9 @@ def _load_user_callables(path: str):
 
 def cmd_filter_records(args) -> None:
     spark = _spark("filter-records")
-    records = load_records(spark, args.input, args.input_format, args.style)
+    records = load_records(
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+    )
     cond = _build_filter(args)
     if args.custom_filter_path:
         for fn, takes_df in _load_user_callables(args.custom_filter_path):
@@ -183,7 +193,9 @@ def cmd_match_pairs(args) -> None:
     from wbx import analytics
 
     spark = _spark("match-pairs")
-    records = load_records(spark, args.input, args.input_format, args.style)
+    records = load_records(
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+    )
     summary = analytics.pair_counts(records, exclude_file_uris=args.exclude_file_uris)
     by_uri = (
         analytics.pair_summary_by_uri_decoded(records)
@@ -203,8 +215,12 @@ def cmd_compare_headers(args) -> None:
     from wbx import analytics
 
     spark = _spark("compare-headers")
-    r1 = load_records(spark, args.input, args.input_format, args.style)
-    r2 = load_records(spark, args.input2, args.input_format, args.style)
+    r1 = load_records(
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+    )
+    r2 = load_records(
+        spark, args.input2, args.input_format, args.style, gz_style=args.gz_style
+    )
     fields = args.fields.split(",") if args.fields else None
     near = args.near_fields.split(",") if args.near_fields else None
     summary = analytics.compare_headers_summary(r1, r2, fields, near)
@@ -243,7 +259,9 @@ def cmd_extract(args) -> None:
     from wbx.sinks import extract_files
 
     spark = _spark("extract")
-    records = load_records(spark, args.input, args.input_format, args.style)
+    records = load_records(
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+    )
     manifest = extract_files(
         records,
         args.output_dir,
@@ -263,7 +281,9 @@ def cmd_inspect(args) -> None:
     from wbx.sinks import inspect_records
 
     spark = _spark("inspect")
-    records = load_records(spark, args.input, args.input_format, args.style)
+    records = load_records(
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+    )
     out = inspect_records(
         records,
         member_offsets=not args.no_member_offsets,
@@ -319,6 +339,8 @@ def main(argv=None) -> int:
         sp.add_argument("--input", required=True)
         sp.add_argument("--input-format", choices=["warc", "parquet"], default="warc")
         sp.add_argument("--style", choices=["content_length", "delimiter"], default="content_length")
+        sp.add_argument("--gz-style", choices=["file", "member"], default="file",
+                        help="gz decompression: whole-file record scan, or one record per gzip member (S5)")
         sp.add_argument("--format", choices=["json", "text"], default="json")
 
     s = sub.add_parser("summarize")

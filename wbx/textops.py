@@ -435,8 +435,8 @@ def fingerprint(text: Column) -> Column:
 
 
 def rolling_hashes(text: Column, window: int = 8) -> Column:
-    """Karp-Rabin rolling hashes over the token stream (winnowing基 primitive
-    for plagiarism-style fingerprinting): array of int64, one per
+    """Karp-Rabin-style rolling hashes over the token stream (the winnowing
+    primitive for plagiarism-style fingerprinting): array of int64, one per
     window-gram. JVM-side via transform/aggregate — no Python."""
     toks = tokens(text)
     n = F.size(toks)
@@ -444,5 +444,29 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
         F.transform(
             F.sequence(F.lit(0), n - window),
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        )
+    )
+
+
+def winnow(text: Column, window: int = 8, guarantee: int = 16) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    slide a window of w = guarantee−window+1 rolling hashes and keep each
+    window's minimum, deduplicated — any shared token run of ≥ `guarantee`
+    tokens between two documents is guaranteed to share a fingerprint.
+    Returns a sorted distinct int64 array; JVM-side only (transform +
+    array_min over slices), no Python in the hot path."""
+    if guarantee < window:
+        raise ValueError("guarantee must be >= window")
+    hs = rolling_hashes(text, window)
+    w = guarantee - window + 1
+    n = F.size(hs)
+    return F.when(n <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+                    lambda i: F.array_min(F.slice(hs, i + 1, w)),
+                )
+            )
         )
     )

@@ -539,6 +539,133 @@ def write_warc_gz(records: list[bytes], compresslevel: int = 9) -> bytes:
     return out.getvalue()
 
 
+def scan_warc_gz_member(
+    data: bytes,
+    source: str = "",
+    wanted: frozenset[str] | None = None,
+    split_records: bool = True,
+) -> tuple[ScanResult, list[dict]]:
+    """S5: per-member decompression style (reference
+    ``decompression_style='member'``, GzippedWARCMemberParser,
+    parsers/gzipped_warc.py:360-585). One WARC record per gzip member; each
+    member is gunzipped and parsed independently — the reference streams it
+    to a temp file, here it's one in-memory member per iteration (and at
+    cluster scale, one member range per task).
+
+    Semantics mirrored from the reference (studied, not copied):
+    - a member is a WARC record iff its gunzipped bytes start with a WARC
+      magic AND a truthy Content-Length parses from its header block
+      (gzipped_warc.py:508); otherwise it's a non-WARC member with the
+      "does not appear to be a WARC record" warning;
+    - record offsets are in UNCOMPRESSED-FILE coordinates
+      (uncompressed_start + in-member offsets) and content_end is the
+      arithmetic start+Content-Length, NOT clamped to the member
+      (gzipped_warc.py:519-520);
+    - only the FIRST record of a member is parsed — trailing bytes are
+      ignored (member style's contract: record-at-time compression);
+    - quirk parity (gzipped_warc.py:553-557): the reference warns that a
+      member "does not end with the expected WARC delimiter" when the bytes
+      after the content block are exactly CRLFCRLF — i.e. on
+      spec-conformant members (an apparently inverted condition);
+      reproduced as-is because warnings are part of the output contract;
+    - ``split_records=False`` (gzipped_warc.py:559-575): no header parse,
+      one offsets-only record per member spanning the member minus a
+      trailing CRLFCRLF (warning + full length when the delimiter is
+      missing).
+    """
+    result = ScanResult()
+    non_warc: list[dict] = []
+    members = index_gzip_members(data)
+    if len(members) == 1:
+        result.warnings.append(
+            "This file may not be composed of separately gzipped WARC "
+            "records: only one gzip member found."
+        )
+    for cstart, cend, ustart, uend in members:
+        unc = decompress_member(data, cstart, cend)
+
+        if not split_records:
+            if unc.endswith(CRLF * 2):
+                rec_len = len(unc) - len(CRLF * 2)
+            else:
+                result.warnings.append(
+                    f"The member at {cstart}-{cend}, when gunzipped, does "
+                    "not end with the expected WARC delimiter."
+                )
+                rec_len = len(unc)
+            result.records.append(
+                {
+                    "source_file": source,
+                    "member_start": cstart,
+                    "member_end": cend,
+                    "unc_start": ustart,
+                    "unc_end": uend,
+                    "record_start": ustart,
+                    "record_end": ustart + rec_len,
+                    "is_warc": True,
+                }
+            )
+            continue
+
+        header_found = _at_magic(unc, 0) is not None
+        block_end = _header_block_end(unc, 0)
+        # no blank line → header is the whole member and content_start runs
+        # past its end (reference arithmetic, gzipped_warc.py:500-502,519)
+        header_end_rel = block_end - len(CRLF) if block_end is not None else len(unc)
+        content_start_rel = header_end_rel + len(CRLF)
+        header_bytes = unc[:header_end_rel]
+
+        cl_match = CONTENT_LENGTH_RE.search(header_bytes)
+        content_length = int(cl_match.group(1)) if cl_match else None
+        if not header_found or not content_length:  # falsy 0 quirk, as in ref
+            non_warc.append(
+                {
+                    "source_file": source,
+                    "member_start": cstart,
+                    "member_end": cend,
+                    "unc_start": ustart,
+                    "unc_end": uend,
+                    "bytes": unc,
+                }
+            )
+            result.warnings.append(
+                f"The member at {cstart}-{cend}, when gunzipped, does not "
+                "appear to be a WARC record."
+            )
+            continue
+
+        content_end_rel = content_start_rel + content_length
+        _emit_record(
+            result,
+            source,
+            unc,
+            record_start=0,
+            record_end=content_end_rel,
+            header_start=0,
+            header_end=header_end_rel,
+            content_start=content_start_rel,
+            content_end=content_end_rel,
+            member=(cstart, cend, ustart, uend),
+            wanted=wanted,
+        )
+        rec = result.records[-1]
+        for k in (
+            "record_start",
+            "record_end",
+            "header_start",
+            "header_end",
+            "content_start",
+            "content_end",
+        ):
+            rec[k] += ustart  # member-relative → uncompressed-file coords
+        if unc[content_end_rel:] == CRLF * 2:
+            result.warnings.append(
+                f"The member at {cstart}-{cend}, when gunzipped, does not "
+                "end with the expected WARC delimiter."
+            )
+    return result, non_warc
+
+
 GZIP_MAGIC = b"\x1f\x8b"
 
 
@@ -561,11 +688,20 @@ def scan_archive(
     style: str = "content_length",
     gz_hint: bool | None = None,
     wanted: frozenset[str] | None = None,
+    gz_style: str = "file",
 ) -> tuple[ScanResult, list[dict]]:
     """Container-transparent scan: wacz → unwrap, gz → member-indexed scan,
-    plain → direct scan. Returns (ScanResult, non_warc_member_rows)."""
+    plain → direct scan. Returns (ScanResult, non_warc_member_rows).
+
+    ``gz_style``: 'file' decompresses the whole stream and record-scans it
+    (reference decompression_style='file'); 'member' parses one record per
+    gzip member (S5, reference decompression_style='member')."""
     data, gz = resolve_archive(source, data, gz_hint)
     if gz:
+        if gz_style == "member":
+            return scan_warc_gz_member(data, source, wanted)
+        if gz_style != "file":
+            raise ValueError("Supported decompression styles: member, file")
         return scan_warc_gz(data, source, style, wanted)
     return scan_warc(data, source, style, wanted), []
 
@@ -624,7 +760,9 @@ _REC_COLUMNS = [
 ]
 
 
-def scan_files_to_records(files_df, style: str = "content_length", columns=None):
+def scan_files_to_records(
+    files_df, style: str = "content_length", columns=None, gz_style: str = "file"
+):
     """(source_file string, content binary[, is_gz boolean]) → records DF.
 
     mapInPandas kernel: each input row is one archive file (or one member
@@ -663,7 +801,7 @@ def scan_files_to_records(files_df, style: str = "content_length", columns=None)
                 data = bytes(row["content"])
                 gz_hint = bool(row["is_gz"]) if has_gz else None
                 result, non_warc = scan_archive(
-                    data, row["source_file"], style, gz_hint, wanted
+                    data, row["source_file"], style, gz_hint, wanted, gz_style
                 )
                 rows.extend(result.records)
                 for m in non_warc:
@@ -694,7 +832,9 @@ _TEXT_WANTED = frozenset(
 )
 
 
-def scan_files_to_text(files_df, style: str = "content_length"):
+def scan_files_to_text(
+    files_df, style: str = "content_length", gz_style: str = "file"
+):
     """Fused scan + byte-exact text extraction — the 100-TB hot path.
 
     The general path (scan_files_to_records → extract_text_udf) Arrow-ships
@@ -728,7 +868,7 @@ def scan_files_to_text(files_df, style: str = "content_length"):
                 data = bytes(row["content"])
                 gz_hint = bool(row["is_gz"]) if has_gz else None
                 result, _ = scan_archive(
-                    data, row["source_file"], style, gz_hint, _TEXT_WANTED
+                    data, row["source_file"], style, gz_hint, _TEXT_WANTED, gz_style
                 )
                 for rec in result.records:
                     src.append(rec["source_file"])
