@@ -517,6 +517,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_lsh_topk"] = lsh
 
+    def ivf(spark, sf):
+        """IVF ANN (FAISS-style coarse quantizer + inverted-list equi-join):
+        the second scale path next to LSH. Rows-only — recall < 1 by
+        construction; recall/exactness pinned in tests/test_simsearch.py."""
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return simsearch.ivf_topk(
+            emb, queries_df, k=5, n_centroids=16, nprobe=2
+        ).select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim"
+        )
+
+    q["sim_ivf_topk"] = ivf
+
     # --- WARC kernel end-to-end (S1/S2 scan, H2–H6 extraction) ------------
     q["warc_roundtrip_content_length"] = lambda spark, sf: _warc_roundtrip(
         spark, sf, "content_length"

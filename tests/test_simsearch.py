@@ -139,3 +139,31 @@ class TestPairwiseAboveThreshold:
             if sims[i, j] >= 0.999
         }
         assert {(r["id_a"], r["id_b"]) for r in out.collect()} == truth == set()
+
+
+class TestIvfTopk:
+    def test_recall_on_clusters(self, spark):
+        vecs = clustered_vectors(n_clusters=6, per_cluster=8, dim=16)
+        df = emb_df(spark, vecs)
+        queries = df.filter("vec_id % 8 = 0").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        exact = simsearch.brute_force_topk(df, queries, k=5)
+        approx = simsearch.ivf_topk(
+            df, queries, k=5, n_centroids=6, nprobe=2
+        )
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.9
+
+    def test_sims_exact_and_deterministic(self, spark):
+        vecs = clustered_vectors(n_clusters=4, per_cluster=5, dim=16)
+        df = emb_df(spark, vecs)
+        queries = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+        a = simsearch.ivf_topk(df.repartition(1), queries, k=3, n_centroids=4, nprobe=2)
+        b = simsearch.ivf_topk(df.repartition(16), queries, k=3, n_centroids=4, nprobe=2)
+        ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+        assert ra == rb
+        sims = np_cosine_matrix(vecs.astype(np.float32).astype(np.float64))
+        for q, rank, vid, s in ra:
+            assert s == pytest.approx(sims[q, vid], abs=1e-5)
