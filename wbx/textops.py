@@ -187,10 +187,21 @@ def jaccard_verify_pairs(
 
     Joins the candidate pairs back to document shingle sets and computes
     |∩|/|∪| relationally (explode + groupBy) — no driver-side loops.
-    """
+
+    Shingles are xxhash64'd before the distinct and the joins, so every
+    shuffle carries (id, int64) instead of (id, ~25-byte string) — the
+    dominant shuffle of the verify stage shrinks ~3×. Jaccard over hashes
+    equals Jaccard over strings unless two DIFFERENT shingles of a compared
+    pair collide in 64 bits (P ≈ |union|²/2⁶⁵ per pair — negligible at any
+    corpus size that fits a cluster)."""
     shingled = documents.select(
         F.col(id_col),
-        F.explode(shingle_array(F.col(text_col), shingle_size)).alias("shingle"),
+        F.explode(
+            F.transform(
+                shingle_array(F.col(text_col), shingle_size),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("shingle"),
     ).distinct()
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle"))
