@@ -405,6 +405,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", textops.lang_id(F.col("text")).alias("lang_pred")
     )
 
+    # BPE-ish pretokenizer count: the same lookahead-free pattern runs in
+    # Java regex (here) and RE2 (DuckDB oracle) — both leftmost-first.
+    q["text_bpe_token_count"] = lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        textops.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
     # winnowing fingerprint pipeline: hash values are xxhash64 (not
     # reproducible in DuckDB), so the oracle pins the windowing arithmetic
     # (count per doc) and pytest pins the algebraic guarantees.
@@ -807,6 +814,14 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             f"SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM documents"
         ),
+        "text_bpe_token_count": r"""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   regexp_extract_all(text,
+                     '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+)'),
+                   x -> regexp_matches(x, '\S'))) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+        """,
         # n_hashes = max(n_tokens - window + 1, 0); empty when n_tokens < 8
         "text_rolling_hashes": f"""
         SELECT doc_id,

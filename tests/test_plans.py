@@ -1,0 +1,127 @@
+"""Physical-plan regression guards: the 100-TB properties that correctness
+tests can't see. Each test pins a plan SHAPE — predicate/projection pushdown
+reaching the parquet scan, intended broadcast choices, and the absence of
+accidental cartesian products — so an innocent-looking refactor that
+degrades the plan fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+class TestScanPushdown:
+    def test_filter_pushed_to_parquet(self, spark):
+        df = _docs(spark).filter(F.col("doc_id") < 10).select("doc_id")
+        plan = plan_str(df)
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+
+    def test_column_pruned_read_schema(self, spark):
+        df = _docs(spark).select("doc_id")
+        plan = plan_str(df)
+        # the scan must read ONLY the projected column, not text/source/etc.
+        read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in read and "text" not in read
+
+
+class TestJoinStrategies:
+    def test_brute_force_topk_broadcasts_query_side(self, spark):
+        from wbx import simsearch
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        queries = emb.filter("vec_id < 4").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        plan = plan_str(simsearch.brute_force_topk(emb, queries, k=3))
+        # the corpus side must NOT shuffle: query side is broadcast
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_lsh_pairs_is_equi_join(self, spark):
+        from wbx import textops
+
+        docs = _docs(spark).limit(50)
+        sigs = textops.minhash_signatures(docs)
+        plan = plan_str(textops.minhash_lsh_pairs(sigs))
+        # banding must produce a hash-partitioned equi-join on the bucket
+        # keys — never a cartesian/BNLJ explosion
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_frontier_unseen_no_cartesian(self, spark):
+        import __spark_entry__ as entry
+
+        plan = plan_str(entry.queries()["frontier_unseen"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAggregates:
+    def test_minhash_signatures_partial_aggregate(self, spark):
+        from wbx import textops
+
+        plan = plan_str(textops.minhash_signatures(_docs(spark)))
+        # the 64-way min must map-side combine (partial_min) before the
+        # exchange — the shuffle then carries 64 longs per doc, not one row
+        # per shingle
+        assert "partial_min" in plan
+        assert plan.count("Exchange") >= 1
+
+    def test_summarize_aggregates_partial(self, spark):
+        from wbx import analytics
+
+        counts = analytics.count_by_type(
+            _docs(spark).selectExpr("CAST(doc_id AS STRING) AS warc_type")
+        )
+        plan = plan_str(counts)
+        assert "partial_count" in plan
+
+
+class TestJvmOnlyExpressions:
+    def test_textops_stay_jvm_side(self, spark):
+        """lang_id/quality/fingerprint/bpe tokens must compile to pure
+        Column expressions — no Python workers anywhere in the plan.
+        (Higher-order lambdas like reduce/filter are JVM-interpreted but
+        codegen-ineligible, so the assertion is the absence of Python eval
+        nodes, plus a codegen'd scan.)"""
+        from wbx import textops
+
+        df = _docs(spark).select(
+            textops.lang_id(F.col("text")),
+            textops.quality_score(F.col("text")),
+            textops.fingerprint(F.col("text")),
+            textops.bpe_token_count(F.col("text")),
+        )
+        plan = plan_str(df, mode="simple")
+        for py_node in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF", "MapInPandas"):
+            assert py_node not in plan
+        assert "*(1)" in plan  # scan stage is whole-stage-codegen'd
+
+    def test_frontier_canonicalize_jvm_side(self, spark):
+        """URL canonicalization + hashing (the per-URL hot path at 10^10
+        rows) must not fall back to Python."""
+        from wbx.frontier import with_canonical
+
+        urls = _docs(spark).selectExpr(
+            "concat('HTTP://Host', doc_id % 7, '.Example.COM:80/p/', doc_id) AS url"
+        )
+        plan = plan_str(with_canonical(urls.select("url")), mode="simple")
+        for py_node in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+            assert py_node not in plan

@@ -215,3 +215,30 @@ class TestWinnowing:
     def test_winnow_validates_params(self, spark):
         with pytest.raises(ValueError, match="guarantee"):
             textops.winnow(F.lit("x"), window=8, guarantee=4)
+
+
+class TestBpeTokenCount:
+    def test_matches_python_reference(self, spark):
+        import re as _re
+
+        pat = _re.compile(textops.BPE_TOKEN_RE)
+        texts = [
+            "Hello world, it's 2024!",
+            "don't stop-me now... 42abc",
+            "  leading spaces\tand\nnewlines  ",
+            "",
+            "café résumé — unicode falls in the punct class",
+        ]
+        df = docs_df(spark, texts).select(
+            "doc_id", textops.bpe_token_count(F.col("text")).alias("n")
+        )
+        got = {r["doc_id"]: r["n"] for r in df.collect()}
+        for i, t in enumerate(texts):
+            expect = sum(1 for m in pat.findall(t) if m.strip())
+            assert got[i] == expect, (t, got[i], expect)
+
+    def test_whitespace_only_counts_zero(self, spark):
+        df = docs_df(spark, [" \t\n ", "one two"]).select(
+            textops.bpe_token_count(F.col("text")).alias("n")
+        )
+        assert [r["n"] for r in df.collect()] == [0, 2]

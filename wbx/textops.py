@@ -394,6 +394,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pretokenizer, simplified to the lookahead-free subset so the
+# SAME pattern runs in Java regex (Spark) and RE2 (DuckDB oracle):
+# contractions | space?letters | space?digits | space?punct-run | whitespace.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: how many pretokenizer pieces a byte-pair-encoding
+    tokenizer would start from — the standard LLM-pipeline budget estimate
+    (whitespace-run pieces excluded, as BPE merges within words). Pure
+    Column expression (regexp_extract_all), whole-stage codegen."""
+    pieces = F.regexp_extract_all(text, F.lit(f"({BPE_TOKEN_RE})"))
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Deterministic quality signals (all JVM-side):
     n_chars, n_tokens, mean_token_len, stopword_ratio, alnum_ratio."""
