@@ -645,6 +645,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features_head"] = mm_features
 
+    def mm_resize(spark, sf):
+        """Resize/thumbnail stage (deterministic strided-sampling stand-in;
+        byte goldens in tests/test_multimodal.py). The oracle pins the
+        output geometry: every non-empty payload yields a w*h thumbnail."""
+        from wbx import multimodal
+
+        return multimodal.resize_images(_media(spark, sf), width=8, height=8).select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.length("pixels").cast("long").alias("n_pixels"),
+        )
+
+    q["multimodal_resize"] = mm_resize
+
     # --- time-window aggregate (streaming-shaped batch form) -------------
     q["a_windowed_counts"] = lambda spark, sf: (
         _t(spark, sf, "events")
@@ -969,6 +984,13 @@ def oracle_sql() -> dict[str, str]:
         "warc_unparsable_lines": """
         SELECT doc_id AS junk_doc_id, 'JUNK ' || doc_id AS line
         FROM documents WHERE doc_id % 10 = 0
+        """,
+        "multimodal_resize": """
+        SELECT doc_id AS media_id,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(64 AS BIGINT) AS n_pixels
+        FROM documents
         """,
         "multimodal_sniff": """
         SELECT doc_id AS media_id,

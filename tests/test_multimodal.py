@@ -89,3 +89,31 @@ class TestDecodeSeam:
     def test_decode_image_is_declared_unimplemented(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+class TestResize:
+    def test_thumbnail_shape_and_determinism(self, spark):
+        df = media_df(spark)
+        out = {
+            r["media_id"]: r
+            for r in multimodal.resize_images(df, width=8, height=8).collect()
+        }
+        for mid, payload, _, _ in PAYLOADS:
+            r = out[mid]
+            assert (r["width"], r["height"]) == (8, 8)
+            if not payload:
+                assert r["pixels"] is None
+                continue
+            assert len(r["pixels"]) == 64
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            idx = np.linspace(0, len(arr) - 1, 64).astype(np.int64)
+            assert bytes(r["pixels"]) == arr[idx].tobytes()
+
+    def test_parallelism_independent(self, spark):
+        df = media_df(spark)
+        a = multimodal.resize_images(df.repartition(1), 4, 4).collect()
+        b = multimodal.resize_images(df.repartition(8), 4, 4).collect()
+        key = lambda r: r["media_id"]
+        assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
+            map(tuple, b), key=lambda t: t[0]
+        )

@@ -122,6 +122,58 @@ def media_features(
     return df.mapInPandas(featurize, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Resize/thumbnail kernel seam (the brief's decode→resample stage).
+
+    A real pipeline decodes the container (see :func:`decode_image`) and
+    resamples to (width, height); the decoder is absent in this container,
+    so the stand-in emits a deterministic grayscale thumbnail by strided
+    byte sampling of the payload — the schema, Arrow batching, and output
+    size (width*height one-byte pixels) are exactly what a real resampler
+    produces, so downstream plumbing is fully exercised. Payload bytes are
+    consumed at the scan; only thumbnails (64 B at 8×8) move on — the same
+    never-shuffle-payloads shape as media_features."""
+    n_px = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, px = [], []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(mid)
+                if data is None or len(data) == 0:
+                    px.append(None)
+                    continue
+                arr = np.frombuffer(bytes(data), dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, n_px).astype(np.int64)
+                px.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "pixels": px,
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 30, id_col: str = "media_id"
 ) -> DataFrame:
