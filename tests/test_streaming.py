@@ -59,6 +59,24 @@ class TestStreamScan:
         ]
 
 
+class TestStreamText:
+    def test_fused_text_stream_matches_batch(self, spark, tmp_path):
+        import os
+
+        d = tmp_path / "in_text"
+        os.makedirs(d)
+        (d / "a.warc").write_bytes(
+            write_warc([make_record(f"https://a/{i}", f"body {i}".encode()) for i in range(3)])
+        )
+        stream = streaming.stream_file_text(spark, str(d))
+        run_available_now(stream, "text_mem")
+        got = sorted(
+            (r["target_uri"], r["text"], r["http_status"])
+            for r in spark.sql("SELECT target_uri, text, http_status FROM text_mem").collect()
+        )
+        assert got == [(f"https://a/{i}", f"body {i}", 200) for i in range(3)]
+
+
 class TestWindowedCounts:
     def test_matches_batch_aggregate(self, spark, tmp_path, sf_smoke):
         d = str(tmp_path / "events")

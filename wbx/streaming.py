@@ -67,6 +67,30 @@ def stream_file_records(
     return files.mapInPandas(scan_batches, schema=RECORDS)
 
 
+def stream_file_text(
+    spark: SparkSession, path: str, style: str = "content_length"
+) -> DataFrame:
+    """Streaming form of the fused scan+extract hot path: each new archive
+    file is scanned AND text-extracted in one Python pass (the exact kernel
+    of wbx.warcio.scan_files_to_text), so continuous ingest ships only slim
+    (uri, status, text) columns downstream — payload bytes never cross the
+    Arrow boundary in the stream either."""
+    from wbx.schema import TEXT_RECORDS
+    from wbx.warcio import text_scan_iterator
+
+    binary_file_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .load(path)
+        .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
+        .select(F.col("path").alias("source_file"), F.col("content"))
+    )
+    return files.mapInPandas(text_scan_iterator(style), schema=TEXT_RECORDS)
+
+
 def windowed_type_counts(
     events: DataFrame,
     ts_col: str = "ts",

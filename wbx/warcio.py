@@ -832,28 +832,13 @@ _TEXT_WANTED = frozenset(
 )
 
 
-def scan_files_to_text(
-    files_df, style: str = "content_length", gz_style: str = "file"
+def text_scan_iterator(
+    style: str = "content_length", has_gz: bool = False, gz_style: str = "file"
 ):
-    """Fused scan + byte-exact text extraction — the 100-TB hot path.
-
-    The general path (scan_files_to_records → extract_text_udf) Arrow-ships
-    every record's payload bytes JVM→Python→JVM→Python because the two
-    Python stages are separate operators. This kernel runs scan and extract
-    in ONE Python pass per archive split: payload bytes stay in-process and
-    only the slim (source_file, offsets, type, uri, status, text) columns
-    cross the Arrow boundary — the dominant memory-bandwidth cost of the
-    pipeline disappears. Parity with the general path is pinned by
-    tests/test_warcio fused-parity tests; extraction semantics are
-    wbx.extract.extracted_text (reference models.py:153-170 behavior).
-
-    Non-WARC gzip members carry no text and are not emitted (the general
-    path keeps them as is_warc=false rows; use scan_files_to_records for
-    forensics)."""
+    """The fused scan+extract batch-iterator kernel, shared by the batch
+    (scan_files_to_text) and streaming (wbx.streaming.stream_file_text)
+    forms — one code path, one parity surface."""
     from wbx.extract import extracted_text
-    from wbx.schema import TEXT_RECORDS
-
-    has_gz = "is_gz" in files_df.columns
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -892,7 +877,31 @@ def scan_files_to_text(
                 }
             )
 
-    return files_df.mapInPandas(scan_batches, schema=TEXT_RECORDS)
+    return scan_batches
+
+
+def scan_files_to_text(
+    files_df, style: str = "content_length", gz_style: str = "file"
+):
+    """Fused scan + byte-exact text extraction — the 100-TB hot path.
+
+    The general path (scan_files_to_records → extract_text_udf) Arrow-ships
+    every record's payload bytes JVM→Python→JVM→Python because the two
+    Python stages are separate operators. This kernel runs scan and extract
+    in ONE Python pass per archive split: payload bytes stay in-process and
+    only the slim (source_file, offsets, type, uri, status, text) columns
+    cross the Arrow boundary — the dominant memory-bandwidth cost of the
+    pipeline disappears. Parity with the general path is pinned by
+    tests/test_warcio fused-parity tests; extraction semantics are
+    wbx.extract.extracted_text (reference models.py:153-170 behavior).
+
+    Non-WARC gzip members carry no text and are not emitted (the general
+    path keeps them as is_warc=false rows; use scan_files_to_records for
+    forensics)."""
+    from wbx.schema import TEXT_RECORDS
+
+    kernel = text_scan_iterator(style, "is_gz" in files_df.columns, gz_style)
+    return files_df.mapInPandas(kernel, schema=TEXT_RECORDS)
 
 
 def scan_files_to_unparsable(files_df, style: str = "content_length"):
