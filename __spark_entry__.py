@@ -457,11 +457,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- Sc12/Sc13 + J4 + north_rule frontier ----------------------------
     def canonical(spark, sf):
+        # STAGED, not inlined: url_host(canonicalize_url(url)) as one
+        # expression substitutes the whole ~2k-node canonicalize tree into
+        # each of url_host's 8 references — a 4 MB analyzed plan and ~18s of
+        # driver-side Catalyst per query. Materializing canon_url as an
+        # attribute first keeps the plan at ~100 KB / 0.5s (CollapseProject
+        # does not re-inline multi-referenced non-cheap expressions).
         docs = _t(spark, sf, "documents").select("doc_id")
-        url = _messy_url(F.col("doc_id"))
-        canon = canonicalize_url(url)
-        return docs.select(
-            "doc_id", canon.alias("canon_url"), url_host(canon).alias("host")
+        staged = docs.select(
+            "doc_id", canonicalize_url(_messy_url(F.col("doc_id"))).alias("canon_url")
+        )
+        return staged.select(
+            "doc_id", "canon_url", url_host(F.col("canon_url")).alias("host")
         )
 
     q["url_canonicalize"] = canonical

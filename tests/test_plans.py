@@ -114,6 +114,16 @@ class TestJvmOnlyExpressions:
             assert py_node not in plan
         assert "*(1)" in plan  # scan stage is whole-stage-codegen'd
 
+    def test_canonicalize_plan_size_bounded(self, spark):
+        """Guards the inline-composition blowup: substituting the ~2k-node
+        canonicalize tree into url_host's 8 references produced a 4 MB
+        analyzed plan and ~18s of driver-side Catalyst. The staged query
+        must stay orders of magnitude below that."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["url_canonicalize"](spark, SF_DIR)
+        assert len(df._jdf.queryExecution().analyzed().toString()) < 500_000
+
     def test_frontier_canonicalize_jvm_side(self, spark):
         """URL canonicalization + hashing (the per-URL hot path at 10^10
         rows) must not fall back to Python."""

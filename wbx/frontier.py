@@ -58,6 +58,15 @@ def canonicalize_url(url: Column) -> Column:
     on the already-extracted scheme token to keep the reference's
     scheme-charset rule. Semantics are pinned by tests/test_frontier.py
     CANON_CASES and the url_canonicalize oracle.
+
+    PLANNING NOTE: this is a large expression tree (~2k nodes after internal
+    reuse duplication). Never compose it inline into another multi-reference
+    expression (e.g. ``url_host(canonicalize_url(u))``) — each reference
+    re-substitutes the whole tree and Catalyst analysis goes superlinear
+    (measured 4 MB plan / ~18s). Materialize ``canon_url`` as a column
+    first (as with_canonical does), then derive host/path/hash from the
+    attribute; CollapseProject will not re-inline multi-referenced
+    non-cheap expressions.
     """
     u0 = F.substring_index(F.trim(url), "#", 1)  # defrag ('' stays '')
     sep = F.instr(u0, "://")
