@@ -59,6 +59,20 @@ def dedup_exact_ids(documents: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def let_col(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate `value` ONCE and bind it
+    as a lambda variable in `body(var)`.
+
+    Why this exists: Spark evaluates any expression embedded in a
+    higher-order-function lambda PER ARRAY ELEMENT and does no common-
+    subexpression elimination across the lambda boundary — so
+    ``transform(sequence(0, n), i -> slice(toks, i+1, k))`` re-computes the
+    whole `toks` subtree (tokenization!) for every window: O(n²) per row.
+    Binding `toks` through a single-element transform makes it a lambda
+    variable — evaluated once, referenced cheaply."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
@@ -68,13 +82,16 @@ def shingle_array(text: Column, shingle_size: int = 3) -> Column:
     """Word-shingle array (JVM-side): n-token windows joined by spaces;
     fewer than `shingle_size` tokens → one shingle of all tokens ('' when
     the text has none); NULL text → NULL (concat_ws would otherwise swallow
-    the null into an empty shingle)."""
-    toks = tokens(text)
-    arr = F.transform(
-        F.sequence(
-            F.lit(0), F.greatest(F.size(toks) - shingle_size, F.lit(0))
+    the null into an empty shingle). The token array is let-bound so the
+    sliding windows don't re-tokenize per element (see let_col)."""
+    arr = let_col(
+        tokens(text),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - shingle_size, F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size)),
         ),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size)),
     )
     return F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(arr)
 
@@ -463,14 +480,18 @@ def fingerprint(text: Column) -> Column:
 def rolling_hashes(text: Column, window: int = 8) -> Column:
     """Karp-Rabin-style rolling hashes over the token stream (the winnowing
     primitive for plagiarism-style fingerprinting): array of int64, one per
-    window-gram. JVM-side via transform/aggregate — no Python."""
-    toks = tokens(text)
-    n = F.size(toks)
-    return F.when(n < window, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - window),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
-        )
+    window-gram. JVM-side via transform — no Python; tokens are let-bound
+    so the windows don't re-tokenize per element (see let_col)."""
+    return let_col(
+        tokens(text),
+        lambda toks: F.when(F.size(toks) < window, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - window),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(toks, i + 1, window))
+                ),
+            )
+        ),
     )
 
 
@@ -483,16 +504,24 @@ def winnow(text: Column, window: int = 8, guarantee: int = 16) -> Column:
     array_min over slices), no Python in the hot path."""
     if guarantee < window:
         raise ValueError("guarantee must be >= window")
-    hs = rolling_hashes(text, window)
     w = guarantee - window + 1
-    n = F.size(hs)
-    return F.when(n <= 0, F.array().cast("array<bigint>")).otherwise(
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
-                    lambda i: F.array_min(F.slice(hs, i + 1, w)),
+    # let-bound: without it every window's array_min(slice(hs, ...)) would
+    # re-derive the ENTIRE rolling-hash array (which itself re-tokenizes) —
+    # O(n²) tokenization per document (see let_col)
+    return let_col(
+        rolling_hashes(text, window),
+        lambda hs: F.when(
+            F.size(hs) <= 0, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.greatest(F.size(hs) - w, F.lit(0))
+                        ),
+                        lambda i: F.array_min(F.slice(hs, i + 1, w)),
+                    )
                 )
             )
-        )
+        ),
     )
