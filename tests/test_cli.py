@@ -311,3 +311,21 @@ class TestCrawl:
         assert len(rows) == 6  # 3 hosts × budget 2
         orders = sorted(r["fetch_order"] for r in rows)
         assert orders == list(range(1, 7))
+
+
+class TestGzStyleMember:
+    def test_member_style_summarize_matches_file_style(self, tmp_path, spark, capsys):
+        """--gz-style member (S5) on a record-per-member archive must count
+        exactly like the default whole-file scan."""
+        from wbx.warcio import write_warc_gz
+
+        d = tmp_path / "gz_archives"
+        os.makedirs(d)
+        recs = [make_record(f"https://m.example/{i}", b"Z" * (i + 1))[:-4] for i in range(5)]
+        (d / "m.warc.gz").write_bytes(write_warc_gz(recs))
+        by_file = json.loads(run_cli(capsys, ["summarize", "--input", str(d)]))
+        by_member = json.loads(
+            run_cli(capsys, ["summarize", "--input", str(d), "--gz-style", "member"])
+        )
+        assert by_member == by_file
+        assert by_member["record_count"] == 5
