@@ -507,6 +507,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_crawl_round"] = round_q
 
+    def robots_rules(spark, sf):
+        """robots.txt parsing (wbx.frontier.parse_robots_txt): synthesized
+        one-file-per-host bodies with arithmetic rules; the oracle pins the
+        exact (host, rule_type, path_prefix) set closed-form."""
+        from wbx.frontier import parse_robots_txt
+
+        hosts = (
+            _t(spark, sf, "documents")
+            .select(F.pmod("doc_id", F.lit(20)).alias("h"))
+            .distinct()
+        )
+        files = hosts.select(
+            F.concat(F.lit("h"), F.col("h"), F.lit(".com")).alias("host"),
+            F.concat(
+                F.lit("# synthesized\nUser-agent: *\nDisallow: /d"),
+                F.pmod("h", F.lit(5)),
+                F.lit("\nAllow: /d"),
+                F.pmod("h", F.lit(5)),
+                F.lit("/pub\n\nUser-agent: other-bot\nDisallow: /\n"),
+            ).alias("body"),
+        )
+        return parse_robots_txt(files)
+
+    q["frontier_robots_rules"] = robots_rules
+
     # --- similarity search ------------------------------------------------
     def topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -932,6 +957,15 @@ def oracle_sql() -> dict[str, str]:
         "frontier_unseen": """
         SELECT doc_id, 'http://h' || (doc_id % 20) || '.com/d/' || doc_id AS canon_url
         FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "frontier_robots_rules": """
+        WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents)
+        SELECT 'h' || h || '.com' AS host, 'deny' AS rule_type,
+               '/d' || (h % 5) AS path_prefix
+        FROM hosts
+        UNION ALL
+        SELECT 'h' || h || '.com', 'allow', '/d' || (h % 5) || '/pub'
+        FROM hosts
         """,
         "frontier_crawl_round": """
         WITH cand AS (

@@ -317,3 +317,83 @@ class TestGlobalRank:
             for r in sorted(rows2, key=lambda r: (-r["priority"], r["canon_url"]))
         ]
         assert got == exp
+
+
+ROBOTS_TXT = """\
+# global section
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: wbx-bot
+User-agent: otherbot
+Disallow: /bot-only
+
+User-agent: somebody-else
+Disallow: /
+"""
+
+
+class TestRobotsParser:
+    def _files(self, spark, body=ROBOTS_TXT, host="h.com"):
+        return spark.createDataFrame([(host, body)], "host string, body string")
+
+    def test_star_section_rules(self, spark):
+        from wbx.frontier import parse_robots_txt
+
+        rules = {
+            (r["rule_type"], r["path_prefix"])
+            for r in parse_robots_txt(self._files(spark)).collect()
+        }
+        # '*' matches the global section only (not wbx-bot / somebody-else)
+        assert rules == {("deny", "/private"), ("allow", "/private/ok")}
+
+    def test_named_agent_gets_its_section_plus_star(self, spark):
+        from wbx.frontier import parse_robots_txt
+
+        rules = {
+            (r["rule_type"], r["path_prefix"])
+            for r in parse_robots_txt(
+                self._files(spark), user_agent="wbx-bot"
+            ).collect()
+        }
+        assert rules == {
+            ("deny", "/private"),
+            ("allow", "/private/ok"),
+            ("deny", "/bot-only"),
+        }
+
+    def test_empty_disallow_and_comments_dropped(self, spark):
+        from wbx.frontier import parse_robots_txt
+
+        body = "User-agent: *\nDisallow:\n# just a comment\nAllow: /a # trailing\n"
+        rules = {
+            (r["rule_type"], r["path_prefix"])
+            for r in parse_robots_txt(self._files(spark, body)).collect()
+        }
+        assert rules == {("allow", "/a")}
+
+    def test_crawl_delay_first_wins(self, spark):
+        from wbx.frontier import parse_crawl_delays
+
+        body = "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 9\n"
+        got = parse_crawl_delays(self._files(spark, body)).collect()
+        assert [(r["host"], r["crawl_delay"]) for r in got] == [("h.com", 2.5)]
+
+    def test_parsed_rules_drive_apply_robots(self, spark):
+        from wbx.frontier import apply_robots, parse_robots_txt
+
+        rules = parse_robots_txt(self._files(spark))
+        frontier = spark.createDataFrame(
+            [
+                ("http://h.com/private/ok/x", "h.com"),
+                ("http://h.com/private/no", "h.com"),
+                ("http://h.com/open", "h.com"),
+            ],
+            "canon_url string, host string",
+        )
+        kept = sorted(
+            r["canon_url"] for r in apply_robots(frontier, rules).collect()
+        )
+        assert kept == ["http://h.com/open", "http://h.com/private/ok/x"]

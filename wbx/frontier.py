@@ -336,6 +336,115 @@ def filter_unseen_with_bloom(
 # ---------------------------------------------------------------------------
 
 
+def parse_robots_txt(
+    robots_files: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, robots.txt text) → the (host, rule_type, path_prefix) rules
+    table apply_robots consumes — completing the fetch→parse→evaluate loop
+    (north_rule: "robots.txt allow/deny evaluation").
+
+    Standard robots.txt semantics, relationally:
+    - group lines into User-agent sections; a section applies when any of
+      its User-agent lines is `user_agent` or "*";
+    - Allow/Disallow lines yield (allow|deny, path_prefix); empty-path
+      Disallow ("Disallow:") means allow-all and is dropped (no rule);
+    - comments (#…) and blank lines stripped; field names case-insensitive;
+    - crawl-delay is surfaced separately via :func:`parse_crawl_delays`.
+
+    Pure Column expressions over split lines — one explode, no Python. A
+    host's robots.txt is ≤ ~500 KB by convention, so the exploded row count
+    is bounded per host.
+    """
+    # normalize: split lines, strip comments + whitespace, keep field:value
+    lines = robots_files.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("line_no", "_raw"),
+    ).select(
+        "host",
+        "line_no",
+        F.trim(F.substring_index(F.col("_raw"), "#", 1)).alias("_line"),
+    ).filter(F.col("_line") != "")
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.substring_index(F.col("_line"), ":", 1))).alias("field"),
+        F.trim(
+            F.expr("substring(_line, instr(_line, ':') + 1, 1 << 30)")
+        ).alias("value"),
+    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
+    # section id = running count of user-agent lines at/before this line,
+    # where a UA line following a rule line starts a NEW section (consecutive
+    # UA lines share one section). Standard robots grouping.
+    w = Window.partitionBy("host").orderBy("line_no")
+    sec = (
+        parsed.withColumn("_is_ua", (F.col("field") == "user-agent").cast("int"))
+        .withColumn(
+            "_prev_ua",
+            F.lag("_is_ua", 1, 0).over(w),
+        )
+        .withColumn(
+            "_sec",
+            F.sum(((F.col("_is_ua") == 1) & (F.col("_prev_ua") == 0)).cast("int")).over(w),
+        )
+    )
+    # sections whose UA set matches
+    ua_match = (
+        sec.filter(F.col("field") == "user-agent")
+        .filter(F.lower(F.col("value")).isin(user_agent.lower(), "*"))
+        .select("host", "_sec")
+        .distinct()
+    )
+    rules = (
+        sec.filter(F.col("field").isin("allow", "disallow"))
+        .join(ua_match, ["host", "_sec"])
+        .select(
+            "host",
+            F.when(F.col("field") == "allow", F.lit("allow"))
+            .otherwise(F.lit("deny"))
+            .alias("rule_type"),
+            F.col("value").alias("path_prefix"),
+        )
+        .filter(F.col("path_prefix") != "")  # empty Disallow = no rule
+        .distinct()
+    )
+    return rules
+
+
+def parse_crawl_delays(
+    robots_files: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, crawl_delay double) from Crawl-delay lines (first wins per
+    host) — feeds the politeness budget table."""
+    lines = robots_files.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("line_no", "_raw"),
+    ).select(
+        "host",
+        "line_no",
+        F.trim(F.substring_index(F.col("_raw"), "#", 1)).alias("_line"),
+    )
+    cd = lines.filter(
+        F.lower(F.trim(F.substring_index(F.col("_line"), ":", 1))) == "crawl-delay"
+    ).select(
+        "host",
+        "line_no",
+        F.trim(
+            F.expr("substring(_line, instr(_line, ':') + 1, 1 << 30)")
+        ).cast("double").alias("crawl_delay"),
+    ).filter(F.col("crawl_delay").isNotNull())
+    w = Window.partitionBy("host").orderBy("line_no")
+    return (
+        cd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "crawl_delay")
+    )
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Keep frontier rows allowed by robots rules.
 
