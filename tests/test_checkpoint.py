@@ -156,3 +156,44 @@ class TestResume:
             ).collect()[0][0]
             n_batch = store.load(spark, "fetch_log", rid).count()
             assert int(sched) == n_batch
+
+
+class TestCompaction:
+    def test_compact_preserves_exact_seen_set(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "c1"))
+        run_crawl(spark, store, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=3)
+        before = sorted(
+            (r["url_hash"], r["canon_url"]) for r in store.load_seen(spark).collect()
+        )
+        marker = store.compact_seen(spark, buckets=8)
+        assert marker["compacted_through"] == 3
+        after = sorted(
+            (r["url_hash"], r["canon_url"]) for r in store.load_seen(spark).collect()
+        )
+        assert after == before and marker["rows"] == len(before)
+
+    def test_resume_after_compaction_identical(self, spark, tmp_path):
+        # uncompacted 5-round reference run
+        ref = CheckpointStore(str(tmp_path / "ref"))
+        run_crawl(spark, ref, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=5)
+        # compacted run: 3 rounds, compact, resume to 5
+        st = CheckpointStore(str(tmp_path / "cmp"))
+        run_crawl(spark, st, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=3)
+        st.compact_seen(spark, buckets=8)
+        run_crawl(spark, st, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=5)
+        for store in (ref, st):
+            assert store.latest_round() == 5
+        a = sorted(map(tuple, ref.load_seen(spark).collect()))
+        b = sorted(map(tuple, st.load_seen(spark).collect()))
+        assert a == b
+        fa = sorted(map(tuple, ref.load(spark, "fetch_log", 5).collect()))
+        fb = sorted(map(tuple, st.load(spark, "fetch_log", 5).collect()))
+        assert fa == fb
+
+    def test_load_seen_before_compaction_point_uses_deltas(self, spark, tmp_path):
+        st = CheckpointStore(str(tmp_path / "c2"))
+        run_crawl(spark, st, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=3)
+        want_r2 = sorted(map(tuple, st.load_seen(spark, 2).collect()))
+        st.compact_seen(spark)
+        # asking for an older round must NOT see the (newer) base
+        assert sorted(map(tuple, st.load_seen(spark, 2).collect())) == want_r2

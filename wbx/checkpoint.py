@@ -99,6 +99,45 @@ class CheckpointStore:
         path = os.path.join(self.base, "rounds", f"r{rid:06d}", table)
         return spark.read.parquet(path)
 
+    def compact_seen(self, spark: SparkSession, buckets: int = 64) -> dict:
+        """Maintenance job (the Iceberg bin-packing analogue): merge every
+        round's append-only ``seen_delta`` directory into ONE bucketed
+        ``seen_base`` table under the latest round, so a long crawl's
+        reader-side multi-path scan stops growing with crawl age.
+
+        Correctness: deltas are disjoint by construction (crawl_round's
+        anti-join), so the merged set is an exact union — no distinct
+        needed; the base is written hash-partitioned by pmod(url_hash,
+        buckets) so future membership anti-joins can prune buckets.
+        load_seen reads base + any deltas newer than the compaction point.
+        Crash-safe: the base lands in the current round's directory tree
+        first, then COMPACTION.json is atomically replaced; a crash leaves
+        the old view intact."""
+        rid = self.latest_round()
+        if rid == 0:
+            return {"compacted_through": 0, "rows": 0}
+        seen = self.load_seen(spark)
+        base_dir = os.path.join(self.base, "rounds", f"r{rid:06d}", "seen_base")
+        (
+            seen.repartition(buckets, F.pmod(F.col("url_hash"), F.lit(buckets)))
+            .write.mode("overwrite")
+            .parquet(base_dir)
+        )
+        n = spark.read.parquet(base_dir).count()
+        marker = {"compacted_through": rid, "path": base_dir, "rows": n}
+        tmp = os.path.join(self.base, "COMPACTION.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, os.path.join(self.base, "COMPACTION.json"))
+        return marker
+
+    def _compaction(self) -> dict | None:
+        try:
+            with open(os.path.join(self.base, "COMPACTION.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def load_seen(self, spark: SparkSession, round_id: int | None = None) -> DataFrame:
         """The full seen-set as of `round_id`: the union of every round's
         append-only ``seen_delta`` partition (crawl_round's anti-join makes
@@ -111,11 +150,19 @@ class CheckpointStore:
         Production compaction (bin-packing small delta files) is an Iceberg
         maintenance job, orthogonal to the semantics here."""
         rid = round_id if round_id is not None else self.latest_round()
-        paths = [
-            os.path.join(self.base, "rounds", f"r{r:06d}", "seen_delta")
-            for r in range(1, rid + 1)
+        start = 1
+        paths: list[str] = []
+        comp = self._compaction()
+        if comp and comp["compacted_through"] <= rid and os.path.isdir(comp["path"]):
+            paths.append(comp["path"])
+            start = comp["compacted_through"] + 1
+        paths += [
+            p
+            for r in range(start, rid + 1)
+            if os.path.isdir(
+                p := os.path.join(self.base, "rounds", f"r{r:06d}", "seen_delta")
+            )
         ]
-        paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return spark.createDataFrame([], "url_hash long, canon_url string")
         return spark.read.parquet(*paths).select("url_hash", "canon_url")
