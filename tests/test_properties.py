@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): invariants that golden cases can't
+exhaust. Each example generates a BATCH of inputs and round-trips it through
+one Spark job, keeping example count low and per-example work vectorized."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# URL-ish strings: schemes good and bad, mixed case, ports, fragments, junk
+url_strategy = st.builds(
+    lambda scheme, host, port, path, frag: f"{scheme}://{host}{port}{path}{frag}",
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp", "x+y.z-1", ""]),
+    host=st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/A/b?Q=1", "/p%20x", "//odd"]),
+    frag=st.sampled_from(["", "#f", "#a#b"]),
+) | st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+class TestCanonicalizeProperties:
+    @settings(**SETTINGS)
+    @given(st.lists(url_strategy, min_size=1, max_size=25))
+    def test_idempotent(self, spark, urls):
+        """canonicalize(canonicalize(u)) == canonicalize(u) — the seen-set
+        key must be a fixed point or identical URLs would never dedup."""
+        from wbx.frontier import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+        twice = once.select(
+            "c1", canonicalize_url(F.col("c1")).alias("c2")
+        ).collect()
+        for r in twice:
+            assert r["c2"] == r["c1"], (r["c1"], r["c2"])
+
+    @settings(**SETTINGS)
+    @given(st.lists(url_strategy, min_size=1, max_size=25))
+    def test_no_fragment_and_scheme_marker(self, spark, urls):
+        from wbx.frontier import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect():
+            assert "#" not in r["c"]
+            assert "://" in r["c"]
+
+
+text_strategy = st.text(
+    alphabet=st.characters(
+        # any printable unicode incl. multi-byte; exclude surrogates
+        min_codepoint=1,
+        max_codepoint=0x2FFF,
+        blacklist_categories=("Cs",),
+    ),
+    max_size=300,
+)
+
+
+class TestWarcRoundtripProperties:
+    @settings(**SETTINGS)
+    @given(st.lists(text_strategy, min_size=1, max_size=12))
+    def test_text_survives_synth_scan_extract(self, spark, texts):
+        """The input_hint byte-identity invariant on ARBITRARY unicode text:
+        synthesize → scan → fused-extract must return the exact text."""
+        from wbx.fixtures import synth_warc_files
+        from wbx.warcio import scan_files_to_text
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        files = synth_warc_files(docs, n_files=2)
+        got = {
+            int(r["target_uri"].rsplit("/", 1)[1]): r["text"]
+            for r in scan_files_to_text(files).collect()
+        }
+        assert got == dict(enumerate(texts))
+
+    @settings(**SETTINGS)
+    @given(st.lists(text_strategy, min_size=1, max_size=8))
+    def test_offsets_partition_the_file(self, spark, texts):
+        """Scan offsets are internally consistent on arbitrary content:
+        header/content spans nest inside the record, records don't overlap."""
+        from wbx.fixtures import synth_warc_files
+        from wbx.warcio import scan_files_to_records
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        recs = (
+            scan_files_to_records(synth_warc_files(docs, n_files=1))
+            .orderBy("record_start")
+            .collect()
+        )
+        prev_end = 0
+        for r in recs:
+            assert r["record_start"] >= prev_end
+            assert r["record_start"] <= r["header_end"] <= r["content_start"]
+            assert r["content_start"] <= r["content_end"] == r["record_end"]
+            prev_end = r["record_end"]

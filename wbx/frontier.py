@@ -98,10 +98,15 @@ def canonicalize_url(url: Column) -> Column:
         )
         .otherwise(auth)
     )
-    # scheme-less input keeps the reference quirk: "://" + input unchanged
-    return F.when(~scheme_ok, F.concat(F.lit("://"), u0)).otherwise(
-        F.concat(scheme, F.lit("://"), auth, rest)
-    )
+    # scheme-less input keeps the reference quirk: "://" + input unchanged —
+    # but an input already carrying the marker is a canonical output and
+    # stays fixed (idempotence: canonicalize∘canonicalize = canonicalize,
+    # pinned by tests/test_properties.py; without this, re-keying an
+    # already-canonical seen table would corrupt membership)
+    return F.when(
+        ~scheme_ok,
+        F.when(u0.startswith("://"), u0).otherwise(F.concat(F.lit("://"), u0)),
+    ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
 
 
 def _split_authority(canon_url: Column) -> tuple[Column, Column, Column]:
