@@ -397,3 +397,20 @@ class TestRobotsParser:
             r["canon_url"] for r in apply_robots(frontier, rules).collect()
         )
         assert kept == ["http://h.com/open", "http://h.com/private/ok/x"]
+
+
+class TestCrawlDelayBudgets:
+    def test_budget_arithmetic_and_clamps(self, spark):
+        from wbx.frontier import budgets_from_crawl_delays
+
+        delays = spark.createDataFrame(
+            [("a.com", 2.5), ("b.com", 0.001), ("c.com", 600.0)],
+            "host string, crawl_delay double",
+        )
+        got = {
+            r["host"]: r["budget"]
+            for r in budgets_from_crawl_delays(
+                delays, round_seconds=60.0, max_budget=100
+            ).collect()
+        }
+        assert got == {"a.com": 24, "b.com": 100, "c.com": 1}

@@ -450,6 +450,30 @@ def parse_crawl_delays(
     )
 
 
+def budgets_from_crawl_delays(
+    delays: DataFrame,
+    round_seconds: float = 60.0,
+    min_budget: int = 1,
+    max_budget: int = 1000,
+) -> DataFrame:
+    """(host, crawl_delay) → (host, budget) politeness table: how many
+    fetches fit one round at the host's requested delay, clamped to
+    [min_budget, max_budget]. Bridges parse_crawl_delays to
+    apply_politeness."""
+    return delays.select(
+        "host",
+        F.least(
+            F.greatest(
+                F.floor(F.lit(round_seconds) / F.col("crawl_delay")),
+                F.lit(min_budget),
+            ),
+            F.lit(max_budget),
+        )
+        .cast("int")
+        .alias("budget"),
+    )
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Keep frontier rows allowed by robots rules.
 
