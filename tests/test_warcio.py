@@ -502,3 +502,43 @@ class TestMemberStyle:
         assert sorted(map(tuple, mem.select(*cols).collect())) == sorted(
             map(tuple, fil.select(*cols).collect())
         )
+
+
+class TestFusedOnError:
+    """A poison record (undecodable Content-Encoding) must not kill a 100-TB
+    job unless the caller asked for reference raise-parity."""
+
+    def _poison_corpus(self, spark):
+        good = make_record(b"HTTP/1.1 200 OK\r\n\r\nfine")
+        bad = make_record(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip-bytes"
+        )
+        return spark.createDataFrame(
+            [("p.warc", bytearray(good + bad))],
+            "source_file string, content binary",
+        )
+
+    def test_raise_is_default_parity(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import PythonException
+
+        files = self._poison_corpus(spark)
+        with pytest.raises((PythonException, Py4JJavaError)):
+            warcio.scan_files_to_text(files).collect()
+
+    def test_null_policy_keeps_job_alive(self, spark):
+        files = self._poison_corpus(spark)
+        rows = sorted(
+            warcio.scan_files_to_text(files, on_error="null").collect(),
+            key=lambda r: r["record_start"],
+        )
+        assert [r["text"] for r in rows] == ["fine", None]
+
+    def test_raw_policy_falls_back_like_reference_cli(self, spark):
+        files = self._poison_corpus(spark)
+        rows = sorted(
+            warcio.scan_files_to_text(files, on_error="raw").collect(),
+            key=lambda r: r["record_start"],
+        )
+        assert [r["text"] for r in rows] == ["fine", "not-gzip-bytes"]

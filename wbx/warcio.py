@@ -833,12 +833,49 @@ _TEXT_WANTED = frozenset(
 
 
 def text_scan_iterator(
-    style: str = "content_length", has_gz: bool = False, gz_style: str = "file"
+    style: str = "content_length",
+    has_gz: bool = False,
+    gz_style: str = "file",
+    on_error: str = "raise",
 ):
     """The fused scan+extract batch-iterator kernel, shared by the batch
     (scan_files_to_text) and streaming (wbx.streaming.stream_file_text)
-    forms — one code path, one parity surface."""
-    from wbx.extract import extracted_text
+    forms — one code path, one parity surface.
+
+    ``on_error`` — what a record whose body fails to decode does:
+    - "raise" (default): propagate, reference
+      ``get_decompressed_http_body`` parity (the method raises; callers
+      choose policy);
+    - "null": text = NULL — at 100 TB one poison record must not kill a
+      job; pair with scan_files_to_diagnostics for forensics;
+    - "raw": utf-8-replace of the UNDECODED body, the reference CLI's own
+      fallback (scripts/utils.py:80-84 catches and keeps going).
+    """
+    from wbx.extract import (
+        DecodingError,
+        extracted_text,
+        split_http_message,
+        utf8_replace,
+        warc_content_type_is_http,
+    )
+
+    if on_error not in ("raise", "null", "raw"):
+        raise ValueError("on_error must be raise | null | raw")
+
+    def _text(rec):
+        if on_error == "raise":
+            return extracted_text(rec["content_block"], rec["header_bytes"])
+        try:
+            return extracted_text(rec["content_block"], rec["header_bytes"])
+        # zlib.error: the reference's gzip/deflate path raises it raw
+        # (utils.py zlib.decompress, unwrapped) — lenient modes absorb both
+        except (DecodingError, zlib.error):
+            if on_error == "null":
+                return None
+            if not warc_content_type_is_http(rec["header_bytes"]):
+                return None
+            _, body = split_http_message(rec["content_block"])
+            return utf8_replace(body) if body else None
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -862,9 +899,7 @@ def text_scan_iterator(
                     wtype.append(rec["warc_type"])
                     uri.append(rec["target_uri"])
                     status.append(rec["http_status"])
-                    text.append(
-                        extracted_text(rec["content_block"], rec["header_bytes"])
-                    )
+                    text.append(_text(rec))
             yield pd.DataFrame(
                 {
                     "source_file": pd.Series(src, dtype=object),
@@ -881,7 +916,10 @@ def text_scan_iterator(
 
 
 def scan_files_to_text(
-    files_df, style: str = "content_length", gz_style: str = "file"
+    files_df,
+    style: str = "content_length",
+    gz_style: str = "file",
+    on_error: str = "raise",
 ):
     """Fused scan + byte-exact text extraction — the 100-TB hot path.
 
@@ -900,7 +938,9 @@ def scan_files_to_text(
     forensics)."""
     from wbx.schema import TEXT_RECORDS
 
-    kernel = text_scan_iterator(style, "is_gz" in files_df.columns, gz_style)
+    kernel = text_scan_iterator(
+        style, "is_gz" in files_df.columns, gz_style, on_error
+    )
     return files_df.mapInPandas(kernel, schema=TEXT_RECORDS)
 
 
