@@ -414,3 +414,32 @@ class TestCrawlDelayBudgets:
             ).collect()
         }
         assert got == {"a.com": 24, "b.com": 100, "c.com": 1}
+
+
+class TestRobotsSectionEdges:
+    def test_crawl_delay_is_user_agent_scoped(self, spark):
+        # another bot's Crawl-delay must not set our politeness budget
+        from wbx.frontier import parse_crawl_delays
+
+        body = (
+            "User-agent: BadBot\nCrawl-delay: 3600\n\n"
+            "User-agent: *\nCrawl-delay: 1\n"
+        )
+        files = spark.createDataFrame([("h.com", body)], "host string, body string")
+        got = parse_crawl_delays(files).collect()
+        assert [(r["host"], r["crawl_delay"]) for r in got] == [("h.com", 1.0)]
+
+    def test_ua_after_non_rule_line_starts_new_group(self, spark):
+        # REP grouping: a crawl-delay line ends agent a's group, so agent b's
+        # Disallow must NOT leak into agent a's rules
+        from wbx.frontier import parse_robots_txt
+
+        body = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+        files = spark.createDataFrame([("h.com", body)], "host string, body string")
+        rules_a = parse_robots_txt(files, user_agent="a").collect()
+        rules_b = {
+            (r["rule_type"], r["path_prefix"])
+            for r in parse_robots_txt(files, user_agent="b").collect()
+        }
+        assert rules_a == []
+        assert rules_b == {("deny", "/x")}

@@ -116,6 +116,11 @@ class CheckpointStore:
         rid = self.latest_round()
         if rid == 0:
             return {"compacted_through": 0, "rows": 0}
+        prior = self._compaction()
+        if prior and prior["compacted_through"] == rid:
+            # idempotent no-op: re-compacting without an intervening round
+            # would otherwise overwrite the very base load_seen is reading
+            return prior
         seen = self.load_seen(spark)
         base_dir = os.path.join(self.base, "rounds", f"r{rid:06d}", "seen_base")
         (

@@ -52,8 +52,8 @@ def load_records(
 
     files = (
         spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{warc,warc.gz,wacz}")
         .load(path)
-        .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
         .select(F.col("path").alias("source_file"), "content")
     )
     return scan_files_to_records(

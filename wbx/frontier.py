@@ -131,20 +131,27 @@ def _split_authority(canon_url: Column) -> tuple[Column, Column, Column]:
 
 
 def url_host(canon_url: Column) -> Column:
-    """Lowercase host (no port, no userinfo) of a canonical URL."""
+    """Lowercase host (no port, no userinfo) of a canonical URL; NULL in →
+    NULL out (a NULL-url row must stay null-excluded downstream, not group
+    under host '')."""
     scheme_ok, auth, _ = _split_authority(canon_url)
     no_user = F.substring_index(auth, "@", -1)
     host = F.regexp_replace(no_user, r":[0-9]+$", "")  # short-token regex
-    return F.when(scheme_ok, host).otherwise(F.lit(""))
+    return F.when(canon_url.isNull(), F.lit(None).cast("string")).when(
+        scheme_ok, host
+    ).otherwise(F.lit(""))
 
 
 def url_path(canon_url: Column) -> Column:
-    """Path component (leading /, no query/fragment); empty → "/"."""
+    """Path component (leading /, no query/fragment); empty → "/";
+    NULL in → NULL out."""
     scheme_ok, _, rest = _split_authority(canon_url)
     p = F.when(
         scheme_ok & rest.startswith("/"), F.substring_index(rest, "?", 1)
     ).otherwise(F.lit(""))
-    return F.when(p == "", F.lit("/")).otherwise(p)
+    return F.when(canon_url.isNull(), F.lit(None).cast("string")).when(
+        p == "", F.lit("/")
+    ).otherwise(p)
 
 
 def url_hash(canon_url: Column) -> Column:
@@ -341,29 +348,17 @@ def filter_unseen_with_bloom(
 # ---------------------------------------------------------------------------
 
 
-def parse_robots_txt(
-    robots_files: DataFrame,
-    host_col: str = "host",
-    body_col: str = "body",
-    user_agent: str = "*",
+def _robots_matched_sections(
+    robots_files: DataFrame, host_col: str, body_col: str, user_agent: str
 ) -> DataFrame:
-    """(host, robots.txt text) → the (host, rule_type, path_prefix) rules
-    table apply_robots consumes — completing the fetch→parse→evaluate loop
-    (north_rule: "robots.txt allow/deny evaluation").
+    """Parsed robots.txt lines annotated with their user-agent section and
+    restricted to sections that apply to `user_agent` (or '*').
 
-    Standard robots.txt semantics, relationally:
-    - group lines into User-agent sections; a section applies when any of
-      its User-agent lines is `user_agent` or "*";
-    - Allow/Disallow lines yield (allow|deny, path_prefix); empty-path
-      Disallow ("Disallow:") means allow-all and is dropped (no rule);
-    - comments (#…) and blank lines stripped; field names case-insensitive;
-    - crawl-delay is surfaced separately via :func:`parse_crawl_delays`.
-
-    Pure Column expressions over split lines — one explode, no Python. A
-    host's robots.txt is ≤ ~500 KB by convention, so the exploded row count
-    is bounded per host.
-    """
-    # normalize: split lines, strip comments + whitespace, keep field:value
+    Section numbering runs over EVERY field line (including crawl-delay,
+    sitemap, unknown extensions): per the REP grouping rule, a User-agent
+    line following any non-UA record starts a NEW group, while consecutive
+    UA lines share one — dropping non-rule lines before numbering would
+    wrongly merge groups separated only by a crawl-delay line."""
     lines = robots_files.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("line_no", "_raw"),
@@ -379,32 +374,51 @@ def parse_robots_txt(
         F.trim(
             F.expr("substring(_line, instr(_line, ':') + 1, 1 << 30)")
         ).alias("value"),
-    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
-    # section id = running count of user-agent lines at/before this line,
-    # where a UA line following a rule line starts a NEW section (consecutive
-    # UA lines share one section). Standard robots grouping.
+    )
     w = Window.partitionBy("host").orderBy("line_no")
     sec = (
         parsed.withColumn("_is_ua", (F.col("field") == "user-agent").cast("int"))
-        .withColumn(
-            "_prev_ua",
-            F.lag("_is_ua", 1, 0).over(w),
-        )
+        .withColumn("_prev_ua", F.lag("_is_ua", 1, 0).over(w))
         .withColumn(
             "_sec",
             F.sum(((F.col("_is_ua") == 1) & (F.col("_prev_ua") == 0)).cast("int")).over(w),
         )
     )
-    # sections whose UA set matches
     ua_match = (
         sec.filter(F.col("field") == "user-agent")
         .filter(F.lower(F.col("value")).isin(user_agent.lower(), "*"))
         .select("host", "_sec")
         .distinct()
     )
-    rules = (
+    return sec.join(ua_match, ["host", "_sec"])
+
+
+def parse_robots_txt(
+    robots_files: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, robots.txt text) → the (host, rule_type, path_prefix) rules
+    table apply_robots consumes — completing the fetch→parse→evaluate loop
+    (north_rule: "robots.txt allow/deny evaluation").
+
+    Standard robots.txt semantics, relationally:
+    - group lines into User-agent sections; a section applies when any of
+      its User-agent lines is `user_agent` or "*" (grouping rule in
+      :func:`_robots_matched_sections`);
+    - Allow/Disallow lines yield (allow|deny, path_prefix); empty-path
+      Disallow ("Disallow:") means allow-all and is dropped (no rule);
+    - comments (#…) and blank lines stripped; field names case-insensitive;
+    - crawl-delay is surfaced separately via :func:`parse_crawl_delays`.
+
+    Pure Column expressions over split lines — one explode, no Python. A
+    host's robots.txt is ≤ ~500 KB by convention, so the exploded row count
+    is bounded per host.
+    """
+    sec = _robots_matched_sections(robots_files, host_col, body_col, user_agent)
+    return (
         sec.filter(F.col("field").isin("allow", "disallow"))
-        .join(ua_match, ["host", "_sec"])
         .select(
             "host",
             F.when(F.col("field") == "allow", F.lit("allow"))
@@ -415,32 +429,22 @@ def parse_robots_txt(
         .filter(F.col("path_prefix") != "")  # empty Disallow = no rule
         .distinct()
     )
-    return rules
 
 
 def parse_crawl_delays(
     robots_files: DataFrame,
     host_col: str = "host",
     body_col: str = "body",
+    user_agent: str = "*",
 ) -> DataFrame:
-    """(host, crawl_delay double) from Crawl-delay lines (first wins per
-    host) — feeds the politeness budget table."""
-    lines = robots_files.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("line_no", "_raw"),
-    ).select(
+    """(host, crawl_delay double) from Crawl-delay lines in the sections
+    that apply to `user_agent` — another bot's section must not set our
+    politeness budget. First matching line per host wins."""
+    sec = _robots_matched_sections(robots_files, host_col, body_col, user_agent)
+    cd = sec.filter(F.col("field") == "crawl-delay").select(
         "host",
         "line_no",
-        F.trim(F.substring_index(F.col("_raw"), "#", 1)).alias("_line"),
-    )
-    cd = lines.filter(
-        F.lower(F.trim(F.substring_index(F.col("_line"), ":", 1))) == "crawl-delay"
-    ).select(
-        "host",
-        "line_no",
-        F.trim(
-            F.expr("substring(_line, instr(_line, ':') + 1, 1 << 30)")
-        ).cast("double").alias("crawl_delay"),
+        F.col("value").cast("double").alias("crawl_delay"),
     ).filter(F.col("crawl_delay").isNotNull())
     w = Window.partitionBy("host").orderBy("line_no")
     return (
@@ -554,15 +558,27 @@ def salted_partition_key(host: Column, salt_buckets: int = 16) -> Column:
 # DataFrames persisted by global_rank, released by release_rank_caches().
 # One entry per rank call; run_crawl releases per round, bench per query.
 _RANK_CACHES: list[DataFrame] = []
+# leak backstop for callers that never release (notebooks, direct
+# crawl_round users): beyond this many live caches the oldest pair is
+# evicted FIFO — correctness is unaffected (an evicted DF just recomputes
+# if ever re-read), only the explicit-release fast path is.
+_RANK_CACHE_CAP = 8
 
 
 def release_rank_caches() -> None:
     """Unpersist every DataFrame global_rank has cached since the last
     release. Callers that materialized the ranked batch (wrote it, collected
     it, or committed a checkpoint) own this call — it is what keeps a
-    long-lived multi-round crawl from accumulating storage memory."""
+    long-lived multi-round crawl from accumulating storage memory (with
+    _RANK_CACHE_CAP as the backstop for callers that never do)."""
     while _RANK_CACHES:
         _RANK_CACHES.pop().unpersist()
+
+
+def _register_rank_cache(df: DataFrame) -> None:
+    _RANK_CACHES.append(df)
+    while len(_RANK_CACHES) > _RANK_CACHE_CAP:
+        _RANK_CACHES.pop(0).unpersist()
 
 
 def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_order") -> DataFrame:
@@ -614,8 +630,8 @@ def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_
         .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _RANK_CACHES.append(df)
-    _RANK_CACHES.append(indexed)
+    _register_rank_cache(df)
+    _register_rank_cache(indexed)
     pid = F.shiftrightunsigned(F.col("_mid"), 33)
     local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = indexed.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n"))

@@ -150,7 +150,6 @@ def lsh_topk(
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
-    dim: int = 64,
     iters: int = 5,
     sample: int = 4096,
     vec_col: str = "embedding",
@@ -166,6 +165,8 @@ def train_ivf_centroids(
     key_cols = [c for c in embeddings.columns if c != vec_col]
     ordered = embeddings.orderBy(*key_cols) if key_cols else embeddings
     rows = ordered.limit(sample).select(vec_col).collect()
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty embeddings table")
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -46,8 +46,8 @@ def stream_file_records(
     files = (
         spark.readStream.format("binaryFile")
         .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.{warc,warc.gz,wacz}")
         .load(path)
-        .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
         .select(F.col("path").alias("source_file"), F.col("content"))
     )
 
@@ -84,8 +84,8 @@ def stream_file_text(
     files = (
         spark.readStream.format("binaryFile")
         .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.{warc,warc.gz,wacz}")
         .load(path)
-        .filter(F.col("path").rlike(r"\.(warc|warc\.gz|wacz)$"))
         .select(F.col("path").alias("source_file"), F.col("content"))
     )
     return files.mapInPandas(text_scan_iterator(style), schema=TEXT_RECORDS)

@@ -116,6 +116,10 @@ def minhash_signatures(
     Duplicate shingles need no dedup: min over a multiset equals min over
     its set, so there is no distinct (and no extra shuffle) anywhere.
     Deterministic: xxhash64 is a fixed function of (shingle, seed, i).
+
+    NULL-text documents produce NO row (they carry no shingles; the round-1
+    pandas form emitted (id, NULL) — callers joining back to documents by id
+    should left-join if they need those rows).
     """
     exploded = (
         documents.filter(F.col(text_col).isNotNull())
