@@ -23,8 +23,10 @@ Modules:
   checkpoint  snapshot commit/resume (parquet-manifest backend; Iceberg in prod)
   textops     dedup (exact/minhash/simhash/jaccard), langid, quality, tokens
   simsearch   embedding similarity: brute-force cosine top-k + LSH-bucketed ANN
-  multimodal  opaque binary columns + decode/feature plumbing (decoders stubbed)
+  multimodal  opaque binary columns + decode/feature/resize plumbing (decoders stubbed)
   streaming   Structured Streaming variants (windowed aggs, stateful pairing)
+  codecs      brotli/zstd decompression via ctypes over system shared libraries
+  sinks       file-extraction sink (S9) + inspect projection
   fixtures    deterministic derived test fixtures (pages/records from documents)
 """
 
