@@ -381,6 +381,21 @@ class TestRobotsParser:
         got = parse_crawl_delays(self._files(spark, body)).collect()
         assert [(r["host"], r["crawl_delay"]) for r in got] == [("h.com", 2.5)]
 
+    def test_malformed_crawl_delay_dropped_not_fatal(self, spark):
+        # "Crawl-delay: 10s" occurs in real robots.txt; under ANSI mode a
+        # plain cast would raise CAST_INVALID_INPUT and kill the job
+        from wbx.frontier import parse_crawl_delays
+
+        body = "User-agent: *\nCrawl-delay: 10s\nCrawl-delay: 7\n"
+        got = parse_crawl_delays(self._files(spark, body)).collect()
+        assert [(r["host"], r["crawl_delay"]) for r in got] == [("h.com", 7.0)]
+
+    def test_all_malformed_crawl_delays_yield_no_row(self, spark):
+        from wbx.frontier import parse_crawl_delays
+
+        body = "User-agent: *\nCrawl-delay: fast\n"
+        assert parse_crawl_delays(self._files(spark, body)).collect() == []
+
     def test_parsed_rules_drive_apply_robots(self, spark):
         from wbx.frontier import apply_robots, parse_robots_txt
 
@@ -414,6 +429,22 @@ class TestCrawlDelayBudgets:
             ).collect()
         }
         assert got == {"a.com": 24, "b.com": 100, "c.com": 1}
+
+    def test_zero_delay_means_no_limit_not_divide_by_zero(self, spark):
+        # "Crawl-delay: 0" is valid in the wild; ANSI mode would raise
+        # DIVIDE_BY_ZERO on a plain division — it must map to max_budget
+        from wbx.frontier import budgets_from_crawl_delays
+
+        delays = spark.createDataFrame(
+            [("z.com", 0.0), ("a.com", 2.0)], "host string, crawl_delay double"
+        )
+        got = {
+            r["host"]: r["budget"]
+            for r in budgets_from_crawl_delays(
+                delays, round_seconds=60.0, max_budget=100
+            ).collect()
+        }
+        assert got == {"z.com": 100, "a.com": 30}
 
 
 class TestRobotsSectionEdges:

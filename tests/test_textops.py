@@ -212,6 +212,16 @@ class TestWinnowing:
         assert list(rows[0]["fp"]) == list(rows[1]["fp"])  # identical docs
         assert set(rows[0]["fp"]) <= set(rows[0]["h"])  # selection, no invention
 
+    def test_winnow_null_text_is_null_not_phantom(self, spark):
+        # NULL in -> NULL out (consistent with rolling_hashes); without the
+        # guard two NULL-text docs would share a phantom [NULL] fingerprint
+        df = docs_df(spark, [None, None, "short"]).select(
+            "doc_id", textops.winnow(F.col("text"), window=4, guarantee=8).alias("fp")
+        )
+        rows = {r["doc_id"]: r["fp"] for r in df.collect()}
+        assert rows[0] is None and rows[1] is None
+        assert rows[2] == []  # too short: empty, not NULL
+
     def test_winnow_validates_params(self, spark):
         with pytest.raises(ValueError, match="guarantee"):
             textops.winnow(F.lit("x"), window=8, guarantee=4)

@@ -441,10 +441,13 @@ def parse_crawl_delays(
     that apply to `user_agent` — another bot's section must not set our
     politeness budget. First matching line per host wins."""
     sec = _robots_matched_sections(robots_files, host_col, body_col, user_agent)
+    # try_cast, not cast: under Spark 4's default ANSI mode a malformed value
+    # ("Crawl-delay: 10s", common in the wild) would raise CAST_INVALID_INPUT
+    # and kill the job — try_cast yields NULL and the isNotNull filter drops it.
     cd = sec.filter(F.col("field") == "crawl-delay").select(
         "host",
         "line_no",
-        F.col("value").cast("double").alias("crawl_delay"),
+        F.col("value").try_cast("double").alias("crawl_delay"),
     ).filter(F.col("crawl_delay").isNotNull())
     w = Window.partitionBy("host").orderBy("line_no")
     return (
@@ -463,14 +466,16 @@ def budgets_from_crawl_delays(
     """(host, crawl_delay) → (host, budget) politeness table: how many
     fetches fit one round at the host's requested delay, clamped to
     [min_budget, max_budget]. Bridges parse_crawl_delays to
-    apply_politeness."""
+    apply_politeness.
+
+    "Crawl-delay: 0" is valid in the wild and means no delay → no limit →
+    max_budget; try_divide (not /) keeps ANSI mode from raising
+    DIVIDE_BY_ZERO there."""
+    raw = F.floor(F.try_divide(F.lit(round_seconds), F.col("crawl_delay")))
     return delays.select(
         "host",
         F.least(
-            F.greatest(
-                F.floor(F.lit(round_seconds) / F.col("crawl_delay")),
-                F.lit(min_budget),
-            ),
+            F.greatest(F.coalesce(raw, F.lit(max_budget)), F.lit(min_budget)),
             F.lit(max_budget),
         )
         .cast("int")

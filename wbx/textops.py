@@ -514,7 +514,12 @@ def winnow(text: Column, window: int = 8, guarantee: int = 16) -> Column:
     # O(n²) tokenization per document (see let_col)
     return let_col(
         rolling_hashes(text, window),
+        # hs.isNull() first: NULL text → NULL hashes, and without the guard
+        # size(NULL)<=0 is NULL → otherwise-branch → greatest(NULL-w,0)=0 →
+        # a phantom [NULL] fingerprint that every NULL-text doc would share.
         lambda hs: F.when(
+            hs.isNull(), F.lit(None).cast("array<bigint>")
+        ).when(
             F.size(hs) <= 0, F.array().cast("array<bigint>")
         ).otherwise(
             F.array_sort(
