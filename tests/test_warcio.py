@@ -542,3 +542,157 @@ class TestFusedOnError:
             key=lambda r: r["record_start"],
         )
         assert [r["text"] for r in rows] == ["fine", "not-gzip-bytes"]
+
+
+class TestSplittableScan:
+    """The splittable .warc.gz scan (index_gzip_splits + scan_splits_to_*)
+    must be byte-identical to the whole-file scan — records, unparsable
+    lines, diagnostics — across styles, junk, truncation, and archives whose
+    records do NOT align with gzip members."""
+
+    @staticmethod
+    def _gz_members(chunks):
+        return b"".join(gzip.compress(c, 6, mtime=0) for c in chunks)
+
+    @classmethod
+    def _record_gz(cls, n=40, junk_every=7):
+        """Record-per-member archive with junk members and trailing junk
+        inside members sprinkled in."""
+        chunks = []
+        for i in range(n):
+            rec = make_record(b"HTTP/1.1 200 OK\r\nX-N: %d\r\n\r\nbody %d" % (i, i))
+            if junk_every and i % junk_every == 3:
+                rec += b"JUNK line %d\r\n" % i  # junk inside the member
+            chunks.append(rec)
+            if junk_every and i % junk_every == 5:
+                chunks.append(b"pure junk member %d\r\n" % i)  # non-WARC member
+        return cls._gz_members(chunks)
+
+    def _write(self, tmp_path, name, data):
+        p = tmp_path / name
+        p.write_bytes(data)
+        return str(tmp_path)
+
+    def _assert_parity(self, spark, tmp_path, data, style="content_length",
+                       gz_style="file", target=256, min_groups=2):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        path = self._write(tmp_path, "arc.warc.gz", data)
+        files = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(F.col("path").alias("source_file"), "content")
+        )
+        whole = warcio.scan_files_to_records(files, style=style, gz_style=gz_style)
+        splits = warcio.index_gzip_splits(files.select("source_file"), target)
+        n_groups = splits.count()
+        assert n_groups >= min_groups, f"expected a real split, got {n_groups} group(s)"
+        split = warcio.scan_splits_to_records(splits, style=style, gz_style=gz_style)
+        a = whole.toPandas().sort_values(["record_start", "unc_start"]).reset_index(drop=True)
+        b = split.toPandas().sort_values(["record_start", "unc_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # side channels
+        if gz_style == "file":
+            ua = warcio.scan_files_to_unparsable(files, style).toPandas().sort_values(["start"]).reset_index(drop=True)
+            ub = warcio.scan_splits_to_unparsable(splits, style).toPandas().sort_values(["start"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(ua, ub)
+            da = warcio.scan_files_to_diagnostics(files, style).toPandas().sort_values(["message"]).reset_index(drop=True)
+            db = warcio.scan_splits_to_diagnostics(splits, style).toPandas().sort_values(["message"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(da, db)
+        return n_groups
+
+    def test_stream_index_matches_in_memory(self, tmp_path):
+        import io as _io
+
+        for data in [
+            self._record_gz(12),
+            self._gz_members([b"a" * 10, b"b" * 500000, b"c"]),
+            self._record_gz(3) + b"\x1f\x8btrunc-garbage",
+            gzip.compress(b"single", 6)[:-5],  # truncated single member
+            b"",
+        ]:
+            expect = warcio.index_gzip_members(data)
+            got = [
+                m[:4]
+                for m in warcio.iter_gzip_members_stream(_io.BytesIO(data), chunk_size=7)
+            ]
+            assert got == expect, data[:20]
+
+    def test_stream_index_head_tail(self):
+        import io as _io
+
+        data = self._gz_members([b"W" * 100 + b"\r\n\r\n", b"xy"])
+        ms = list(warcio.iter_gzip_members_stream(_io.BytesIO(data), chunk_size=3))
+        assert ms[0][4] == b"W" * 64 and ms[0][5] == b"\r\n\r\n"
+        assert ms[1][4] == b"xy" and ms[1][5] == b"xy"
+
+    def test_parity_content_length(self, spark, tmp_path):
+        self._assert_parity(spark, tmp_path, self._record_gz(), "content_length")
+
+    def test_parity_delimiter(self, spark, tmp_path):
+        self._assert_parity(spark, tmp_path, self._record_gz(), "delimiter")
+
+    def test_parity_member_style(self, spark, tmp_path):
+        self._assert_parity(spark, tmp_path, self._record_gz(), gz_style="member")
+
+    def test_parity_truncated_tail(self, spark, tmp_path):
+        data = self._record_gz(20, junk_every=None) + gzip.compress(
+            make_record(b"HTTP/1.1 200 OK\r\n\r\nlast"), 6
+        )[:-6]
+        for style in ("content_length", "delimiter"):
+            self._assert_parity(spark, tmp_path, data, style)
+
+    def test_parity_records_spanning_members(self, spark, tmp_path):
+        # records do NOT align with members: the raw WARC bytes are cut into
+        # arbitrary 700-byte gzip members → no clean split points → the
+        # planner must fall back to one group and stay exact
+        raw = b"".join(
+            make_record(b"HTTP/1.1 200 OK\r\n\r\npayload %d" % i) for i in range(30)
+        )
+        chunks = [raw[i : i + 700] for i in range(0, len(raw), 700)]
+        data = self._gz_members(chunks)
+        for style in ("content_length", "delimiter"):
+            n = self._assert_parity(spark, tmp_path, data, style, min_groups=1)
+            assert n == 1  # planner refused to split a non-aligned archive
+
+    def test_parity_junk_first_file(self, spark, tmp_path):
+        # whole-file scan errors with "No WARC header found." and emits NO
+        # records; the planner must keep such a file in one group
+        data = self._gz_members(
+            [b"this is not warc\r\n"]
+            + [make_record(b"HTTP/1.1 200 OK\r\n\r\nx")] * 10
+        )
+        n = self._assert_parity(spark, tmp_path, data, min_groups=1)
+        assert n == 1
+
+    def test_split_text_matches_whole_text(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        path = self._write(tmp_path, "arc.warc.gz", self._record_gz(30, junk_every=None))
+        files = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(F.col("path").alias("source_file"), "content")
+        )
+        splits = warcio.index_gzip_splits(files.select("source_file"), 256)
+        assert splits.count() > 2
+        a = warcio.scan_files_to_text(files).toPandas().sort_values("record_start").reset_index(drop=True)
+        b = warcio.scan_splits_to_text(splits).toPandas().sort_values("record_start").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_group_planning_respects_target(self):
+        import io as _io
+
+        data = self._record_gz(40, junk_every=None)
+        ms = list(warcio.iter_gzip_members_stream(_io.BytesIO(data)))
+        groups = warcio.plan_member_groups(ms, target_bytes=len(data) // 5)
+        assert 3 <= len(groups) <= 7
+        # contiguous, covering, ordered
+        assert groups[0]["comp_start"] == 0
+        assert groups[-1]["comp_end"] == len(data)
+        for g1, g2 in zip(groups, groups[1:]):
+            assert g1["comp_end"] == g2["comp_start"]
+            assert g1["unc_end"] == g2["unc_start"]
+        assert sum(g["n_members"] for g in groups) == 40

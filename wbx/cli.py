@@ -40,25 +40,57 @@ def load_records(
     style: str,
     columns=None,
     gz_style: str = "file",
+    split_target_bytes: int | None = 128 << 20,
 ) -> DataFrame:
     """``columns``: optional pruning set pushed INTO the scan kernel — for
     parquet input Catalyst prunes the scan natively, but a projection can't
     cross the mapInPandas boundary, so archive scans take it explicitly
     (commands with a closed column set pass it; payload-consuming commands
-    like extract keep the full schema)."""
+    like extract keep the full schema).
+
+    ``split_target_bytes``: .warc.gz files larger than 2× this route through
+    the splittable two-stage scan (index_gzip_splits + scan_splits_to_records
+    — one task per ~target bytes, no 2 GB binaryFile ceiling, byte-identical
+    output); smaller files and other containers keep the one-task-per-file
+    path, which is already the right granularity for them. None disables.
+    The length predicate pushes down to the binaryFile source, so the
+    whole-file branch never reads big files' bytes."""
     if fmt == "parquet":
         return spark.read.parquet(path)
-    from wbx.warcio import scan_files_to_records
+    from wbx.warcio import (
+        index_gzip_splits,
+        scan_files_to_records,
+        scan_splits_to_records,
+    )
 
-    files = (
+    all_files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{warc,warc.gz,wacz}")
         .load(path)
-        .select(F.col("path").alias("source_file"), "content")
     )
-    return scan_files_to_records(
-        files, style=style, columns=columns, gz_style=gz_style
+    big = F.col("path").endswith(".warc.gz") & (
+        F.col("length") >= 2 * (split_target_bytes or 0)
     )
+    small_files = all_files.filter(~big if split_target_bytes else F.lit(True)).select(
+        F.col("path").alias("source_file"), "content"
+    )
+    records = scan_files_to_records(
+        small_files, style=style, columns=columns, gz_style=gz_style
+    )
+    if not split_target_bytes:
+        return records
+    splits = index_gzip_splits(
+        all_files.filter(big).select("path"), split_target_bytes
+    )
+    return records.unionByName(
+        scan_splits_to_records(splits, style=style, columns=columns, gz_style=gz_style)
+    )
+
+
+def _split_bytes(args) -> int | None:
+    """--split-mb N → bytes (0 disables the splittable gz scan)."""
+    mb = getattr(args, "split_mb", 128)
+    return (mb << 20) if mb else None
 
 
 def _emit(obj, fmt: str) -> None:
@@ -86,7 +118,7 @@ def cmd_summarize(args) -> None:
         # closed column set of the A1–A4 aggregates: the kernel never slices
         # payload bytes, so Arrow ships KBs per archive instead of the archive
         columns=["warc_type", "target_uri", "content_type", "http_content_type"],
-        gz_style=args.gz_style,
+        gz_style=args.gz_style, split_target_bytes=_split_bytes(args),
     )
     out = {}
     parts = analytics.summarize(records)
@@ -163,7 +195,7 @@ def _load_user_callables(path: str):
 def cmd_filter_records(args) -> None:
     spark = _spark("filter-records")
     records = load_records(
-        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style, split_target_bytes=_split_bytes(args)
     )
     cond = _build_filter(args)
     if args.custom_filter_path:
@@ -194,7 +226,7 @@ def cmd_match_pairs(args) -> None:
 
     spark = _spark("match-pairs")
     records = load_records(
-        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style, split_target_bytes=_split_bytes(args)
     )
     summary = analytics.pair_counts(records, exclude_file_uris=args.exclude_file_uris)
     by_uri = (
@@ -216,10 +248,10 @@ def cmd_compare_headers(args) -> None:
 
     spark = _spark("compare-headers")
     r1 = load_records(
-        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style, split_target_bytes=_split_bytes(args)
     )
     r2 = load_records(
-        spark, args.input2, args.input_format, args.style, gz_style=args.gz_style
+        spark, args.input2, args.input_format, args.style, gz_style=args.gz_style, split_target_bytes=_split_bytes(args)
     )
     fields = args.fields.split(",") if args.fields else None
     near = args.near_fields.split(",") if args.near_fields else None
@@ -237,8 +269,8 @@ def cmd_compare_headers(args) -> None:
 def cmd_compare_parsers(args) -> None:
     spark = _spark("compare-parsers")
     cols = ["source_file", "record_start", "record_end"]
-    a = load_records(spark, args.input, "warc", "content_length", columns=cols)
-    b = load_records(spark, args.input, "warc", "delimiter", columns=cols)
+    a = load_records(spark, args.input, "warc", "content_length", columns=cols, split_target_bytes=_split_bytes(args))
+    b = load_records(spark, args.input, "warc", "delimiter", columns=cols, split_target_bytes=_split_bytes(args))
     only_a = a.select(*cols).join(b.select(*cols), cols, "left_anti")
     only_b = b.select(*cols).join(a.select(*cols), cols, "left_anti")
     _emit(
@@ -260,7 +292,7 @@ def cmd_extract(args) -> None:
 
     spark = _spark("extract")
     records = load_records(
-        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style, split_target_bytes=_split_bytes(args)
     )
     manifest = extract_files(
         records,
@@ -282,7 +314,7 @@ def cmd_inspect(args) -> None:
 
     spark = _spark("inspect")
     records = load_records(
-        spark, args.input, args.input_format, args.style, gz_style=args.gz_style
+        spark, args.input, args.input_format, args.style, gz_style=args.gz_style, split_target_bytes=_split_bytes(args)
     )
     out = inspect_records(
         records,
@@ -342,6 +374,8 @@ def main(argv=None) -> int:
         sp.add_argument("--gz-style", choices=["file", "member"], default="file",
                         help="gz decompression: whole-file record scan, or one record per gzip member (S5)")
         sp.add_argument("--format", choices=["json", "text"], default="json")
+        sp.add_argument("--split-mb", type=int, default=128,
+                        help="split .warc.gz files into ~N MB scan tasks (two-stage member-index scan); 0 = whole-file tasks")
 
     s = sub.add_parser("summarize")
     common(s)

@@ -89,6 +89,24 @@ DIAGNOSTICS = T.StructType(
     ]
 )
 
+# Stage-1 output of the splittable .warc.gz scan (warcio.index_gzip_splits):
+# one row per contiguous member group ≈ one stage-2 task ≈ target_bytes of
+# compressed archive. n_groups/n_members_total are per-file constants carried
+# for last-group detection and single-member warning parity.
+ARCHIVE_SPLITS = T.StructType(
+    [
+        T.StructField("source_file", T.StringType(), False),
+        T.StructField("group_id", T.IntegerType(), False),
+        T.StructField("n_groups", T.IntegerType(), False),
+        T.StructField("comp_start", T.LongType(), False),
+        T.StructField("comp_end", T.LongType(), False),
+        T.StructField("unc_start", T.LongType(), False),
+        T.StructField("unc_end", T.LongType(), False),
+        T.StructField("n_members", T.LongType(), False),
+        T.StructField("n_members_total", T.LongType(), False),
+    ]
+)
+
 GZIP_MEMBERS = T.StructType(
     [
         T.StructField("source_file", T.StringType(), False),

@@ -123,7 +123,11 @@ def _emit_record(
     member: tuple[int, int, int, int] | None = None,
     check_content_length: bool = False,
     wanted: frozenset[str] | None = None,
+    base: int = 0,
 ) -> None:
+    """``base``: offset added to every EMITTED position (split scans pass the
+    group's absolute uncompressed start so offsets are file coordinates);
+    positions index into `data` locally."""
     need = (lambda _k: True) if wanted is None else wanted.__contains__
     header_bytes = data[header_start:header_end]
     rec: dict = {
@@ -132,12 +136,12 @@ def _emit_record(
         "member_end": member[1] if member else None,
         "unc_start": member[2] if member else None,
         "unc_end": member[3] if member else None,
-        "record_start": record_start,
-        "record_end": record_end,
-        "header_start": header_start,
-        "header_end": header_end,
-        "content_start": content_start,
-        "content_end": content_end,
+        "record_start": record_start + base,
+        "record_end": record_end + base,
+        "header_start": header_start + base,
+        "header_end": header_end + base,
+        "content_start": content_start + base,
+        "content_end": content_end + base,
         "is_warc": True,
     }
 
@@ -220,7 +224,7 @@ def _emit_record(
 
 
 def _scavenge_junk(
-    result: ScanResult, source: str, data: bytes, pos: int
+    result: ScanResult, source: str, data: bytes, pos: int, base: int = 0
 ) -> int | None:
     """FIND_NEXT_RECORD parity: record junk lines until a WARC magic or EOF.
 
@@ -233,17 +237,32 @@ def _scavenge_junk(
         if end is None:
             return None
         result.unparsable.append(
-            {"source_file": source, "start": pos, "end": end, "bytes": data[pos:end]}
+            {
+                "source_file": source,
+                "start": pos + base,
+                "end": end + base,
+                "bytes": data[pos:end],
+            }
         )
         pos = end
     return None
 
 
 def scan_warc_content_length(
-    data: bytes, source: str = "", wanted: frozenset[str] | None = None
+    data: bytes,
+    source: str = "",
+    wanted: frozenset[str] | None = None,
+    base: int = 0,
+    limit: int | None = None,
 ) -> ScanResult:
-    """Content-length strategy (reference parsers/warc.py:404-508 parity)."""
+    """Content-length strategy (reference parsers/warc.py:404-508 parity).
+
+    ``base`` rebases all emitted offsets (split scans pass the group's
+    absolute uncompressed start); ``limit`` stops NEW records/junk from
+    starting at/after it while still letting in-flight parsing read past it
+    (split-scan lookahead bytes)."""
     result = ScanResult()
+    end_limit = len(data) if limit is None else limit
 
     # FIND_WARC_HEADER: skip leading ASCII whitespace silently
     pos = 0
@@ -253,7 +272,7 @@ def scan_warc_content_length(
         result.error = "No WARC header found."
         return result
 
-    while pos is not None and pos < len(data):
+    while pos is not None and pos < end_limit:
         header_start = pos
         block_end = _header_block_end(data, pos)
         if block_end is not None:
@@ -273,13 +292,13 @@ def scan_warc_content_length(
                 result.unparsable.append(
                     {
                         "source_file": source,
-                        "start": start_index,
-                        "end": end_index,
+                        "start": start_index + base,
+                        "end": end_index + base,
                         "bytes": line + CRLF,
                     }
                 )
                 start_index = end_index
-            pos = _scavenge_junk(result, source, data, content_start)
+            pos = _scavenge_junk(result, source, data, content_start, base)
             continue
 
         content_end = min(content_start + content_length, len(data))
@@ -294,6 +313,7 @@ def scan_warc_content_length(
             content_start=content_start,
             content_end=content_end,
             wanted=wanted,
+            base=base,
         )
 
         pos = content_end
@@ -301,9 +321,10 @@ def scan_warc_content_length(
             pos += len(CRLF * 2)
         else:
             result.warnings.append(
-                f"The record between {header_start}-{content_end} was improperly terminated."
+                f"The record between {header_start + base}-{content_end + base} "
+                "was improperly terminated."
             )
-        pos = _scavenge_junk(result, source, data, pos)
+        pos = _scavenge_junk(result, source, data, pos, base)
 
     return result
 
@@ -345,10 +366,20 @@ def _find_delimiter(data: bytes, pos: int) -> int | None:
 
 
 def scan_warc_delimiter(
-    data: bytes, source: str = "", wanted: frozenset[str] | None = None
+    data: bytes,
+    source: str = "",
+    wanted: frozenset[str] | None = None,
+    base: int = 0,
+    limit: int | None = None,
 ) -> ScanResult:
-    """Delimiter strategy (reference parsers/warc.py:277-401 parity)."""
+    """Delimiter strategy (reference parsers/warc.py:277-401 parity).
+
+    ``base``/``limit`` as in scan_warc_content_length. Split scans append a
+    WARC-magic sentinel past `limit` so the group's last record terminates
+    exactly where the whole-file walk would (the delimiter rule peeks at the
+    bytes after the CRLFCRLF boundary)."""
     result = ScanResult()
+    end_limit = len(data) if limit is None else limit
 
     pos = 0
     while pos < len(data) and data[pos : pos + 1].isspace():
@@ -357,7 +388,7 @@ def scan_warc_delimiter(
         result.error = "No WARC header found."
         return result
 
-    while pos is not None and pos < len(data):
+    while pos is not None and pos < end_limit:
         record_start = pos
         stop = _find_delimiter(data, pos)
         if stop is not None:
@@ -391,14 +422,15 @@ def scan_warc_delimiter(
                 content_end=record_end,
                 check_content_length=True,
                 wanted=wanted,
+                base=base,
             )
         else:
             result.warnings.append(
-                f"Could not split the record between {record_start} and {record_end} "
-                "into header and content block components."
+                f"Could not split the record between {record_start + base} and "
+                f"{record_end + base} into header and content block components."
             )
 
-        pos = _scavenge_junk(result, source, data, record_end + len(CRLF * 2))
+        pos = _scavenge_junk(result, source, data, record_end + len(CRLF * 2), base)
 
     return result
 
@@ -408,11 +440,13 @@ def scan_warc(
     source: str = "",
     style: str = "content_length",
     wanted: frozenset[str] | None = None,
+    base: int = 0,
+    limit: int | None = None,
 ) -> ScanResult:
     if style == "content_length":
-        return scan_warc_content_length(data, source, wanted)
+        return scan_warc_content_length(data, source, wanted, base, limit)
     if style == "delimiter":
-        return scan_warc_delimiter(data, source, wanted)
+        return scan_warc_delimiter(data, source, wanted, base, limit)
     raise ValueError("Supported parsing styles: delimiter, content_length")
 
 
@@ -458,50 +492,208 @@ def decompress_member(data: bytes, comp_start: int, comp_end: int) -> bytes:
     return zlib.decompress(data[comp_start:comp_end], wbits=31)
 
 
-def scan_warc_gz(
-    data: bytes,
-    source: str = "",
-    style: str = "content_length",
-    wanted: frozenset[str] | None = None,
-) -> tuple[ScanResult, list[dict]]:
-    """Two-stage gz scan: index members, decompress, scan records, attribute
-    each record to its member by uncompressed offset.
+def split_gzip_members(
+    data: bytes, chunk_size: int = 1 << 20
+) -> list[tuple[int, int, bytes]]:
+    """[(comp_start, comp_end, uncompressed_bytes)] per member — same
+    boundary/truncation conventions as index_gzip_members, but ONE pass does
+    both the indexing and the decompression (the stage-2 split kernel must
+    decompress its slice anyway, so indexing it separately would double the
+    inflate cost)."""
+    out: list[tuple[int, int, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        parts: list[bytes] = []
+        i = pos
+        try:
+            while not d.eof and i < n:
+                chunk = data[i : i + chunk_size]
+                parts.append(d.decompress(chunk))
+                i += len(chunk)
+        except zlib.error:
+            out.append((pos, n, b"".join(parts)))
+            break
+        if not d.eof:
+            out.append((pos, n, b"".join(parts)))
+            break
+        comp_end = i - len(d.unused_data)
+        out.append((pos, comp_end, b"".join(parts)))
+        pos = comp_end
+    return out
 
-    Returns (ScanResult with member-annotated records, non-WARC member rows).
-    Record offsets are relative to the UNCOMPRESSED stream (reference
-    decompression_style='file' convention)."""
-    members = index_gzip_members(data)
-    if len(members) <= 1:
-        warn = (
-            "This file only contains one gzip member. While valid, this is  "
-            "unusual: WARC files are customarily compressed record-by-record."
+
+# head/tail bytes kept per member by the streaming indexer: enough to test
+# "starts with a WARC magic" / "ends with CRLFCRLF" without keeping payloads.
+_MEMBER_HEAD_LEN = 64
+
+
+def iter_gzip_members_stream(
+    reader, chunk_size: int = 1 << 20
+) -> Iterator[tuple[int, int, int, int, bytes, bytes]]:
+    """Streaming member index over a file object: yields
+    (comp_start, comp_end, unc_start, unc_end, head, tail) per member, where
+    head/tail are the first 64 / last 4 UNCOMPRESSED bytes (the split-point
+    evidence). Constant memory at any file size — this is what lets the
+    stage-1 index job handle archives far beyond the 2 GB binaryFile row
+    limit. Boundary/truncation conventions identical to index_gzip_members
+    (pinned by tests)."""
+    pos = 0
+    unc_pos = 0
+    pending = b""
+    input_eof = False
+    while pending or not input_eof:
+        d = zlib.decompressobj(wbits=31)
+        unc_len = 0
+        consumed = 0
+        head = b""
+        tail = b""
+        failed = False
+        while not d.eof:
+            if pending:
+                chunk, pending = pending, b""
+            else:
+                chunk = reader.read(chunk_size)
+                if not chunk:
+                    input_eof = True
+                    break
+            try:
+                out = d.decompress(chunk)
+            except zlib.error:
+                consumed += len(chunk)
+                failed = True
+                break
+            consumed += len(chunk)
+            if out:
+                if len(head) < _MEMBER_HEAD_LEN:
+                    head += out[: _MEMBER_HEAD_LEN - len(head)]
+                tail = out[-4:] if len(out) >= 4 else (tail + out)[-4:]
+                unc_len += len(out)
+        if failed or not d.eof:
+            if consumed == 0:
+                return  # clean EOF exactly at a member boundary
+            # truncated/corrupt trailing member: comp_end = file end,
+            # matching index_gzip_members
+            rest = 0
+            while True:
+                chunk = reader.read(chunk_size)
+                if not chunk:
+                    break
+                rest += len(chunk)
+            yield (pos, pos + consumed + rest, unc_pos, unc_pos + unc_len, head, tail)
+            return
+        comp_end = pos + consumed - len(d.unused_data)
+        pending = d.unused_data
+        yield (pos, comp_end, unc_pos, unc_pos + unc_len, head, tail)
+        pos = comp_end
+        unc_pos += unc_len
+
+
+def _head_is_warc(head: bytes) -> bool:
+    """Does a member's uncompressed head begin a WARC file? (leading ASCII
+    whitespace skipped, as the scanners do). All-whitespace head (magic
+    beyond 64 bytes, undecidable) counts as False → conservative no-split."""
+    s = head.lstrip(b" \t\r\n\x0b\x0c")
+    return _at_magic(s, 0) is not None
+
+
+def plan_member_groups(
+    members, target_bytes: int = 128 << 20
+) -> list[dict]:
+    """Pack a file's gzip members into contiguous split groups of ~
+    `target_bytes` COMPRESSED bytes — the unit of stage-2 scan parallelism.
+
+    A group boundary is only placed at a CLEAN split point: the previous
+    member's uncompressed bytes end with CRLFCRLF (a record terminator) and
+    the next member's begin with a WARC magic — i.e. exactly the byte
+    pattern at which both scan strategies are guaranteed to be at a fresh
+    record boundary (the delimiter rule *forces* a record end there; the
+    content-length walk lands there whenever records align to members, the
+    premise of record-at-time compression, ref models.py:273-291). Files
+    whose members don't align (a record spanning members, junk-first files)
+    simply produce fewer/larger groups — degraded parallelism, never
+    wrong results. If the FIRST member doesn't open a WARC file the whole
+    file is one group (a whole-file scan error must suppress every record,
+    which independent tasks couldn't reproduce).
+
+    `members`: iterable of iter_gzip_members_stream tuples. Returns dicts
+    with comp/unc ranges, n_members, group_id, n_groups, n_members_total.
+    """
+    groups: list[dict] = []
+    cur: dict | None = None
+    prev_tail: bytes | None = None
+    splittable: bool | None = None
+    n_total = 0
+    for comp_start, comp_end, unc_start, unc_end, head, tail in members:
+        n_total += 1
+        if splittable is None:
+            splittable = _head_is_warc(head)
+        clean = (
+            splittable
+            and prev_tail == CRLF * 2
+            and _at_magic(head, 0) is not None
         )
-    else:
-        warn = None
+        if (
+            cur is not None
+            and clean
+            and (cur["comp_end"] - cur["comp_start"]) >= target_bytes
+        ):
+            groups.append(cur)
+            cur = None
+        if cur is None:
+            cur = {
+                "comp_start": comp_start,
+                "comp_end": comp_end,
+                "unc_start": unc_start,
+                "unc_end": unc_end,
+                "n_members": 1,
+            }
+        else:
+            cur["comp_end"] = comp_end
+            cur["unc_end"] = unc_end
+            cur["n_members"] += 1
+        prev_tail = tail
+    if cur is not None:
+        groups.append(cur)
+    for i, g in enumerate(groups):
+        g["group_id"] = i
+        g["n_groups"] = len(groups)
+        g["n_members_total"] = n_total
+    return groups
 
-    unc = b"".join(decompress_member(data, m[0], m[1]) for m in members)
-    result = scan_warc(unc, source, style, wanted)
-    if warn:
-        result.warnings.insert(0, warn)
 
-    # attribute records to members by uncompressed start offset, marking the
-    # covered members in the same linear sweep (records arrive in ascending
-    # record_start order and member spans are contiguous from 0, so the first
-    # member with record_start < unc_end is the containing one)
+_SINGLE_MEMBER_FILE_WARNING = (
+    "This file only contains one gzip member. While valid, this is  "
+    "unusual: WARC files are customarily compressed record-by-record."
+)
+
+
+def _attribute_members(
+    result: ScanResult,
+    members_abs: list[tuple[int, int, int, int]],
+    unc: bytes,
+    unc_base: int,
+    source: str,
+) -> list[dict]:
+    """Annotate records with their containing member (absolute coords) and
+    return non-WARC member rows (members whose span contains no record).
+
+    Linear sweep: records arrive in ascending record_start order and member
+    spans are contiguous, so the first member with record_start < unc_end is
+    the containing one."""
     non_warc: list[dict] = []
-    covered = [False] * len(members)
+    covered = [False] * len(members_abs)
     mi = 0
     for rec in result.records:
-        while mi < len(members) and rec["record_start"] >= members[mi][3]:
+        while mi < len(members_abs) and rec["record_start"] >= members_abs[mi][3]:
             mi += 1
-        if mi < len(members):
-            m = members[mi]
+        if mi < len(members_abs):
+            m = members_abs[mi]
             rec["member_start"], rec["member_end"] = m[0], m[1]
             rec["unc_start"], rec["unc_end"] = m[2], m[3]
             covered[mi] = True
-
-    # non-WARC members: members whose uncompressed span contains no record
-    for idx, m in enumerate(members):
+    for idx, m in enumerate(members_abs):
         if not covered[idx]:
             non_warc.append(
                 {
@@ -510,10 +702,91 @@ def scan_warc_gz(
                     "member_end": m[1],
                     "unc_start": m[2],
                     "unc_end": m[3],
-                    "bytes": unc[m[2] : m[3]],
+                    "bytes": unc[m[2] - unc_base : m[3] - unc_base],
                 }
             )
+    return non_warc
+
+
+def scan_member_group(
+    slice_bytes: bytes,
+    source: str,
+    comp_base: int = 0,
+    unc_base: int = 0,
+    style: str = "content_length",
+    wanted: frozenset[str] | None = None,
+    gz_style: str = "file",
+    n_members_total: int | None = None,
+    is_last_group: bool = True,
+    split_records: bool = True,
+) -> tuple[ScanResult, list[dict]]:
+    """Scan one contiguous gzip-member range of an archive, emitting offsets
+    in ABSOLUTE file coordinates (comp_base/unc_base = where the slice
+    starts). This is the stage-2 kernel of the splittable scan AND the
+    whole-file gz scan (comp_base=unc_base=0, one group).
+
+    Exactness contract: byte-identical to the whole-file scan provided the
+    groups were planned by plan_member_groups (clean split points only). The
+    one undetectable corner: a record whose content_length overruns a clean
+    split point whose bytes happen to read CRLFCRLF+magic (a WARC archived
+    INSIDE a WARC record, cut exactly at a member boundary) — the same
+    ambiguity every record-at-time random-access reader accepts, including
+    the reference's member index (ref patches.py:29-155)."""
+    members3 = split_gzip_members(slice_bytes)
+    members_abs: list[tuple[int, int, int, int]] = []
+    u = unc_base
+    for c0, c1, b in members3:
+        members_abs.append((c0 + comp_base, c1 + comp_base, u, u + len(b)))
+        u += len(b)
+    total = len(members3) if n_members_total is None else n_members_total
+
+    if gz_style == "member":
+        result = ScanResult()
+        non_warc: list[dict] = []
+        if total == 1:
+            result.warnings.append(
+                "This file may not be composed of separately gzipped WARC "
+                "records: only one gzip member found."
+            )
+        _scan_member_records(
+            result,
+            non_warc,
+            [(members_abs[i], members3[i][2]) for i in range(len(members3))],
+            source,
+            wanted,
+            split_records,
+        )
+        return result, non_warc
+    if gz_style != "file":
+        raise ValueError("Supported decompression styles: member, file")
+
+    unc = b"".join(b for _, _, b in members3)
+    # delimiter-style lookahead: the rule that ends a record peeks at the
+    # bytes AFTER the CRLFCRLF boundary; for a non-final group those bytes
+    # are the next group's WARC magic (guaranteed by the clean-split rule),
+    # so append one as a sentinel past `limit` — never scanned as a record.
+    if style == "delimiter" and not is_last_group:
+        scan_data = unc + WARC_MAGICS[0]
+    else:
+        scan_data = unc
+    result = scan_warc(scan_data, source, style, wanted, unc_base, len(unc))
+    if total <= 1:
+        result.warnings.insert(0, _SINGLE_MEMBER_FILE_WARNING)
+    non_warc = _attribute_members(result, members_abs, unc, unc_base, source)
     return result, non_warc
+
+
+def scan_warc_gz(
+    data: bytes,
+    source: str = "",
+    style: str = "content_length",
+    wanted: frozenset[str] | None = None,
+) -> tuple[ScanResult, list[dict]]:
+    """Whole-file gz scan: one member group covering the file (reference
+    decompression_style='file' convention; record offsets are relative to
+    the uncompressed stream). At scale use index_gzip_splits +
+    scan_splits_to_records instead — same kernel, one group per ~128 MB."""
+    return scan_member_group(data, source, 0, 0, style, wanted, "file")
 
 
 # ---------------------------------------------------------------------------
@@ -573,17 +846,24 @@ def scan_warc_gz_member(
       trailing CRLFCRLF (warning + full length when the delimiter is
       missing).
     """
-    result = ScanResult()
-    non_warc: list[dict] = []
-    members = index_gzip_members(data)
-    if len(members) == 1:
-        result.warnings.append(
-            "This file may not be composed of separately gzipped WARC "
-            "records: only one gzip member found."
-        )
-    for cstart, cend, ustart, uend in members:
-        unc = decompress_member(data, cstart, cend)
+    return scan_member_group(
+        data, source, 0, 0, "content_length", wanted, "member",
+        split_records=split_records,
+    )
 
+
+def _scan_member_records(
+    result: ScanResult,
+    non_warc: list[dict],
+    members,
+    source: str,
+    wanted: frozenset[str] | None,
+    split_records: bool = True,
+) -> None:
+    """Per-member record parse (S5 semantics; see scan_warc_gz_member).
+    `members`: [((comp_start, comp_end, unc_start, unc_end) ABSOLUTE,
+    uncompressed_bytes)]."""
+    for (cstart, cend, ustart, uend), unc in members:
         if not split_records:
             if unc.endswith(CRLF * 2):
                 rec_len = len(unc) - len(CRLF * 2)
@@ -647,23 +927,13 @@ def scan_warc_gz_member(
             content_end=content_end_rel,
             member=(cstart, cend, ustart, uend),
             wanted=wanted,
+            base=ustart,  # member-relative → uncompressed-file coords
         )
-        rec = result.records[-1]
-        for k in (
-            "record_start",
-            "record_end",
-            "header_start",
-            "header_end",
-            "content_start",
-            "content_end",
-        ):
-            rec[k] += ustart  # member-relative → uncompressed-file coords
         if unc[content_end_rel:] == CRLF * 2:
             result.warnings.append(
                 f"The member at {cstart}-{cend}, when gunzipped, does not "
                 "end with the expected WARC delimiter."
             )
-    return result, non_warc
 
 
 GZIP_MAGIC = b"\x1f\x8b"
@@ -775,23 +1045,7 @@ def scan_files_to_records(
     that only needs e.g. (warc_type, target_uri) should pass them here — the
     kernel then never slices payload bytes or builds the headers map, and the
     Arrow transfer shrinks from ~the archive size to a few slim columns."""
-    from pyspark.sql import types as T
-
-    from wbx.schema import RECORDS
-
-    if columns is None:
-        out_cols = _REC_COLUMNS
-        schema = RECORDS
-        wanted = None
-    else:
-        keep = set(columns) | {"source_file", "is_warc"}
-        unknown = keep - set(_REC_COLUMNS)
-        if unknown:
-            raise ValueError(f"unknown record columns: {sorted(unknown)}")
-        out_cols = [c for c in _REC_COLUMNS if c in keep]
-        schema = T.StructType([f for f in RECORDS.fields if f.name in keep])
-        wanted = frozenset(out_cols)
-
+    out_cols, schema, wanted = _records_projection(columns)
     has_gz = "is_gz" in files_df.columns
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -804,24 +1058,50 @@ def scan_files_to_records(
                     data, row["source_file"], style, gz_hint, wanted, gz_style
                 )
                 rows.extend(result.records)
-                for m in non_warc:
-                    rows.append(
-                        {
-                            "source_file": m["source_file"],
-                            "member_start": m["member_start"],
-                            "member_end": m["member_end"],
-                            "unc_start": m["unc_start"],
-                            "unc_end": m["unc_end"],
-                            "content_block": m["bytes"],
-                            "is_warc": False,
-                        }
-                    )
-            out = pd.DataFrame(rows, columns=out_cols)
-            if not rows:
-                out = pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
-            yield out
+                rows.extend(_non_warc_row(m) for m in non_warc)
+            yield _records_frame(rows, out_cols)
 
     return files_df.mapInPandas(scan_batches, schema=schema)
+
+
+def _records_projection(columns):
+    """(out_cols, StructType, wanted) for an optional RECORDS column subset —
+    shared by the whole-file and split scan kernels."""
+    from pyspark.sql import types as T
+
+    from wbx.schema import RECORDS
+
+    if columns is None:
+        return _REC_COLUMNS, RECORDS, None
+    keep = set(columns) | {"source_file", "is_warc"}
+    unknown = keep - set(_REC_COLUMNS)
+    if unknown:
+        raise ValueError(f"unknown record columns: {sorted(unknown)}")
+    out_cols = [c for c in _REC_COLUMNS if c in keep]
+    schema = T.StructType([f for f in RECORDS.fields if f.name in keep])
+    return out_cols, schema, frozenset(out_cols)
+
+
+def _non_warc_row(m: dict) -> dict:
+    return {
+        "source_file": m["source_file"],
+        "member_start": m["member_start"],
+        "member_end": m["member_end"],
+        "unc_start": m["unc_start"],
+        "unc_end": m["unc_end"],
+        "content_block": m["bytes"],
+        "is_warc": False,
+    }
+
+
+def _records_frame(rows: list[dict], out_cols: list[str]) -> pd.DataFrame:
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    out = pd.DataFrame(rows, columns=out_cols)
+    # keys absent from a row (e.g. `headers` on non-WARC member rows) become
+    # float NaN in pandas; Arrow's map/struct converters choke on NaN — force
+    # object dtype with real Nones
+    return out.astype(object).where(pd.notnull(out), None)
 
 
 # what the fused text kernel needs from the record scan: URI/type for the
@@ -851,6 +1131,26 @@ def text_scan_iterator(
     - "raw": utf-8-replace of the UNDECODED body, the reference CLI's own
       fallback (scripts/utils.py:80-84 catches and keeps going).
     """
+    _text = _make_text_fn(on_error)
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records: list[dict] = []
+            for _, row in pdf.iterrows():
+                data = bytes(row["content"])
+                gz_hint = bool(row["is_gz"]) if has_gz else None
+                result, _ = scan_archive(
+                    data, row["source_file"], style, gz_hint, _TEXT_WANTED, gz_style
+                )
+                records.extend(result.records)
+            yield _text_frame(records, _text)
+
+    return scan_batches
+
+
+def _make_text_fn(on_error: str):
+    """Per-record text extractor closure for the fused kernels (see
+    text_scan_iterator for the on_error policy table)."""
     from wbx.extract import (
         DecodingError,
         extracted_text,
@@ -877,42 +1177,23 @@ def text_scan_iterator(
             _, body = split_http_message(rec["content_block"])
             return utf8_replace(body) if body else None
 
-    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            src: list = []
-            rstart: list = []
-            rend: list = []
-            wtype: list = []
-            uri: list = []
-            status: list = []
-            text: list = []
-            for _, row in pdf.iterrows():
-                data = bytes(row["content"])
-                gz_hint = bool(row["is_gz"]) if has_gz else None
-                result, _ = scan_archive(
-                    data, row["source_file"], style, gz_hint, _TEXT_WANTED, gz_style
-                )
-                for rec in result.records:
-                    src.append(rec["source_file"])
-                    rstart.append(rec["record_start"])
-                    rend.append(rec["record_end"])
-                    wtype.append(rec["warc_type"])
-                    uri.append(rec["target_uri"])
-                    status.append(rec["http_status"])
-                    text.append(_text(rec))
-            yield pd.DataFrame(
-                {
-                    "source_file": pd.Series(src, dtype=object),
-                    "record_start": pd.Series(rstart, dtype=object),
-                    "record_end": pd.Series(rend, dtype=object),
-                    "warc_type": pd.Series(wtype, dtype=object),
-                    "target_uri": pd.Series(uri, dtype=object),
-                    "http_status": pd.Series(status, dtype=object),
-                    "text": pd.Series(text, dtype=object),
-                }
-            )
+    return _text
 
-    return scan_batches
+
+def _text_frame(records: list[dict], text_fn) -> pd.DataFrame:
+    """TEXT_RECORDS-shaped pandas frame from scanned records — the only
+    columns that cross the Arrow boundary in the fused text path."""
+    return pd.DataFrame(
+        {
+            "source_file": pd.Series([r["source_file"] for r in records], dtype=object),
+            "record_start": pd.Series([r["record_start"] for r in records], dtype=object),
+            "record_end": pd.Series([r["record_end"] for r in records], dtype=object),
+            "warc_type": pd.Series([r["warc_type"] for r in records], dtype=object),
+            "target_uri": pd.Series([r["target_uri"] for r in records], dtype=object),
+            "http_status": pd.Series([r["http_status"] for r in records], dtype=object),
+            "text": pd.Series([text_fn(r) for r in records], dtype=object),
+        }
+    )
 
 
 def scan_files_to_text(
@@ -993,3 +1274,201 @@ def scan_files_to_diagnostics(files_df, style: str = "content_length"):
             )
 
     return files_df.mapInPandas(scan_batches, schema=DIAGNOSTICS)
+
+
+# ---------------------------------------------------------------------------
+# splittable .warc.gz scan: stage 1 (member-group index) + stage 2 (slice scan)
+#
+# The whole-file kernels above receive one binaryFile row per archive — one
+# task, one in-memory copy, and a hard 2 GB ceiling per file. At 100 TB the
+# unit of parallelism must be a BYTE RANGE, not a file (the reference makes
+# the same move with its member index + random-access reads, patches.py:29-155,
+# models.py:273-291). Two-job DAG:
+#
+#   index_gzip_splits(paths)        → ARCHIVE_SPLITS rows (~target_bytes each)
+#   scan_splits_to_records(splits)  → records, byte-identical to whole-file
+#
+# Stage 1 streams each file once (constant memory, no binaryFile row at all,
+# so multi-GB archives are fine); stage 2 tasks ranged-read ONLY their slice.
+# On a cluster the ranged read is the storage client's pread/range-GET; in
+# this repo it's a local seek+read.
+# ---------------------------------------------------------------------------
+
+
+def _local_path(uri: str) -> str:
+    """Filesystem path for a Spark file URI (file:/x, file:///x, bare path).
+
+    Non-local schemes are rejected explicitly: at cluster scale the ranged
+    read should go through the storage client (S3 range GET / HDFS pread) —
+    wiring that is deployment-specific and out of this repo's scope."""
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(uri).path)
+    if "://" in uri:
+        raise NotImplementedError(
+            f"ranged reads are implemented for local files only, got {uri!r}; "
+            "use the storage client's ranged read on a cluster"
+        )
+    return uri
+
+
+def _read_slice(uri: str, start: int, end: int) -> bytes:
+    with open(_local_path(uri), "rb") as f:
+        f.seek(start)
+        return f.read(end - start)
+
+
+def index_gzip_splits(files_df, target_bytes: int = 128 << 20):
+    """Stage 1: (path|source_file) rows → ARCHIVE_SPLITS rows.
+
+    One streaming pass per file on the executors (iter_gzip_members_stream —
+    the file is never held in memory and never becomes a DataFrame row), then
+    plan_member_groups packs members into ~target_bytes groups that split
+    only at clean record boundaries. The output is small ((files × groups)
+    rows of offsets) and is typically broadcast-sized even at 100 TB
+    (a 1 GB archive at 128 MB targets is 8 rows)."""
+    from pyspark.sql import functions as F
+
+    from wbx.schema import ARCHIVE_SPLITS
+
+    col = "source_file" if "source_file" in files_df.columns else "path"
+    n_part = files_df.sparkSession.sparkContext.defaultParallelism
+    out_cols = [f.name for f in ARCHIVE_SPLITS.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for p in pdf[col]:
+                with open(_local_path(p), "rb") as f:
+                    groups = plan_member_groups(
+                        iter_gzip_members_stream(f), target_bytes
+                    )
+                for g in groups:
+                    rows.append({"source_file": p, **g})
+            yield _records_frame(rows, out_cols)
+
+    return (
+        files_df.select(F.col(col).alias("source_file"))
+        .repartition(n_part, "source_file")
+        .mapInPandas(kernel, schema=ARCHIVE_SPLITS)
+    )
+
+
+def _scan_splits_df(splits_df, schema, emit_rows, out_cols, style, wanted, gz_style):
+    """Shared stage-2 runner: ranged-read each group's slice, scan it with
+    absolute offsets, emit rows via `emit_rows(result, non_warc, source)`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list = []
+            for _, row in pdf.iterrows():
+                data = _read_slice(
+                    row["source_file"], int(row["comp_start"]), int(row["comp_end"])
+                )
+                result, non_warc = scan_member_group(
+                    data,
+                    row["source_file"],
+                    int(row["comp_start"]),
+                    int(row["unc_start"]),
+                    style,
+                    wanted,
+                    gz_style,
+                    int(row["n_members_total"]),
+                    int(row["group_id"]) == int(row["n_groups"]) - 1,
+                )
+                rows.extend(emit_rows(result, non_warc, row["source_file"]))
+            yield _records_frame(rows, out_cols)
+
+    return splits_df.mapInPandas(kernel, schema=schema)
+
+
+def scan_splits_to_records(
+    splits_df, style: str = "content_length", columns=None, gz_style: str = "file"
+):
+    """Stage 2: ARCHIVE_SPLITS rows → records DF, byte-identical to
+    scan_files_to_records on the whole files (parity pinned by
+    tests/test_warcio.py::TestSplittableScan for both styles, junk,
+    truncation, and non-aligned archives). One task per ~target_bytes of
+    compressed archive — the scan of a 10 GB .warc.gz is ~80 parallel
+    tasks instead of one."""
+    out_cols, schema, wanted = _records_projection(columns)
+
+    def emit(result, non_warc, source):
+        return result.records + [_non_warc_row(m) for m in non_warc]
+
+    return _scan_splits_df(splits_df, schema, emit, out_cols, style, wanted, gz_style)
+
+
+def scan_splits_to_text(
+    splits_df,
+    style: str = "content_length",
+    gz_style: str = "file",
+    on_error: str = "raise",
+):
+    """Stage 2, fused scan+extract (the 100-TB hot path): same slim
+    TEXT_RECORDS output as scan_files_to_text, but one task per member
+    group. Payload bytes are read once (ranged), parsed and decoded
+    in-process, and never cross the Arrow boundary."""
+    from wbx.schema import TEXT_RECORDS
+
+    _text = _make_text_fn(on_error)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records: list[dict] = []
+            for _, row in pdf.iterrows():
+                data = _read_slice(
+                    row["source_file"], int(row["comp_start"]), int(row["comp_end"])
+                )
+                result, _ = scan_member_group(
+                    data,
+                    row["source_file"],
+                    int(row["comp_start"]),
+                    int(row["unc_start"]),
+                    style,
+                    _TEXT_WANTED,
+                    gz_style,
+                    int(row["n_members_total"]),
+                    int(row["group_id"]) == int(row["n_groups"]) - 1,
+                )
+                records.extend(result.records)
+            yield _text_frame(records, _text)
+
+    return splits_df.mapInPandas(kernel, schema=TEXT_RECORDS)
+
+
+def scan_splits_to_unparsable(splits_df, style: str = "content_length"):
+    """Stage 2 side-channel: unparsable lines, absolute offsets."""
+    from wbx.schema import UNPARSABLE_LINES
+
+    cols = ["source_file", "start", "end", "bytes"]
+
+    def emit(result, non_warc, source):
+        return result.unparsable
+
+    return _scan_splits_df(
+        splits_df, UNPARSABLE_LINES, emit, cols, style, None, "file"
+    )
+
+
+def scan_splits_to_diagnostics(splits_df, style: str = "content_length"):
+    """Stage 2 side-channel: warning/error diagnostics rows."""
+    from wbx.schema import DIAGNOSTICS
+
+    cols = ["source_file", "kind", "message"]
+
+    def emit(result, non_warc, source):
+        rows = [
+            {"source_file": source, "kind": "warning", "message": w}
+            for w in result.warnings
+        ]
+        if result.error:
+            rows.append(
+                {"source_file": source, "kind": "error", "message": result.error}
+            )
+        return rows
+
+    return _scan_splits_df(
+        splits_df, DIAGNOSTICS, emit, cols, style, None, "file"
+    )
