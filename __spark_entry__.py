@@ -422,11 +422,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .alias("n_hashes"),
     )
 
+    # winnow VALUES, oracle-checked: the selection algebra (min per sliding
+    # window of w=9 rolling hashes, distinct) runs over md5_hash60 — a
+    # portable hash both engines compute bit-identically — so the oracle
+    # verifies actual fingerprints, not just counts. Production keeps the
+    # xxhash64 default (pytest pins the guarantee properties there).
     q["text_winnow"] = lambda spark, sf: _t(spark, sf, "documents").select(
         "doc_id",
-        F.size(textops.winnow(F.col("text"), window=8, guarantee=16))
-        .cast("long")
-        .alias("n_fingerprints"),
+        F.explode(
+            textops.winnow(
+                F.col("text"), window=8, guarantee=16, hasher=textops.md5_hash60
+            )
+        ).alias("fp"),
     )
 
     def jaccard(spark, sf):
@@ -498,11 +505,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("h1.com", "deny", "/d3"), ("h1.com", "allow", "/d3/1"), ("h2.com", "deny", "/")],
             schema="host string, rule_type string, path_prefix string",
         )
+        seen = _frontier_seen(spark, sf)
+        # exercise the flagship path: co-partitioned Bloom prefilter + exact
+        # confirm — bit-identical to the plain anti-join, pinned by the oracle
         return crawl_round(
             _frontier_candidates(spark, sf),
-            _frontier_seen(spark, sf),
+            seen,
             hosts,
             robots,
+            bloom=build_seen_bloom(seen, partitions=16),
+            bloom_partitions=16,
         ).select("canon_url", "host", "priority", "fetch_order")
 
     q["frontier_crawl_round"] = round_q
@@ -875,6 +887,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN len({_TOKS}) < 8 THEN 0
                          ELSE len({_TOKS}) - 7 END AS BIGINT) AS n_hashes
         FROM documents
+        """,
+        # winnow over md5_hash60 rolling hashes: window=8 tokens, guarantee=16
+        # → min per sliding window of w=9 hashes, distinct; a doc with fewer
+        # than w hashes yields the min of all (the truncated last frames are
+        # excluded by i <= nh-8, mirroring Spark's sequence(0, nh-w) bound)
+        "text_winnow": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        idx AS (
+          SELECT doc_id, toks, len(toks) - 7 AS nh,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+          FROM t
+          WHERE len(toks) >= 8
+        ),
+        h AS (
+          SELECT doc_id, i, nh,
+                 CAST(concat('0x', substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT) AS hv
+          FROM idx
+        ),
+        w AS (
+          SELECT doc_id, i, nh,
+                 min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 8 FOLLOWING) AS fp
+          FROM h
+        )
+        SELECT DISTINCT doc_id, fp FROM w WHERE i <= greatest(nh - 8, 1)
         """,
         "text_quality": f"""
         SELECT doc_id,

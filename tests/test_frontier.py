@@ -136,6 +136,37 @@ class TestSeenSet:
         got = frontier.filter_unseen_with_bloom(cand, empty, bloom, 4)
         assert got.count() == 50
 
+    def test_incremental_bloom_no_false_negatives(self, spark):
+        # the crawl loop's maintained sketch: OR-in three disjoint deltas,
+        # then every seen key must still tag maybe_seen (no false negatives
+        # = the bit that makes the prefilter exact)
+        cand, seen = self.make_sets(spark, n=600)
+        bloom = frontier.empty_seen_bloom(spark)
+        for part in range(3):
+            delta = seen.filter(F.pmod(F.abs(F.col("url_hash")), F.lit(3)) == part)
+            bloom = frontier.update_seen_bloom(bloom, delta, partitions=8, m=1 << 12)
+        via = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_with_bloom(
+                cand, seen, bloom, 8, mode="copartition"
+            ).collect()
+        )
+        exact = sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect()
+        )
+        assert via == exact
+
+    def test_incremental_bloom_untouched_partitions_pass_through(self, spark):
+        _, seen = self.make_sets(spark, n=200)
+        b1 = frontier.update_seen_bloom(
+            frontier.empty_seen_bloom(spark), seen, partitions=8, m=1 << 12
+        )
+        empty_delta = spark.createDataFrame([], "url_hash long, canon_url string")
+        b2 = frontier.update_seen_bloom(b1, empty_delta, partitions=8, m=1 << 12)
+        a = sorted((r["bloom_part"], r["m"], bytes(r["bitmap"])) for r in b1.collect())
+        b = sorted((r["bloom_part"], r["m"], bytes(r["bitmap"])) for r in b2.collect())
+        assert a == b
+
 
 class TestRobots:
     def test_longest_prefix_wins(self, spark):
@@ -292,6 +323,27 @@ class TestCrawlRound:
                 [(r["fetch_order"], r["canon_url"]) for r in batch.orderBy("fetch_order").collect()]
             )
         assert runs[0] == runs[1]
+
+    def test_bloom_backed_round_bit_identical(self, spark):
+        # the flagship path (copartitioned Bloom prefilter) must schedule
+        # exactly the same batch as the plain anti-join round
+        urls = self.fixture_urls()
+        seen_urls = [u for u, _ in urls[:40]]
+        cand = spark.createDataFrame(urls, "url string, priority double")
+        seen = frontier.with_canonical(
+            spark.createDataFrame([(u,) for u in seen_urls], "url string")
+        ).select("url_hash", "canon_url", F.lit(0).alias("fetched_round"))
+        hosts = spark.createDataFrame([("hot.example.com", 7)], "host string, budget int")
+        plain = frontier.crawl_round(cand, seen, hosts, batch_size=50)
+        rows_plain = [tuple(r) for r in plain.orderBy("fetch_order").collect()]
+        frontier.release_rank_caches()
+        bloom = frontier.build_seen_bloom(seen, partitions=8)
+        boomed = frontier.crawl_round(
+            cand, seen, hosts, batch_size=50, bloom=bloom, bloom_partitions=8
+        )
+        rows_bloom = [tuple(r) for r in boomed.orderBy("fetch_order").collect()]
+        frontier.release_rank_caches()
+        assert rows_plain == rows_bloom
 
 
 class TestGlobalRank:

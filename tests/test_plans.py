@@ -135,3 +135,42 @@ class TestJvmOnlyExpressions:
         plan = plan_str(with_canonical(urls.select("url")), mode="simple")
         for py_node in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
             assert py_node not in plan
+
+
+class TestDedupExchangeCarriesNoText:
+    def test_dedup_exact_shuffles_no_text(self, spark):
+        """Exact dedup must move (digest, id) through its exchanges, never
+        the document text (the verdict-r2 anti-pattern: a window over md5
+        shuffled full rows). Inspect the FINAL adaptive plan — AQE
+        broadcasts the survivor-id side, leaving the probe side exchange-free."""
+        from wbx import textops
+
+        out = textops.dedup_exact(_docs(spark))
+        out.collect()  # finalize AQE so join strategies are real
+        plan = plan_str(out)
+        assert "isFinalPlan=true" in plan
+        blocks = [
+            b
+            for b in plan.split("\n\n")
+            if b.splitlines() and ") Exchange" in b.splitlines()[0]
+        ]
+        for b in blocks:
+            assert "text#" not in b, b
+
+    def test_minhash_precollapse_shuffles_no_text(self, spark):
+        from wbx import textops
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark).filter(F.col("doc_id") < 50)
+        out = textops.dedup_minhash(docs, threshold=0.5)
+        out.collect()
+        plan = plan_str(out)
+        # every hash exchange before the shingle explode must be text-free;
+        # downstream exchanges carry only ids/hashes by construction
+        blocks = [
+            b
+            for b in plan.split("\n\n")
+            if b.splitlines() and ") Exchange" in b.splitlines()[0]
+        ]
+        for b in blocks:
+            assert "text#" not in b, b

@@ -167,3 +167,101 @@ class TestIvfTopk:
         sims = np_cosine_matrix(vecs.astype(np.float32).astype(np.float64))
         for q, rank, vid, s in ra:
             assert s == pytest.approx(sims[q, vid], abs=1e-5)
+
+
+class TestLshScaleGuards:
+    """The 100-TB failure modes of LSH blocking: exact-duplicate storms and
+    degenerate buckets must not go quadratic with vectors in flight."""
+
+    def test_identical_vector_storm_collapses(self, spark):
+        # 2000 copies of one vector share every bucket of every table; the
+        # exact pre-collapse reduces them to one representative BEFORE
+        # blocking, so the op returns no pairs (identity groups are
+        # dedup_exact's output, not O(k^2) pairs) and completes fast
+        v = [1.0] + [0.0] * 15
+        df = spark.createDataFrame(
+            [(i, v) for i in range(2000)], "vec_id long, embedding array<float>"
+        )
+        out = simsearch.pairwise_above_threshold(
+            df, threshold=0.9, dim=16, bits=6, tables=4
+        ).collect()
+        assert out == []
+
+    def test_cross_group_pair_survives_collapse(self, spark):
+        # two identity groups of near-identical vectors -> exactly one
+        # representative pair (lowest ids of each group)
+        a = np.array([1.0] + [0.0] * 15)
+        b = a + 0.01 * np.arange(16)
+        b /= np.linalg.norm(b)
+        rows = [(i, [float(x) for x in a]) for i in range(50)] + [
+            (50 + i, [float(x) for x in b]) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = simsearch.pairwise_above_threshold(
+            df, threshold=0.9, dim=16, bits=6, tables=4
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 50)]
+        assert out[0]["sim"] == pytest.approx(float(a @ b), abs=1e-5)
+
+    def test_max_bucket_cap_drops_degenerate_buckets(self, spark):
+        # with precollapse off and a tiny cap, a 100-copy storm is dropped
+        # by the bucket-size guard instead of exploding the join
+        v = [1.0] + [0.0] * 15
+        df = spark.createDataFrame(
+            [(i, v) for i in range(100)], "vec_id long, embedding array<float>"
+        )
+        out = simsearch.pairwise_above_threshold(
+            df, threshold=0.9, dim=16, bits=6, tables=4,
+            max_bucket=50, precollapse_exact=False,
+        ).collect()
+        assert out == []
+
+    @staticmethod
+    def _bucket_exchange_blocks(df):
+        """Detail blocks of Exchange nodes that hash-partition on `bucket`
+        in the formatted plan (each block lists the node's Input columns)."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        blocks = [
+            b
+            for b in plan.split("\n\n")
+            if ") Exchange" in b.splitlines()[0] and "hashpartitioning(bucket" in b
+        ]
+        assert blocks, "expected a bucket-keyed exchange in the plan"
+        return blocks
+
+    def test_lsh_topk_no_vectors_on_bucket_join(self, spark):
+        # plan guard: the bucket-join exchanges must not carry embedding
+        # payloads — vectors are fetched back by id after candidate dedup
+        vecs = clustered_vectors(n_clusters=3, per_cluster=4, dim=16)
+        df = emb_df(spark, vecs)
+        queries = df.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+        out = simsearch.lsh_topk(df, queries, k=3, dim=16, bits=6, tables=4)
+        for b in self._bucket_exchange_blocks(out):
+            for col in ("_cvec", "_qvec", "embedding"):
+                assert col not in b, b
+
+    def test_pairwise_no_vectors_on_bucket_join(self, spark):
+        vecs = clustered_vectors(n_clusters=3, per_cluster=4, dim=16)
+        out = simsearch.pairwise_above_threshold(
+            emb_df(spark, vecs), threshold=0.9, dim=16, bits=6, tables=4
+        )
+        for b in self._bucket_exchange_blocks(out):
+            for col in ("_va", "_vb", "embedding"):
+                assert col not in b, b
+
+    def test_ivf_training_sample_has_no_global_sort(self, spark):
+        # the centroid sample must not range-shuffle the whole corpus
+        vecs = clustered_vectors(n_clusters=4, per_cluster=5, dim=16)
+        df = emb_df(spark, vecs)
+        cents = simsearch.train_ivf_centroids(df, n_centroids=4, sample=8)
+        assert cents.shape == (4, 16)
+        # determinism across partitioning (hash filter + orderBy-limit are
+        # pure functions of the data)
+        c2 = simsearch.train_ivf_centroids(df.repartition(16), n_centroids=4, sample=8)
+        assert np.allclose(cents, c2)

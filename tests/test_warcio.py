@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import gzip
 
+import pytest
+
 from wbx import warcio
 from wbx.warcio import CRLF
 
@@ -696,3 +698,51 @@ class TestSplittableScan:
             assert g1["comp_end"] == g2["comp_start"]
             assert g1["unc_end"] == g2["unc_start"]
         assert sum(g["n_members"] for g in groups) == 40
+
+
+class TestConfigErrorParity:
+    """Config-validation error strings asserted by the reference's own tests
+    (test_warc_parser.py:189,312,408; test_gzipped_warc_parser.py:16,31,110)
+    must match exactly for drop-in parity of error paths."""
+
+    def test_unsupported_parsing_style(self):
+        with pytest.raises(ValueError) as e:
+            warcio.scan_warc(b"", style="unsupported_style")
+        assert "Supported parsing styles: delimiter, content_length" in str(e.value)
+
+    def test_unsupported_decompression_style(self):
+        with pytest.raises(ValueError) as e:
+            warcio.scan_archive(b"", "x.warc.gz", gz_hint=True, gz_style="nope")
+        assert "Supported decompression styles: member, file" in str(e.value)
+
+    def test_member_parser_single_style(self):
+        with pytest.raises(ValueError) as e:
+            warcio.scan_archive(
+                b"", "x.warc.gz", style="delimiter", gz_hint=True, gz_style="member"
+            )
+        assert "Supported parsing styles: split_gzip_members" in str(e.value)
+
+    def test_check_content_lengths_requires_split(self):
+        with pytest.raises(ValueError) as e:
+            warcio.scan_warc_gz_member(
+                b"", wanted=frozenset({"content_length_ok"}), split_records=False
+            )
+        assert str(e.value) == "To check_content_lengths, you must split records."
+
+    def test_header_columns_require_split(self):
+        with pytest.raises(ValueError) as e:
+            warcio.scan_warc_gz_member(
+                b"", wanted=frozenset({"header_bytes"}), split_records=False
+            )
+        assert (
+            str(e.value)
+            == "To cache or parse header or content block bytes, you must split records."
+        )
+
+    def test_offsets_only_mode_still_valid(self):
+        result, _ = warcio.scan_warc_gz_member(
+            gzip.compress(make_record(b"HTTP/1.1 200 OK\r\n\r\nx"), 6),
+            wanted=None,
+            split_records=False,
+        )
+        assert len(result.records) == 1

@@ -217,6 +217,9 @@ def run_crawl(
     rounds: int = 3,
     batch_size: int | None = None,
     default_budget: int = 10,
+    use_bloom: bool = True,
+    bloom_partitions: int = 64,
+    bloom_bits: int = 1 << 20,
 ) -> dict:
     """Batch-iterative crawl: each round schedules a fetch batch from the
     current frontier, marks it seen, expands it into next-round candidates,
@@ -237,21 +240,51 @@ def run_crawl(
     distinct/shuffle, and per-round commit cost is O(batch), constant in
     crawl age (test_checkpoint pins this: round N's seen_delta row count
     equals round N's fetch_log row count).
+
+    Seen-sketch contract (`use_bloom`, on by default): the loop maintains
+    per-partition Bloom filters over the seen keys ALONGSIDE the deltas —
+    each round ORs in only that round's delta (update_seen_bloom, O(batch))
+    and commits the filters as the ``seen_bloom`` table, then feeds them to
+    crawl_round's co-partitioned prefilter, so the definitely-unseen
+    majority of candidates never probes the cumulative seen table. Results
+    are bit-identical with the sketch on or off (false positives are
+    re-checked exactly; the sketch never drops a candidate). Resuming from
+    a checkpoint that predates the sketch rebuilds it once from the seen
+    set.
     """
-    from wbx.frontier import crawl_round, release_rank_caches
+    from wbx.frontier import (
+        build_seen_bloom,
+        crawl_round,
+        empty_seen_bloom,
+        release_rank_caches,
+        update_seen_bloom,
+    )
 
     start = store.latest_round()
     if start == 0:
         seen = spark.createDataFrame([], "url_hash long, canon_url string")
         frontier = seeds
+        bloom = empty_seen_bloom(spark)
     else:
         seen = store.load_seen(spark)
         frontier = store.load(spark, "frontier")
+        try:
+            bloom = store.load(spark, "seen_bloom")
+        except Exception:
+            # checkpoint predates the sketch — one rebuild, then incremental
+            bloom = build_seen_bloom(seen, bloom_partitions)
 
     last = None
     for rid in range(start + 1, rounds + 1):
         batch = crawl_round(
-            frontier, seen, hosts, robots, batch_size, default_budget
+            frontier,
+            seen,
+            hosts,
+            robots,
+            batch_size,
+            default_budget,
+            bloom=bloom if use_bloom else None,
+            bloom_partitions=bloom_partitions,
         ).persist()
         # the batch is already unseen (anti-joined) and unique per canon_url
         # (deduped), so it IS the round's exact seen-delta
@@ -268,12 +301,16 @@ def run_crawl(
                 "seen_delta": seen_delta,
                 "fetch_log": fetch_log,
                 "metrics": metrics,
+                "seen_bloom": update_seen_bloom(
+                    bloom, seen_delta, bloom_partitions, bloom_bits
+                ),
             },
         )
         # reload from the snapshot so each round's lineage is rooted in
         # committed files, not an ever-deepening in-memory plan
         seen = store.load_seen(spark, rid)
         frontier = store.load(spark, "frontier", rid)
+        bloom = store.load(spark, "seen_bloom", rid)
         batch.unpersist()
         release_rank_caches()
         last = rid

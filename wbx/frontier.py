@@ -313,6 +313,58 @@ def bloom_might_contain_copartitioned(
     )
 
 
+def update_seen_bloom(
+    bloom: DataFrame, delta: DataFrame, partitions: int = 64, m: int = 1 << 20
+) -> DataFrame:
+    """Incrementally OR a round's seen-delta keys into the per-partition
+    Bloom filters — the per-round sketch maintenance of the crawl loop.
+
+    Cost is O(|delta| + P bitmaps), NEVER a rescan of the cumulative seen
+    set (at 10^10 seen URLs a per-round rebuild would dominate the round).
+    Cogrouped on pmod(url_hash, P): each task gets (its delta slice, its one
+    filter row); partitions without new keys pass through untouched.
+
+    A partition touched for the first time gets a fresh filter of `m` bits —
+    capacity is fixed at creation, so size `m` for the EXPECTED keys per
+    partition (10^10 URLs / 64 partitions × ~12 bits ≈ 2^31; the default
+    2^20 suits tests). Saturation only raises the false-positive rate —
+    false positives are re-checked exactly, so correctness never depends on
+    m. Schema matches build_seen_bloom."""
+    import pandas as _pd
+
+    m = max(64, (m + 63) // 64 * 64)
+    d = delta.select(
+        F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int").alias("_bp"),
+        "url_hash",
+    )
+    b = bloom.withColumnRenamed("bloom_part", "_bp")
+
+    def upd(left: _pd.DataFrame, right: _pd.DataFrame) -> _pd.DataFrame:
+        if len(right):
+            mm = int(right["m"].iloc[0])
+            bits = np.frombuffer(bytes(right["bitmap"].iloc[0]), dtype=np.uint8).copy()
+            part = int(right["_bp"].iloc[0])
+        else:
+            mm = m
+            bits = np.zeros(mm // 8, dtype=np.uint8)
+            part = int(left["_bp"].iloc[0])
+        if len(left):
+            hashes = left["url_hash"].to_numpy()
+            for idx in _bloom_positions(hashes, mm):
+                np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        return _pd.DataFrame({"bloom_part": [part], "m": [mm], "bitmap": [bits.tobytes()]})
+
+    return (
+        d.groupBy("_bp")
+        .cogroup(b.groupBy("_bp"))
+        .applyInPandas(upd, schema="bloom_part int, m long, bitmap binary")
+    )
+
+
+def empty_seen_bloom(spark) -> DataFrame:
+    return spark.createDataFrame([], "bloom_part int, m long, bitmap binary")
+
+
 def filter_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     """Exact frontier ∖ seen: left_anti on (url_hash, canon_url).
 
@@ -483,23 +535,31 @@ def budgets_from_crawl_delays(
     )
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def apply_robots(
+    frontier: DataFrame, robots: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
     """Keep frontier rows allowed by robots rules.
 
     rules: (host, rule_type ∈ {allow, deny}, path_prefix). Longest matching
     prefix wins; tie → allow wins; no matching rule → allowed.
 
-    Plan shape (scale-critical): rules are pre-grouped per host and
-    broadcast, the frontier side does ONE equi broadcast-hash join on host —
-    no shuffle, no window, no nested-loop. Longest-prefix-wins is a pure
-    array expression (filter + array_max over (prefix_len, is_allow)
-    structs), evaluated inside whole-stage codegen.
-    """
+    Plan shape (scale-critical): rules are pre-grouped per host and the
+    frontier side does ONE equi join on host — no window, no nested-loop.
+    Longest-prefix-wins is a pure array expression (filter + array_max over
+    (prefix_len, is_allow) structs), evaluated inside whole-stage codegen.
+
+    ``broadcast``: True forces a broadcast-hash join (correct only when the
+    grouped rules table is known-small); None (default) lets AQE /
+    autoBroadcastJoinThreshold decide from the aggregate's actual runtime
+    size — at crawl scale the rules table is ~#hosts rows (10^7-10^8) and an
+    unconditional broadcast hint would OOM the driver."""
     rules = robots.groupBy("host").agg(
         F.collect_list(F.struct("path_prefix", "rule_type")).alias("_rules")
     )
+    if broadcast:
+        rules = F.broadcast(rules)
     f = frontier.withColumn("_path", url_path(F.col("canon_url"))).join(
-        F.broadcast(rules), "host", "left"
+        rules, "host", "left"
     )
     matching = F.filter(
         F.col("_rules"), lambda r: F.col("_path").startswith(r["path_prefix"])
@@ -527,15 +587,24 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def apply_politeness(frontier: DataFrame, hosts: DataFrame, default_budget: int = 10) -> DataFrame:
+def apply_politeness(
+    frontier: DataFrame,
+    hosts: DataFrame,
+    default_budget: int = 10,
+    broadcast: bool | None = None,
+) -> DataFrame:
     """Per-host fetch budget: keep the top-`budget` URLs per host by
     (priority DESC, canon_url ASC) — an explicit total order, so the kept
     set is identical at any parallelism.
 
-    hosts: (host, budget) — small config table → broadcast join.
-    """
+    hosts: (host, budget). ``broadcast`` as in apply_robots: at crawl scale
+    this table is one row per HOST (10^7+), so the hint is opt-in; AQE
+    broadcasts it at runtime whenever it is actually small."""
+    budgets = hosts.select(F.col("host").alias("_bhost"), "budget")
+    if broadcast:
+        budgets = F.broadcast(budgets)
     f = frontier.join(
-        F.broadcast(hosts.select(F.col("host").alias("_bhost"), "budget")),
+        budgets,
         F.col("host") == F.col("_bhost"),
         "left",
     ).withColumn("_budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
@@ -682,11 +751,16 @@ def crawl_round(
     robots: DataFrame | None = None,
     batch_size: int | None = None,
     default_budget: int = 10,
+    bloom: DataFrame | None = None,
+    bloom_partitions: int = 64,
+    bloom_mode: str = "copartition",
+    broadcast_small: bool | None = None,
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
     canonicalize → dedup (max priority per canon_url, deterministic) →
-    seen anti-join → robots → politeness → deterministic priority order.
+    seen anti-join (Bloom-prefiltered when a sketch is supplied) → robots →
+    politeness → deterministic priority order.
     Returns (canon_url, url_hash, host, priority, fetch_order).
 
     Shuffle plan (scale-critical): the dedup groupBy keys are exactly the
@@ -695,19 +769,31 @@ def crawl_round(
     the candidate set is shuffled ONCE for dedup+membership, not twice.
     `host` is functionally dependent on canon_url and is (re)derived as a
     map expression after dedup instead of riding through the exchange.
-    """
+
+    ``bloom``: per-partition seen-set Bloom filters (build_seen_bloom /
+    update_seen_bloom — run_crawl maintains them incrementally per round).
+    With the sketch, the definitely-unseen majority of candidates skips the
+    anti-join against the 10^10-row seen table entirely; only the maybe-seen
+    minority is confirmed exactly, so the result is bit-identical either
+    way. Default distribution mode is "copartition" (the scale path — no
+    driver collect of the filters). ``broadcast_small`` is the robots/hosts
+    join hint (see apply_robots)."""
     canon = candidates.select(
         canonicalize_url(F.col("url")).alias("canon_url"), "priority"
     ).withColumn("url_hash", url_hash(F.col("canon_url")))
     deduped = canon.groupBy("url_hash", "canon_url").agg(
         F.max("priority").alias("priority")
     )
-    unseen = filter_unseen(deduped, seen).withColumn(
-        "host", url_host(F.col("canon_url"))
-    )
+    if bloom is not None:
+        unseen = filter_unseen_with_bloom(
+            deduped, seen, bloom, bloom_partitions, bloom_mode
+        )
+    else:
+        unseen = filter_unseen(deduped, seen)
+    unseen = unseen.withColumn("host", url_host(F.col("canon_url")))
     if robots is not None:
-        unseen = apply_robots(unseen, robots)
-    polite = apply_politeness(unseen, hosts, default_budget)
+        unseen = apply_robots(unseen, robots, broadcast_small)
+    polite = apply_politeness(unseen, hosts, default_budget, broadcast_small)
     return schedule_fetch_batch(polite, batch_size).select(
         "canon_url", "url_hash", "host", "priority", "fetch_order"
     )

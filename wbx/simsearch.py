@@ -111,33 +111,51 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """ANN top-k: equi-join on shared LSH buckets, exact cosine within.
 
-    Candidate generation shuffles only (bucket, id) pairs; each corpus
-    vector is scored once per query it shares a bucket with (distinct
-    first). Recall < 1 by construction — the scale path when the query set
-    is too large to broadcast."""
+    Candidate generation shuffles only (bucket, id) pairs — vectors do NOT
+    ride the bucket join (they'd cross the wire once per table otherwise);
+    after the (query_id, vec_id) candidate set is deduped, both vectors are
+    fetched back by id for the exact-cosine stage. Recall < 1 by
+    construction — the scale path when the query set is too large to
+    broadcast.
+
+    Skew guard (`max_bucket`): a degenerate corpus bucket (e.g. near-zero
+    vectors all hashing alike) makes the bucket join quadratic; buckets
+    larger than the cap are dropped BEFORE the join (window count on the
+    join key, same technique as minhash_lsh_pairs). Members of a dropped
+    bucket can still match through their other `tables-1` buckets."""
     bucketer = lsh_bucket_udf(dim, bits, tables, seed)
     c = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_cvec"),
-        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+        F.col(id_col), F.explode(bucketer(F.col(vec_col))).alias("bucket")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        c = (
+            c.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     q = queries.select(
-        "query_id",
-        F.col(vec_col).alias("_qvec"),
-        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+        "query_id", F.explode(bucketer(F.col(vec_col))).alias("bucket")
     )
     candidates = (
         c.join(q, "bucket")
-        .select("query_id", id_col, "_qvec", "_cvec")
+        .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
     )
-    scored = candidates.select(
-        "query_id",
-        F.col(id_col),
-        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    scored = (
+        candidates.join(
+            embeddings.select(F.col(id_col), F.col(vec_col).alias("_cvec")), id_col
+        )
+        .join(queries.select("query_id", F.col(vec_col).alias("_qvec")), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -160,13 +178,31 @@ def train_ivf_centroids(
     The sample (≤ a few thousand rows) and the Lloyd iterations run on the
     driver with numpy — centroids are a MODEL (kilobytes), not data, so this
     is the legitimate collect: at 100 TB you train on a fixed-size sample
-    and broadcast the centroids, exactly as FAISS-style IVF does. Sampling
-    is deterministic (orderBy id, limit) so the index is reproducible."""
+    and broadcast the centroids, exactly as FAISS-style IVF does.
+
+    Sampling is deterministic AND cheap at scale: a hash pre-filter
+    (pmod(xxhash64(keys), mod) == 0, mod sized from a count so ~4×sample
+    rows survive) shrinks the table first, then the orderBy-limit tiebreak
+    runs over the tiny survivor set — no global sort of the corpus, and the
+    vec column is only materialized for survivors. Both stages are pure
+    functions of the data, so the index is reproducible at any
+    parallelism."""
     key_cols = [c for c in embeddings.columns if c != vec_col]
-    ordered = embeddings.orderBy(*key_cols) if key_cols else embeddings
+    n = embeddings.count()
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty embeddings table")
+    mod = max(1, n // (sample * 4))
+    pool = embeddings
+    if mod > 1 and key_cols:
+        pool = embeddings.filter(
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(mod)) == 0
+        )
+    ordered = pool.orderBy(*key_cols) if key_cols else pool
     rows = ordered.limit(sample).select(vec_col).collect()
     if not rows:
-        raise ValueError("cannot train IVF centroids on an empty embeddings table")
+        # pathologically unlucky hash filter on a tiny table — fall back
+        ordered = embeddings.orderBy(*key_cols) if key_cols else embeddings
+        rows = ordered.limit(sample).select(vec_col).collect()
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -261,28 +297,56 @@ def pairwise_above_threshold(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = 1000,
+    precollapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via LSH blocking —
-    the embedding-space analogue of MinHash near-dup for text."""
+    the embedding-space analogue of MinHash near-dup for text.
+
+    Scale shape (mirrors dedup_minhash exactly):
+    - `precollapse_exact` (default on): byte-identical vectors collapse to
+      their lowest-id representative BEFORE blocking — k copies of one
+      vector would otherwise share every bucket and force O(k²) pairs; an
+      identity group is the exact-dedup operator's output, not k² pairs.
+      Returned pairs are among representatives.
+    - the bucket join carries only (bucket, id) — vectors are fetched back
+      by id for the exact-cosine stage, so no vector crosses the shuffle
+      more than once per side (vs. once per table);
+    - `max_bucket` drops degenerate buckets before the self-join (window
+      count on the join key, as in minhash_lsh_pairs); members of a dropped
+      bucket can still pair through the other `tables-1` buckets."""
+    if precollapse_exact:
+        reps = (
+            embeddings.groupBy(vec_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, vec_col)
+        )
+    else:
+        reps = embeddings.select(id_col, vec_col)
     bucketer = lsh_bucket_udf(dim, bits, tables, seed)
-    b = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_vec"),
-        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+    b = reps.select(
+        F.col(id_col), F.explode(bucketer(F.col(vec_col))).alias("bucket")
     )
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "bucket"
-    )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "bucket"
-    )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    left = b.select(F.col(id_col).alias("id_a"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "bucket")
     pairs = (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = reps.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = reps.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        pairs.select(
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             cosine_similarity(F.col("_va"), F.col("_vb")).alias("sim"),

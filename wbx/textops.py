@@ -30,16 +30,19 @@ def tokens(text: Column) -> Column:
 
 
 def dedup_exact(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id document per exact text digest.
+    """Keep the lowest-id document per exact text digest (ids assumed
+    unique — the table's primary key).
 
-    groupBy on md5(text): the shuffle carries (digest, id) only — at 100 TB
-    the text stays columnar in the scan and the exchange is a few GB."""
-    w = Window.partitionBy("text_md5").orderBy(F.col(id_col).asc())
-    return (
-        documents.withColumn("text_md5", F.md5(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    Composition, not a window: dedup_exact_ids aggregates survivors over a
+    (digest, id)-only shuffle, then a left-semi join on the id restores full
+    rows. The previous window-over-md5 form shuffled EVERY row's text
+    column; here text never crosses an exchange when the survivor set
+    broadcasts (AQE does this whenever it fits — tests pin it) or when the
+    table layout is id-bucketed (the normal 100-TB layout, where the semi
+    join is co-located)."""
+    ids = dedup_exact_ids(documents, text_col, id_col)
+    return documents.withColumn("text_md5", F.md5(F.col(text_col))).join(
+        ids.select(id_col), [id_col], "left_semi"
     )
 
 
@@ -267,13 +270,14 @@ def dedup_minhash(
     correct composition (exact duplicates belong to dedup_exact, whose
     output is a group, not O(k²) pairs) and the structural fix for LSH's
     worst skew case — 10k copies of one page otherwise share every band
-    bucket and the self-join goes quadratic."""
+    bucket and the self-join goes quadratic. Implemented as a semi join on
+    the aggregate survivor ids so the collapse itself never shuffles text
+    (see dedup_exact)."""
     if precollapse_exact:
-        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
-        documents = (
-            documents.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        documents = documents.join(
+            dedup_exact_ids(documents, text_col, id_col).select(id_col),
+            [id_col],
+            "left_semi",
         )
     sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_size, seed)
     pairs = minhash_lsh_pairs(sigs, id_col, bands, num_hashes // bands, max_bucket)
@@ -481,17 +485,28 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", tokens(text)))
 
 
-def rolling_hashes(text: Column, window: int = 8) -> Column:
+def md5_hash60(s: Column) -> Column:
+    """Portable 60-bit string hash: first 15 hex digits of md5 as int64.
+    Bit-identical in Spark (conv) and DuckDB (0x-cast) — the cross-engine
+    hasher that lets winnow VALUES be oracle-checked, not just counted.
+    xxhash64 stays the production default (JVM-native, ~4× faster)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def rolling_hashes(text: Column, window: int = 8, hasher=F.xxhash64) -> Column:
     """Karp-Rabin-style rolling hashes over the token stream (the winnowing
     primitive for plagiarism-style fingerprinting): array of int64, one per
     window-gram. JVM-side via transform — no Python; tokens are let-bound
-    so the windows don't re-tokenize per element (see let_col)."""
+    so the windows don't re-tokenize per element (see let_col).
+
+    ``hasher``: Column→Column int64 hash of the window string (default
+    xxhash64; md5_hash60 for cross-engine reproducibility)."""
     return let_col(
         tokens(text),
         lambda toks: F.when(F.size(toks) < window, F.array()).otherwise(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - window),
-                lambda i: F.xxhash64(
+                lambda i: hasher(
                     F.concat_ws(" ", F.slice(toks, i + 1, window))
                 ),
             )
@@ -499,7 +514,9 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
     )
 
 
-def winnow(text: Column, window: int = 8, guarantee: int = 16) -> Column:
+def winnow(
+    text: Column, window: int = 8, guarantee: int = 16, hasher=F.xxhash64
+) -> Column:
     """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     slide a window of w = guarantee−window+1 rolling hashes and keep each
     window's minimum, deduplicated — any shared token run of ≥ `guarantee`
@@ -513,7 +530,7 @@ def winnow(text: Column, window: int = 8, guarantee: int = 16) -> Column:
     # re-derive the ENTIRE rolling-hash array (which itself re-tokenizes) —
     # O(n²) tokenization per document (see let_col)
     return let_col(
-        rolling_hashes(text, window),
+        rolling_hashes(text, window, hasher),
         # hs.isNull() first: NULL text → NULL hashes, and without the guard
         # size(NULL)<=0 is NULL → otherwise-branch → greatest(NULL-w,0)=0 →
         # a phantom [NULL] fingerprint that every NULL-text doc would share.

@@ -663,6 +663,43 @@ def plan_member_groups(
     return groups
 
 
+# columns only derivable by splitting a record into header/content — asking
+# for them with split_records=False is the reference's config error
+# (gzipped_warc.py:238-242, warc.py:297; strings pinned by its tests)
+_SPLIT_ONLY_COLS = frozenset(
+    {
+        "headers",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "warc_version",
+        "content_type",
+        "content_length",
+        "header_bytes",
+        "content_block",
+        "http_status",
+        "http_verb",
+        "http_content_type",
+    }
+)
+
+
+def _validate_member_options(
+    wanted: frozenset[str] | None, split_records: bool
+) -> None:
+    """Config-validation parity with the reference parsers (string-exact:
+    ref tests/test_warc_parser.py:312, test_gzipped_warc_parser.py:110).
+    wanted=None with split_records=False is the offsets-only mode and valid."""
+    if split_records or wanted is None:
+        return
+    if "content_length_ok" in wanted:
+        raise ValueError("To check_content_lengths, you must split records.")
+    if wanted & _SPLIT_ONLY_COLS:
+        raise ValueError(
+            "To cache or parse header or content block bytes, you must split records."
+        )
+
+
 _SINGLE_MEMBER_FILE_WARNING = (
     "This file only contains one gzip member. While valid, this is  "
     "unusual: WARC files are customarily compressed record-by-record."
@@ -741,6 +778,7 @@ def scan_member_group(
     total = len(members3) if n_members_total is None else n_members_total
 
     if gz_style == "member":
+        _validate_member_options(wanted, split_records)
         result = ScanResult()
         non_warc: list[dict] = []
         if total == 1:
@@ -969,6 +1007,11 @@ def scan_archive(
     data, gz = resolve_archive(source, data, gz_hint)
     if gz:
         if gz_style == "member":
+            # the reference's member parser accepts exactly one parsing
+            # style (ref tests/test_gzipped_warc_parser.py:16); our default
+            # "content_length" passes through as the unset case
+            if style not in ("content_length", "split_gzip_members"):
+                raise ValueError("Supported parsing styles: split_gzip_members")
             return scan_warc_gz_member(data, source, wanted)
         if gz_style != "file":
             raise ValueError("Supported decompression styles: member, file")
