@@ -39,6 +39,34 @@ class TestCanonicalize:
         got = df.select(frontier.canonicalize_url(F.col("url")).alias("c")).collect()[0]["c"]
         assert got == expected
 
+    def test_staged_form_equivalent_to_expression_form(self, spark):
+        # with_canon_url (the codegen-safe multi-project pipeline) must be
+        # semantically identical to the single-expression canonicalize_url
+        urls = [c[0] for c in CANON_CASES] + [
+            "http://user@Sub.Example.com:8080/a/b?q=1#frag",
+            "HTTPS://X.COM:443/",
+            "https://x.com:4433/",
+            "  http://pad.com/x  ",
+            "no scheme at all",
+            "://already-marked",
+            "ftp://files.example.com:21/pub",
+            "",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string").union(
+            spark.createDataFrame([(None,)], "url string")
+        )
+        staged = {
+            r["url"]: r["canon_url"]
+            for r in frontier.with_canon_url(df).collect()
+        }
+        expr = {
+            r["url"]: r["c"]
+            for r in df.select(
+                "url", frontier.canonicalize_url(F.col("url")).alias("c")
+            ).collect()
+        }
+        assert staged == expr
+
     def test_host_and_path(self, spark):
         df = spark.createDataFrame(
             [("http://user@sub.example.com:8080/a/b?q=1",)], "url string"

@@ -31,7 +31,9 @@ class TestScanPushdown:
     def test_filter_pushed_to_parquet(self, spark):
         df = _docs(spark).filter(F.col("doc_id") < 10).select("doc_id")
         plan = plan_str(df)
-        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+        # (no inferred IsNotNull: constraint propagation is off, session.py)
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+        assert "LessThan(doc_id,10)" in pushed
 
     def test_column_pruned_read_schema(self, spark):
         df = _docs(spark).select("doc_id")
@@ -174,3 +176,42 @@ class TestDedupExchangeCarriesNoText:
         ]
         for b in blocks:
             assert "text#" not in b, b
+
+
+class TestFrontierCodegen:
+    def test_crawl_round_compiles_under_forced_codegen(self, spark):
+        """The frontier's hot stage must stay inside whole-stage codegen:
+        with fallback disabled, a 64 KB-method overflow (the r2 Janino
+        regression: constraint propagation inlining canonicalize into an
+        inferred IsNotNull filter) fails loudly here instead of silently
+        running interpreted on the cluster."""
+        from wbx import frontier
+
+        confs = {
+            "spark.sql.codegen.fallback": "false",
+            "spark.sql.codegen.factoryMode": "CODEGEN_ONLY",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            cand = spark.createDataFrame(
+                [(f"http://H{i % 5}.com:80/p{i}#x", float(i)) for i in range(60)],
+                "url string, priority double",
+            )
+            seen = spark.createDataFrame([], "url_hash long, canon_url string")
+            hosts = spark.createDataFrame([("h1.com", 3)], "host string, budget int")
+            got = frontier.crawl_round(cand, seen, hosts, batch_size=20).collect()
+            assert len(got) == 20
+        finally:
+            frontier.release_rank_caches()
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_constraint_propagation_disabled(self, spark):
+        # the session factory must keep this off (see wbx/session.py) —
+        # re-enabling it silently reintroduces the interpreted fallback
+        assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "false"

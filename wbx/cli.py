@@ -264,6 +264,15 @@ def cmd_compare_headers(args) -> None:
         diffs = analytics.near_match_header_diffs(r1, r2, fields, near, http=True)
         out["near_matching_http_header_diffs"] = [r.asDict() for r in diffs.collect()]
     _emit(out, args.format)
+    if args.serve_near_matching_records:
+        # S10 replay server (reference --serve-near-matching-records):
+        # classification stays distributed; the browsed pairs are collected
+        from wbx.replay import near_matching_pairs, serve_pairs
+
+        pairs = near_matching_pairs(r1, r2, fields, near)
+        serve_pairs(
+            pairs, args.input, args.input2, args.server_host, args.server_port
+        )
 
 
 def cmd_compare_parsers(args) -> None:
@@ -413,6 +422,10 @@ def main(argv=None) -> int:
     s.add_argument("--near-fields")
     s.add_argument("--near-header-diffs", action="store_true")
     s.add_argument("--near-http-header-diffs", action="store_true")
+    s.add_argument("--serve-near-matching-records", action="store_true",
+                   help="S10: serve an HTTP comparison/replay UI for the near-matching pairs")
+    s.add_argument("--server-host", default="127.0.0.1")
+    s.add_argument("--server-port", type=int, default=8000)
     s.set_defaults(fn=cmd_compare_headers)
 
     s = sub.add_parser("compare-parsers")

@@ -164,10 +164,88 @@ def url_hash(canon_url: Column) -> Column:
     return F.xxhash64(canon_url)
 
 
-def with_canonical(urls: DataFrame, url_col: str = "url") -> DataFrame:
-    canon = canonicalize_url(F.col(url_col))
+def with_canon_url(
+    urls: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """canonicalize_url as a STAGED multi-project pipeline — same semantics
+    (equivalence pinned by tests), different codegen shape.
+
+    Why it exists: the single-expression form's internals (u0 → after →
+    auth) substitute into every reference, so its generated code grows
+    multiplicatively and the whole-stage-codegen method blows the JVM's
+    64 KB limit — Spark then silently falls back to interpreted evaluation
+    for the frontier's hottest stage (the Janino "Code grows beyond 64 KB"
+    stack in the r2 bench tail). Staging each intermediate as a real column
+    makes codegen evaluate it ONCE via an attribute reference;
+    CollapseProject keeps multi-referenced non-cheap aliases staged, so the
+    shape survives optimization. Guard: tests/test_plans.py asserts the
+    frontier pipeline compiles with codegen fallback disabled."""
+    port80 = F.col("_scheme").eqNullSafe("http") & F.col("_auth0").endswith(":80")
+    port443 = F.col("_scheme").eqNullSafe("https") & F.col("_auth0").endswith(":443")
+    canon = F.when(
+        ~F.col("_scheme_ok"),
+        F.when(F.col("_u0").startswith("://"), F.col("_u0")).otherwise(
+            F.concat(F.lit("://"), F.col("_u0"))
+        ),
+    ).otherwise(F.concat(F.col("_scheme"), F.lit("://"), F.col("_auth"), F.col("_rest")))
     return (
-        urls.withColumn("canon_url", canon)
+        urls.withColumn("_u0", F.substring_index(F.trim(F.col(url_col)), "#", 1))
+        .withColumn("_sep", F.instr(F.col("_u0"), "://"))
+        .withColumn("_scheme_raw", F.col("_u0").substr(F.lit(1), F.col("_sep") - 1))
+        .withColumn("_after", F.col("_u0").substr(F.col("_sep") + 3, F.lit(1 << 30)))
+        .withColumn("_slash", F.locate("/", F.col("_after")))
+        .withColumn("_qm", F.locate("?", F.col("_after")))
+        .withColumn(
+            "_cut",
+            F.when(
+                (F.col("_slash") > 0)
+                & ((F.col("_qm") == 0) | (F.col("_slash") < F.col("_qm"))),
+                F.col("_slash"),
+            )
+            .when(F.col("_qm") > 0, F.col("_qm"))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_auth0",
+            F.lower(
+                F.when(
+                    F.col("_cut") > 0,
+                    F.col("_after").substr(F.lit(1), F.col("_cut") - 1),
+                ).otherwise(F.col("_after"))
+            ),
+        )
+        .withColumn(
+            "_rest",
+            F.when(
+                F.col("_cut") > 0,
+                F.col("_after").substr(F.col("_cut"), F.lit(1 << 30)),
+            ).otherwise(F.lit("/")),
+        )
+        .withColumn("_scheme", F.lower(F.col("_scheme_raw")))
+        .withColumn(
+            "_scheme_ok",
+            (F.col("_sep") > 0)
+            & F.col("_scheme_raw").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$"),
+        )
+        .withColumn(
+            "_auth",
+            F.when(
+                port80, F.col("_auth0").substr(F.lit(1), F.length("_auth0") - 3)
+            )
+            .when(port443, F.col("_auth0").substr(F.lit(1), F.length("_auth0") - 4))
+            .otherwise(F.col("_auth0")),
+        )
+        .withColumn(out_col, canon)
+        .drop(
+            "_u0", "_sep", "_scheme_raw", "_after", "_slash", "_qm", "_cut",
+            "_auth0", "_rest", "_scheme", "_scheme_ok", "_auth",
+        )
+    )
+
+
+def with_canonical(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    return (
+        with_canon_url(urls, url_col)
         .withColumn("url_hash", url_hash(F.col("canon_url")))
         .withColumn("host", url_host(F.col("canon_url")))
     )
@@ -778,8 +856,8 @@ def crawl_round(
     way. Default distribution mode is "copartition" (the scale path — no
     driver collect of the filters). ``broadcast_small`` is the robots/hosts
     join hint (see apply_robots)."""
-    canon = candidates.select(
-        canonicalize_url(F.col("url")).alias("canon_url"), "priority"
+    canon = with_canon_url(candidates.select("url", "priority")).select(
+        "canon_url", "priority"
     ).withColumn("url_hash", url_hash(F.col("canon_url")))
     deduped = canon.groupBy("url_hash", "canon_url").agg(
         F.max("priority").alias("priority")

@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("WBX_DRIVER_MEMORY", "8g"))
+        # Constraint propagation infers IsNotNull(<full expression>) filters
+        # and pushes them through projects, SUBSTITUTING aliases — for the
+        # canonicalize_url pipeline that inlines a multi-thousand-node tree
+        # into one Filter condition, blowing the JVM's 64 KB method limit so
+        # the frontier's hottest stage silently dropped out of whole-stage
+        # codegen (Janino "Code grows beyond 64 KB", BENCH_r02 tail). The
+        # inferred filter is also semantically worthless here (canon_url is
+        # NULL iff url is NULL). Off fleet-wide; guarded by
+        # tests/test_plans.py::TestFrontierCodegen.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
