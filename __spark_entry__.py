@@ -630,6 +630,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_text_fused"] = text_fused
 
+    def split_text(spark, sf):
+        """Splittable two-stage .warc.gz scan end-to-end under the oracle:
+        record-per-member archives are staged to local files (ranged reads
+        need a filesystem), stage 1 (index_gzip_splits) packs members into
+        deliberately tiny groups so every file fans out across many slice
+        tasks, stage 2 (scan_splits_to_text) ranged-reads and fused-scans
+        each slice. Extracted text must be byte-identical to the source
+        column — the same oracle as the whole-file fused path, proving the
+        split DAG changes the physical plan, not the answer."""
+        import os
+        import shutil
+
+        from wbx.fixtures import warc_record_bytes
+        from wbx.warcio import index_gzip_splits, scan_splits_to_text, write_warc_gz
+
+        def build(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            recs = [
+                warc_record_bytes(int(r["doc_id"]), str(r["text"]))
+                for _, r in pdf.iterrows()
+            ]
+            grp = int(pdf["grp"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "source_file": [f"splitstage-{grp}.warc.gz"],
+                    "content": [write_warc_gz(recs)],
+                }
+            )
+
+        n_files = 4
+        files = (
+            _t(spark, sf, "documents")
+            .select("doc_id", "text")
+            .withColumn("grp", F.pmod("doc_id", F.lit(n_files)))
+            .groupBy("grp")
+            .applyInPandas(build, schema="source_file string, content binary")
+        )
+        base = os.path.join(
+            "/tmp", "wbx_split_stage", os.path.basename(os.path.normpath(sf))
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        for r in files.collect():
+            with open(os.path.join(base, r["source_file"]), "wb") as f:
+                f.write(bytes(r["content"]))
+        paths = spark.createDataFrame(
+            [
+                (os.path.join(base, f"splitstage-{g}.warc.gz"),)
+                for g in range(n_files)
+            ],
+            "source_file string",
+        )
+        splits = index_gzip_splits(paths, target_bytes=16 << 10)
+        return scan_splits_to_text(splits).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+            "target_uri",
+            F.col("http_status").cast("long").alias("http_status"),
+            F.col("text").alias("text_out"),
+        )
+
+    q["warc_split_text"] = split_text
+
     def unparsable(spark, sf):
         from wbx.fixtures import synth_warc_files
         from wbx.warcio import scan_files_to_unparsable
@@ -1045,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip_content_length": _WARC_ROUNDTRIP_ORACLE,
         "warc_roundtrip_codecs": _WARC_ROUNDTRIP_ORACLE,
         "warc_text_fused": _WARC_ROUNDTRIP_ORACLE,
+        "warc_split_text": _WARC_ROUNDTRIP_ORACLE,
         # delimiter mode: the reference truncates the last record of a file
         # ending in CRLFCRLF (no WARC magic follows at EOF) to (start, start)
         # — its header still parses but the content block is empty, so

@@ -47,6 +47,10 @@ def get_session():
         # mapInPandas parse fanned out without an explicit (and untimed-
         # unrealistic) repartition shuffle of the payload bytes
         .config("spark.sql.files.maxPartitionBytes", "8m")
+        # keep in sync with wbx/session.py: constraint propagation inlines
+        # the canonicalize tree into inferred IsNotNull filters → 64 KB
+        # codegen overflow → the frontier stage silently runs interpreted
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
