@@ -154,11 +154,17 @@ def bench_frontier(spark, base: str) -> tuple[float, int, int]:
         schema="host string, rule_type string, path_prefix string",
     )
     n_in = cand.count()  # warm the scan; not part of the timed round
-    # the seen-sketch is a maintained artifact in the crawl loop (run_crawl
-    # ORs in each round's delta); building it is not part of a round's cost,
-    # so materialize it outside the timer
-    bloom = build_seen_bloom(seen, partitions=64).persist()
-    bloom.count()
+    # SPARK_GRAFT_BLOOM=1 routes the round through the seen-sketch prefilter
+    # (bit-identical output; the sketch is built outside the timer because
+    # run_crawl maintains it incrementally). Default off for the headline:
+    # the sketch pays in the 10^10-seen regime where it prunes the seen-side
+    # probe; at bench scale (3M seen keys) the map-side Arrow check costs
+    # more than the anti-join it saves — measured, see BENCH/BASELINE.md.
+    use_bloom = os.environ.get("SPARK_GRAFT_BLOOM", "0") == "1"
+    bloom = None
+    if use_bloom:
+        bloom = build_seen_bloom(seen, partitions=64).persist()
+        bloom.count()
     t0 = time.time()
     out = crawl_round(
         cand, seen, hosts, robots, default_budget=500, bloom=bloom,
@@ -167,7 +173,8 @@ def bench_frontier(spark, base: str) -> tuple[float, int, int]:
     n_sched = out.count()
     dt = time.time() - t0
     release_rank_caches()
-    bloom.unpersist()
+    if bloom is not None:
+        bloom.unpersist()
     return dt, n_in, n_sched
 
 

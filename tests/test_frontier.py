@@ -164,6 +164,36 @@ class TestSeenSet:
         got = frontier.filter_unseen_with_bloom(cand, empty, bloom, 4)
         assert got.count() == 50
 
+    def test_auto_mode_bit_identical_both_sides_of_threshold(self, spark):
+        # auto = broadcast while the filters fit, copartition beyond; both
+        # legs must agree with the exact anti-join
+        cand, seen = self.make_sets(spark)
+        bloom = frontier.build_seen_bloom(seen, partitions=8)
+        exact = sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect()
+        )
+        via_auto = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_with_bloom(
+                cand, seen, bloom, 8, mode="auto"
+            ).collect()
+        )
+        assert via_auto == exact
+        import wbx.frontier as fr
+
+        saved = fr._BLOOM_BROADCAST_MAX_BYTES
+        fr._BLOOM_BROADCAST_MAX_BYTES = 0  # force the copartition leg
+        try:
+            via_co = sorted(
+                r["canon_url"]
+                for r in frontier.filter_unseen_with_bloom(
+                    cand, seen, bloom, 8, mode="auto"
+                ).collect()
+            )
+        finally:
+            fr._BLOOM_BROADCAST_MAX_BYTES = saved
+        assert via_co == exact
+
     def test_incremental_bloom_no_false_negatives(self, spark):
         # the crawl loop's maintained sketch: OR-in three disjoint deltas,
         # then every seen key must still tag maybe_seen (no false negatives
@@ -191,8 +221,8 @@ class TestSeenSet:
         )
         empty_delta = spark.createDataFrame([], "url_hash long, canon_url string")
         b2 = frontier.update_seen_bloom(b1, empty_delta, partitions=8, m=1 << 12)
-        a = sorted((r["bloom_part"], r["m"], bytes(r["bitmap"])) for r in b1.collect())
-        b = sorted((r["bloom_part"], r["m"], bytes(r["bitmap"])) for r in b2.collect())
+        a = sorted((r["bloom_part"], r["m"], tuple(r["words"])) for r in b1.collect())
+        b = sorted((r["bloom_part"], r["m"], tuple(r["words"])) for r in b2.collect())
         assert a == b
 
 

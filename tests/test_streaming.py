@@ -138,3 +138,65 @@ class TestStatefulPairs:
         assert got == sorted(expect_pairs)
         # lones stay in state (not emitted)
         assert len(got) * 2 + len(lone_req) + len(lone_resp) == len(seq)
+
+
+class TestStreamSplitText:
+    def test_stream_over_splits_matches_batch(self, spark, tmp_path):
+        """Split-granular streaming ingest: index an archive into many
+        member groups, land the splits as parquet, stream them, and the
+        extracted text must equal the batch fused scan of the same file."""
+        import gzip
+
+        from wbx import warcio
+        from wbx.streaming import stream_split_text
+
+        def rec(i: int) -> bytes:
+            http = b"HTTP/1.1 200 OK\r\n\r\nbody %d news" % i
+            return (
+                b"WARC/1.1\r\nWARC-Type: response\r\n"
+                + b"WARC-Target-URI: http://s/%d\r\n" % i
+                + b"Content-Type: application/http; msgtype=response\r\n"
+                + b"Content-Length: %d\r\n\r\n" % len(http)
+                + http
+            )
+        data = b"".join(gzip.compress(rec(i) + b"\r\n\r\n", 6, mtime=0) for i in range(40))
+        arc_dir = tmp_path / "arcs"
+        arc_dir.mkdir()
+        (arc_dir / "s.warc.gz").write_bytes(data)
+        files = spark.createDataFrame(
+            [(str(arc_dir / "s.warc.gz"),)], "source_file string"
+        )
+        splits = warcio.index_gzip_splits(files, target_bytes=512)
+        assert splits.count() > 3
+        splits_dir = str(tmp_path / "splits")
+        splits.write.mode("overwrite").parquet(splits_dir)
+
+        out = stream_split_text(spark, splits_dir)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("split_text_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql("SELECT * FROM split_text_stream")
+            .toPandas()
+            .sort_values("record_start")
+            .reset_index(drop=True)
+        )
+        whole = (
+            warcio.scan_files_to_text(
+                spark.createDataFrame(
+                    [(str(arc_dir / "s.warc.gz"), bytearray(data))],
+                    "source_file string, content binary",
+                )
+            )
+            .toPandas()
+            .sort_values("record_start")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, whole)

@@ -29,10 +29,8 @@ Scale design (10^10-URL frontier):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # Sc12: URL canonicalization (RFC 3986-flavored, deterministic, built-ins only)
@@ -256,139 +254,31 @@ def with_canonical(urls: DataFrame, url_col: str = "url") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BLOOM_HASHES = 7
+# auto-mode threshold: total filter bytes the driver is willing to collect +
+# broadcast (a broadcast-hash join keeps the membership check map-side and
+# shuffle-free); beyond this the filters are shuffled to their hash ranges
+_BLOOM_BROADCAST_MAX_BYTES = 64 << 20
 
 
-def _bloom_positions(hashes, m: int):
-    """Double-hashing index scheme: idx_i = (h1 + i*h2) mod m, h2 odd.
+def bloom_positions(url_hash: Column, m) -> list[Column]:
+    """The k probe positions of one key: ``pmod(xxhash64(url_hash, i), m)``.
 
-    numpy-vectorized over an int64 array of url hashes; pure arithmetic on
-    the existing xxhash64 value — no re-hashing of strings."""
-    h = hashes.astype(np.uint64)
-    h1 = h
-    h2 = ((h >> np.uint64(31)) | (h << np.uint64(33))) | np.uint64(1)
+    Pure Column expressions (whole-stage codegen) — THE defining property of
+    this sketch: the per-candidate membership check never leaves the JVM.
+    (The r3 first cut tagged candidates in an Arrow pandas stage; measured
+    at 16 cores that Python hop cost 2.7x the whole round.) Seeded xxhash64
+    probes instead of classic double hashing because Java long overflow is
+    an error under ANSI mode — and k independent hashes are statistically
+    cleaner anyway. ``m`` may be a Python int or the joined filter row's m
+    column."""
+    mcol = m if isinstance(m, Column) else F.lit(int(m))
     return [
-        ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
-        for i in range(_BLOOM_HASHES)
+        F.pmod(F.xxhash64(url_hash, F.lit(i)), mcol) for i in range(_BLOOM_HASHES)
     ]
 
 
-def build_seen_bloom(
-    seen: DataFrame, partitions: int = 64, bits_per_key: int = 12
-) -> DataFrame:
-    """Per-hash-partition Bloom filters over seen.url_hash.
-
-    Returns (bloom_part int, m long, bitmap binary). At 10^10 seen URLs a
-    single global filter (~14 GB) can't broadcast; per-partition filters
-    (10^10/P keys each) are loaded only by tasks handling the same hash
-    range. Build is a groupBy-applyInPandas: one pass over the seen set,
-    numpy bit-packing inside Arrow batches.
-    """
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        hashes = pdf["url_hash"].to_numpy()
-        m = max(64, int(len(hashes) * bits_per_key + 63) // 64 * 64)
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        for idx in _bloom_positions(hashes, m):
-            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-        part = int(pdf["bloom_part"].iloc[0])
-        return pd.DataFrame(
-            {"bloom_part": [part], "m": [m], "bitmap": [bits.tobytes()]}
-        )
-
-    return (
-        seen.select(
-            F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int").alias("bloom_part"),
-            "url_hash",
-        )
-        .groupBy("bloom_part")
-        .applyInPandas(build, schema="bloom_part int, m long, bitmap binary")
-    )
-
-
-def bloom_might_contain(
-    candidates: DataFrame, bloom: DataFrame, partitions: int = 64, mode: str = "broadcast"
-) -> DataFrame:
-    """Adds `_maybe_seen boolean`: False ⇒ definitely unseen (Bloom filters
-    never produce false negatives); True ⇒ must be confirmed exactly.
-
-    mode="broadcast" (small/total-filter-fits path): the bloom table is
-    collected and broadcast once; candidates are checked map-side with no
-    shuffle at all. mode="copartition" (the 10^10 path): see
-    :func:`bloom_might_contain_copartitioned` — at 64 partitions × ~180 MB
-    a driver collect would be an 11 GB pull, so the filters are instead
-    shuffled to the tasks that own their hash range. Both modes are
-    bit-identical (tested).
-    """
-    if mode == "copartition":
-        return bloom_might_contain_copartitioned(candidates, bloom, partitions)
-    rows = bloom.collect()
-    filters = {
-        r["bloom_part"]: (int(r["m"]), np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8))
-        for r in rows
-    }
-    bc = candidates.sparkSession.sparkContext.broadcast(filters)
-
-    @F.pandas_udf(T.BooleanType())
-    def might_contain(url_hash: pd.Series) -> pd.Series:
-        fs = bc.value
-        h = url_hash.to_numpy()
-        parts = (h % partitions + partitions) % partitions
-        out = np.zeros(len(h), dtype=bool)
-        for part in np.unique(parts):
-            f = fs.get(int(part))
-            sel = parts == part
-            if f is None:
-                continue  # empty partition → definitely unseen
-            m, bits = f
-            hit = np.ones(sel.sum(), dtype=bool)
-            for idx in _bloom_positions(h[sel], m):
-                hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
-            out[sel] = hit
-        return pd.Series(out)
-
-    return candidates.withColumn("_maybe_seen", might_contain(F.col("url_hash")))
-
-
-def bloom_might_contain_copartitioned(
-    candidates: DataFrame, bloom: DataFrame, partitions: int = 64
-) -> DataFrame:
-    """Scale-path membership tagging: candidates and per-partition Bloom
-    filters are COGROUPED on pmod(url_hash, P), so each task receives (its
-    candidate slice, its one filter row) — the bitmap crosses the wire once
-    per partition, never per candidate row, and no filter ever touches the
-    driver. Shuffle volume: candidates keyed by an 8-byte hash + P filter
-    rows. Semantics identical to the broadcast mode."""
-    import pandas as _pd
-
-    out_schema = T.StructType(
-        list(candidates.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType())]
-    )
-    cand = candidates.withColumn(
-        "_bp", F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int")
-    )
-    blm = bloom.withColumnRenamed("bloom_part", "_bp")
-
-    def check(left: _pd.DataFrame, right: _pd.DataFrame) -> _pd.DataFrame:
-        out = left.drop(columns=["_bp"]).copy()
-        if len(left) == 0:
-            out["_maybe_seen"] = _pd.Series(dtype=bool)
-            return out
-        if len(right) == 0:  # empty hash range → definitely unseen
-            out["_maybe_seen"] = False
-            return out
-        h = left["url_hash"].to_numpy()
-        m = int(right["m"].iloc[0])
-        bits = np.frombuffer(bytes(right["bitmap"].iloc[0]), dtype=np.uint8)
-        hit = np.ones(len(h), dtype=bool)
-        for idx in _bloom_positions(h, m):
-            hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
-        out["_maybe_seen"] = hit
-        return out
-
-    return (
-        cand.groupBy("_bp")
-        .cogroup(blm.groupBy("_bp"))
-        .applyInPandas(check, schema=out_schema)
-    )
+def empty_seen_bloom(spark) -> DataFrame:
+    return spark.createDataFrame([], "bloom_part int, m long, words array<bigint>")
 
 
 def update_seen_bloom(
@@ -397,50 +287,139 @@ def update_seen_bloom(
     """Incrementally OR a round's seen-delta keys into the per-partition
     Bloom filters — the per-round sketch maintenance of the crawl loop.
 
-    Cost is O(|delta| + P bitmaps), NEVER a rescan of the cumulative seen
-    set (at 10^10 seen URLs a per-round rebuild would dominate the round).
-    Cogrouped on pmod(url_hash, P): each task gets (its delta slice, its one
-    filter row); partitions without new keys pass through untouched.
+    Cost is O(|delta| + P word arrays), NEVER a rescan of the cumulative
+    seen set (at 10^10 seen URLs a per-round rebuild would dominate the
+    round). The probe positions are computed JVM-side (bloom_positions, the
+    same expression the membership check uses — one hashing implementation,
+    zero cross-language drift); the cogrouped pandas kernel only sets bits,
+    so Python touches k small ints per NEW key, never a candidate row.
 
-    A partition touched for the first time gets a fresh filter of `m` bits —
-    capacity is fixed at creation, so size `m` for the EXPECTED keys per
-    partition (10^10 URLs / 64 partitions × ~12 bits ≈ 2^31; the default
-    2^20 suits tests). Saturation only raises the false-positive rate —
-    false positives are re-checked exactly, so correctness never depends on
-    m. Schema matches build_seen_bloom."""
+    ``m`` (bits per partition filter) is the sketch's fixed capacity — size
+    it for the expected keys/partition (10^10 URLs / 64 partitions at ~12
+    bits/key ≈ 2^31; the 2^20 default suits tests). Saturation only raises
+    the false-positive rate — false positives are re-checked exactly, so
+    correctness never depends on m. A partition whose stored filter was
+    built with a different m raises (the positions would be meaningless)."""
     import pandas as _pd
 
-    m = max(64, (m + 63) // 64 * 64)
+    m = max(64, (int(m) + 63) // 64 * 64)
     d = delta.select(
         F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int").alias("_bp"),
-        "url_hash",
+        F.array(*bloom_positions(F.col("url_hash"), m)).alias("_pos"),
     )
     b = bloom.withColumnRenamed("bloom_part", "_bp")
 
     def upd(left: _pd.DataFrame, right: _pd.DataFrame) -> _pd.DataFrame:
         if len(right):
             mm = int(right["m"].iloc[0])
-            bits = np.frombuffer(bytes(right["bitmap"].iloc[0]), dtype=np.uint8).copy()
+            if mm != m:
+                raise ValueError(
+                    f"seen-bloom capacity mismatch: stored m={mm}, update m={m}"
+                )
+            words = np.array(right["words"].iloc[0], dtype=np.int64).view(np.uint64).copy()
             part = int(right["_bp"].iloc[0])
         else:
-            mm = m
-            bits = np.zeros(mm // 8, dtype=np.uint8)
+            words = np.zeros(m // 64, dtype=np.uint64)
             part = int(left["_bp"].iloc[0])
         if len(left):
-            hashes = left["url_hash"].to_numpy()
-            for idx in _bloom_positions(hashes, mm):
-                np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-        return _pd.DataFrame({"bloom_part": [part], "m": [mm], "bitmap": [bits.tobytes()]})
+            pos = np.array(left["_pos"].tolist(), dtype=np.int64).reshape(-1).astype(
+                np.uint64
+            )
+            np.bitwise_or.at(
+                words,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return _pd.DataFrame(
+            {
+                "bloom_part": [part],
+                "m": [m],
+                "words": [words.view(np.int64).tolist()],
+            }
+        )
 
     return (
         d.groupBy("_bp")
         .cogroup(b.groupBy("_bp"))
-        .applyInPandas(upd, schema="bloom_part int, m long, bitmap binary")
+        .applyInPandas(upd, schema="bloom_part int, m long, words array<bigint>")
     )
 
 
-def empty_seen_bloom(spark) -> DataFrame:
-    return spark.createDataFrame([], "bloom_part int, m long, bitmap binary")
+def build_seen_bloom(
+    seen: DataFrame, partitions: int = 64, bits_per_key: int = 12, m: int | None = None
+) -> DataFrame:
+    """Per-hash-partition Bloom filters over seen.url_hash:
+    (bloom_part int, m long, words array<bigint>). At 10^10 seen URLs a
+    single global filter (~14 GB) can't broadcast; per-partition filters are
+    loaded only where their hash range is processed. Built as one
+    update_seen_bloom pass from empty; ``m`` defaults to ~bits_per_key bits
+    per key at the observed count."""
+    if m is None:
+        n = seen.count()
+        m = max(64, (n * bits_per_key // max(partitions, 1) + 63) // 64 * 64)
+    return update_seen_bloom(empty_seen_bloom(seen.sparkSession), seen, partitions, m)
+
+
+def bloom_might_contain(
+    candidates: DataFrame, bloom: DataFrame, partitions: int = 64, mode: str = "broadcast"
+) -> DataFrame:
+    """Adds `_maybe_seen boolean`: False => definitely unseen (Bloom filters
+    never produce false negatives); True => must be confirmed exactly.
+
+    Entirely JVM-side: candidates equi-join their hash partition's filter
+    row and the k probes are unrolled bit-test Column expressions inside
+    whole-stage codegen — no Python anywhere on the per-candidate path.
+
+    mode="broadcast": the P filter rows broadcast, the check is map-side
+    with NO shuffle at all. mode="copartition" (the 10^10 path, where the
+    filters are too big to broadcast): a plain shuffle join on the hash
+    partition — each filter row crosses the wire once per partition, never
+    the driver. mode="auto" (crawl_round's default): pick by the filters'
+    actual total size (one P-row aggregate). All modes are bit-identical
+    (tested)."""
+    if mode == "auto":
+        row = bloom.agg(F.sum("m").alias("bits")).collect()[0]
+        total_bytes = int(row["bits"] or 0) // 8
+        mode = (
+            "broadcast" if total_bytes <= _BLOOM_BROADCAST_MAX_BYTES else "copartition"
+        )
+    if mode not in ("broadcast", "copartition"):
+        raise ValueError("bloom mode must be broadcast | copartition | auto")
+    blm = bloom.select(
+        F.col("bloom_part").alias("_bp"),
+        F.col("m").alias("_m"),
+        F.col("words").alias("_words"),
+    )
+    if mode == "broadcast":
+        blm = F.broadcast(blm)
+    cand = candidates.withColumn(
+        "_bp", F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int")
+    )
+    probe = None
+    for pos in bloom_positions(F.col("url_hash"), F.col("_m")):
+        word = F.element_at(
+            F.col("_words"), (F.shiftrightunsigned(pos, 6) + 1).cast("int")
+        )
+        # call_function: the Python shiftleft wrapper only accepts an int
+        # shift; the SQL expression takes a column (still codegen'd)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), pos.bitwiseAND(F.lit(63)).cast("int")
+        )
+        hit = word.bitwiseAND(bit) != 0
+        probe = hit if probe is None else (probe & hit)
+    return (
+        cand.join(blm, "_bp", "left")
+        # missing filter row (empty hash range) => probe is NULL => unseen
+        .withColumn("_maybe_seen", F.coalesce(probe, F.lit(False)))
+        .drop("_bp", "_m", "_words")
+    )
+
+
+def bloom_might_contain_copartitioned(
+    candidates: DataFrame, bloom: DataFrame, partitions: int = 64
+) -> DataFrame:
+    """Scale-path alias: see bloom_might_contain(mode="copartition")."""
+    return bloom_might_contain(candidates, bloom, partitions, "copartition")
 
 
 def filter_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
@@ -464,10 +443,23 @@ def filter_unseen_with_bloom(
     maybe-seen minority (true hits + ~1% false positives) is anti-joined.
     Result is bit-identical to :func:`filter_unseen` — the sketch only ever
     ADMITS candidates to the exact check, never drops them. `mode` picks the
-    filter-distribution strategy (broadcast vs copartition), see
+    filter-distribution strategy (broadcast vs copartition vs auto), see
     :func:`bloom_might_contain`.
+
+    The tagged set is persisted: the definite and maybe branches both
+    consume it, and without a shared materialization each would recompute
+    the entire upstream pipeline (canonicalize + dedup of every candidate —
+    column pruning rewrites the branches differently, so ReuseExchange does
+    not fire; measured 2x the whole round). Registered with the same
+    release lifecycle as the rank caches (release_rank_caches /
+    FIFO-capped backstop).
     """
-    tagged = bloom_might_contain(candidates, bloom, partitions, mode)
+    from pyspark import StorageLevel
+
+    tagged = bloom_might_contain(candidates, bloom, partitions, mode).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _register_rank_cache(tagged)
     definite = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     return definite.unionByName(filter_unseen(maybe, seen))
@@ -831,7 +823,7 @@ def crawl_round(
     default_budget: int = 10,
     bloom: DataFrame | None = None,
     bloom_partitions: int = 64,
-    bloom_mode: str = "copartition",
+    bloom_mode: str = "auto",
     broadcast_small: bool | None = None,
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
@@ -853,9 +845,9 @@ def crawl_round(
     With the sketch, the definitely-unseen majority of candidates skips the
     anti-join against the 10^10-row seen table entirely; only the maybe-seen
     minority is confirmed exactly, so the result is bit-identical either
-    way. Default distribution mode is "copartition" (the scale path — no
-    driver collect of the filters). ``broadcast_small`` is the robots/hosts
-    join hint (see apply_robots)."""
+    way. Default distribution mode is "auto" — shuffle-free broadcast while
+    the filters fit, copartition (no driver collect) at 10^10 scale.
+    ``broadcast_small`` is the robots/hosts join hint (see apply_robots)."""
     canon = with_canon_url(candidates.select("url", "priority")).select(
         "canon_url", "priority"
     ).withColumn("url_hash", url_hash(F.col("canon_url")))

@@ -189,3 +189,28 @@ def stateful_pair_match(records: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_split_text(
+    spark: SparkSession,
+    splits_path: str,
+    style: str = "content_length",
+    gz_style: str = "file",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Streaming ingest at SPLIT granularity — the scale form of
+    stream_file_text. A (batch or scheduled) index job appends
+    ARCHIVE_SPLITS rows as parquet under `splits_path` — one row per
+    ~target-bytes gzip-member group (warcio.index_gzip_splits); this stream
+    picks up new split rows and each task ranged-reads ONLY its slice, so
+    continuous ingest of multi-GB archives never holds a whole file as one
+    row (the binaryFile streaming source's limit) and parse parallelism
+    follows data volume, not file count. Same fused kernel as
+    scan_splits_to_text — payload bytes never cross the Arrow boundary."""
+    from wbx.schema import ARCHIVE_SPLITS, TEXT_RECORDS
+    from wbx.warcio import split_text_iterator
+
+    splits = spark.readStream.schema(ARCHIVE_SPLITS).parquet(splits_path)
+    return splits.mapInPandas(
+        split_text_iterator(style, gz_style, on_error), schema=TEXT_RECORDS
+    )

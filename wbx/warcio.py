@@ -1443,18 +1443,15 @@ def scan_splits_to_records(
     return _scan_splits_df(splits_df, schema, emit, out_cols, style, wanted, gz_style)
 
 
-def scan_splits_to_text(
-    splits_df,
+def split_text_iterator(
     style: str = "content_length",
     gz_style: str = "file",
     on_error: str = "raise",
 ):
-    """Stage 2, fused scan+extract (the 100-TB hot path): same slim
-    TEXT_RECORDS output as scan_files_to_text, but one task per member
-    group. Payload bytes are read once (ranged), parsed and decoded
-    in-process, and never cross the Arrow boundary."""
-    from wbx.schema import TEXT_RECORDS
-
+    """The fused split-scan batch-iterator kernel, shared by the batch
+    (scan_splits_to_text) and streaming (wbx.streaming.stream_split_text)
+    forms — one code path, one parity surface (mirrors text_scan_iterator
+    for whole files)."""
     _text = _make_text_fn(on_error)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1478,7 +1475,24 @@ def scan_splits_to_text(
                 records.extend(result.records)
             yield _text_frame(records, _text)
 
-    return splits_df.mapInPandas(kernel, schema=TEXT_RECORDS)
+    return kernel
+
+
+def scan_splits_to_text(
+    splits_df,
+    style: str = "content_length",
+    gz_style: str = "file",
+    on_error: str = "raise",
+):
+    """Stage 2, fused scan+extract (the 100-TB hot path): same slim
+    TEXT_RECORDS output as scan_files_to_text, but one task per member
+    group. Payload bytes are read once (ranged), parsed and decoded
+    in-process, and never cross the Arrow boundary."""
+    from wbx.schema import TEXT_RECORDS
+
+    return splits_df.mapInPandas(
+        split_text_iterator(style, gz_style, on_error), schema=TEXT_RECORDS
+    )
 
 
 def scan_splits_to_unparsable(splits_df, style: str = "content_length"):
