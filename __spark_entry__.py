@@ -818,6 +818,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_pairs"] = emb_pairs
 
+    # exact embedding dedup: byte-identical vectors -> lowest-id survivor
+    # (wbx.simsearch.dedup_exact_vectors; fully SQL-expressible, so unlike
+    # the recall<1 sketches this one is hash-checked against DuckDB)
+    q["dedup_embedding_exact"] = lambda spark, sf: simsearch.dedup_exact_vectors(
+        _t(spark, sf, "embeddings")
+    )
+
     def compare_parsers(spark, sf):
         """wb compare-parsers parity: the content-length and delimiter scan
         strategies must produce identical record offsets on well-formed
@@ -1165,6 +1172,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT) AS record_start,
                CAST(NULL AS BIGINT) AS record_end
         WHERE 1 = 0
+        """,
+        "dedup_embedding_exact": """
+        SELECT min(vec_id) AS vec_id, CAST(count(*) AS BIGINT) AS dup_count
+        FROM embeddings GROUP BY embedding
         """,
         "sim_pairs_exact": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

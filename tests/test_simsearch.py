@@ -265,3 +265,16 @@ class TestLshScaleGuards:
         # pure functions of the data)
         c2 = simsearch.train_ivf_centroids(df.repartition(16), n_centroids=4, sample=8)
         assert np.allclose(cents, c2)
+
+
+class TestDedupExactVectors:
+    def test_collapses_to_lowest_id_with_counts(self, spark):
+        v1 = [1.0] + [0.0] * 7
+        v2 = [0.0, 1.0] + [0.0] * 6
+        rows = [(5, v1), (2, v1), (9, v2), (7, v1)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vec_id"]: r["dup_count"]
+            for r in simsearch.dedup_exact_vectors(df).collect()
+        }
+        assert got == {2: 3, 9: 1}

@@ -746,3 +746,44 @@ class TestConfigErrorParity:
             split_records=False,
         )
         assert len(result.records) == 1
+
+
+class TestLoaderSplitRouting:
+    def test_mixed_dir_routes_big_gz_through_splits(self, spark, tmp_path):
+        """A directory with a plain .warc, a small .warc.gz, and a 'big'
+        .warc.gz (threshold forced tiny) must produce exactly the union of
+        whole-file scans — the routing changes the physical plan, not the
+        records. The length predicates are pure atoms the binaryFile source
+        can evaluate before reading content."""
+        import pandas as pd
+
+        from wbx.cli import load_records
+
+        gz_small = TestSplittableScan._gz_members(
+            [make_record(b"HTTP/1.1 200 OK\r\n\r\nsmall %d" % i) for i in range(3)]
+        )
+        gz_big = TestSplittableScan._gz_members(
+            [make_record(b"HTTP/1.1 200 OK\r\n\r\nbig %d" % i) for i in range(50)]
+        )
+        plain = b"".join(
+            make_record(b"HTTP/1.1 200 OK\r\n\r\nplain %d" % i) for i in range(3)
+        )
+        (tmp_path / "a.warc").write_bytes(plain)
+        (tmp_path / "b.warc.gz").write_bytes(gz_small)
+        (tmp_path / "c.warc.gz").write_bytes(gz_big)
+
+        def collect(split_bytes):
+            df = load_records(
+                spark, str(tmp_path), "warc", "content_length",
+                split_target_bytes=split_bytes,
+            )
+            return (
+                df.toPandas()
+                .sort_values(["source_file", "record_start", "unc_start"])
+                .reset_index(drop=True)
+            )
+
+        with_split = collect(len(gz_big) // 8)  # c.warc.gz >= 2x target
+        without = collect(None)
+        pd.testing.assert_frame_equal(with_split, without)
+        assert len(with_split) == 56

@@ -63,25 +63,37 @@ def load_records(
         scan_splits_to_records,
     )
 
-    all_files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{warc,warc.gz,wacz}")
-        .load(path)
-    )
-    big = F.col("path").endswith(".warc.gz") & (
-        F.col("length") >= 2 * (split_target_bytes or 0)
-    )
-    small_files = all_files.filter(~big if split_target_bytes else F.lit(True)).select(
+    def read_bin(glob: str):
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob)
+            .load(path)
+        )
+
+    if not split_target_bytes:
+        files = read_bin("*.{warc,warc.gz,wacz}").select(
+            F.col("path").alias("source_file"), "content"
+        )
+        return scan_files_to_records(
+            files, style=style, columns=columns, gz_style=gz_style
+        )
+    # three scans so every predicate is a pure-length atom the binaryFile
+    # source can evaluate per file BEFORE reading content (a ~(glob & len)
+    # composite is not pushable and would ship the big files' bytes):
+    #   - non-gz containers: whole-file path (no split index exists)
+    #   - small .warc.gz: whole-file path (already the right granularity)
+    #   - big .warc.gz: two-stage splittable scan (paths only, never bytes)
+    min_len = 2 * split_target_bytes
+    others = read_bin("*.{warc,wacz}")
+    small_gz = read_bin("*.warc.gz").filter(F.col("length") < min_len)
+    big_gz = read_bin("*.warc.gz").filter(F.col("length") >= min_len).select("path")
+    small_files = others.unionByName(small_gz).select(
         F.col("path").alias("source_file"), "content"
     )
     records = scan_files_to_records(
         small_files, style=style, columns=columns, gz_style=gz_style
     )
-    if not split_target_bytes:
-        return records
-    splits = index_gzip_splits(
-        all_files.filter(big).select("path"), split_target_bytes
-    )
+    splits = index_gzip_splits(big_gz, split_target_bytes)
     return records.unionByName(
         scan_splits_to_records(splits, style=style, columns=columns, gz_style=gz_style)
     )

@@ -71,6 +71,22 @@ def brute_force_topk(
     )
 
 
+def dedup_exact_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, dup_count): survivors of exact embedding dedup — byte-identical
+    vectors collapse to their lowest id (the vector analogue of
+    textops.dedup_exact_ids, and the same collapse pairwise_above_threshold
+    applies before LSH blocking). One map-side-combinable aggregate; the
+    shuffle carries (vector, id) where vectors are small fixed-width
+    arrays, so the exchange is bounded by corpus size, never quadratic."""
+    return (
+        embeddings.groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed + 1000 * table)
     return rng.standard_normal((bits, dim)).astype(np.float64)

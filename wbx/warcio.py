@@ -1382,7 +1382,7 @@ def index_gzip_splits(files_df, target_bytes: int = 128 << 20):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for p in pdf[col]:
+            for p in pdf["source_file"]:
                 with open(_local_path(p), "rb") as f:
                     groups = plan_member_groups(
                         iter_gzip_members_stream(f), target_bytes
