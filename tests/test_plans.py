@@ -215,3 +215,46 @@ class TestFrontierCodegen:
         # the session factory must keep this off (see wbx/session.py) —
         # re-enabling it silently reintroduces the interpreted fallback
         assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "false"
+
+
+class TestRobotsPolitenessJoins:
+    def _fixture(self, spark):
+        from wbx import frontier
+
+        cand = frontier.with_canonical(
+            spark.createDataFrame(
+                [(f"http://h{i % 5}.com/p{i}", float(i)) for i in range(40)],
+                "url string, priority double",
+            )
+        )
+        robots = spark.createDataFrame(
+            [("h1.com", "deny", "/p1")], "host string, rule_type string, path_prefix string"
+        )
+        hosts = spark.createDataFrame([("h1.com", 2)], "host string, budget int")
+        return cand, robots, hosts
+
+    def test_forced_hint_broadcasts(self, spark):
+        from wbx import frontier
+
+        cand, robots, hosts = self._fixture(spark)
+        plan = plan_str(frontier.apply_robots(cand, robots, broadcast=True), "simple")
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        plan = plan_str(
+            frontier.apply_politeness(cand, hosts, broadcast=True), "simple"
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_unhinted_plan_correct_and_unforced(self, spark):
+        """broadcast=None must not FORCE a broadcast (at crawl scale these
+        tables are ~#hosts rows and a forced hint OOMs); AQE may still pick
+        one at runtime from actual sizes — what matters is that the logical
+        plan carries no hint and results match the forced plan."""
+        from wbx import frontier
+
+        cand, robots, hosts = self._fixture(spark)
+        unhinted = frontier.apply_robots(cand, robots, broadcast=None)
+        assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+        forced = frontier.apply_robots(cand, robots, broadcast=True)
+        assert sorted(r["canon_url"] for r in unhinted.collect()) == sorted(
+            r["canon_url"] for r in forced.collect()
+        )
