@@ -214,6 +214,29 @@ class TestSeenSet:
         )
         assert via == exact
 
+    def test_salted_politeness_cap_bit_identical(self, spark):
+        # the two-phase skew-safe form must keep exactly the rows of the
+        # naive per-host window at every salt setting, including a hot host
+        urls = [
+            (f"http://hot.com/p{i}" if i % 2 == 0 else f"http://h{i % 7}.com/p{i}")
+            for i in range(400)
+        ]
+        cand = frontier.with_canonical(
+            urls_df(spark, urls)
+        ).withColumn("priority", F.pmod(F.xxhash64("canon_url"), F.lit(50)).cast("double"))
+        hosts = spark.createDataFrame([("hot.com", 9)], "host string, budget int")
+        base = None
+        for buckets in (0, 1, 4, 16):
+            got = sorted(
+                r["canon_url"]
+                for r in frontier.apply_politeness(
+                    cand, hosts, default_budget=5, salt_buckets=buckets
+                ).collect()
+            )
+            if base is None:
+                base = got
+            assert got == base, buckets
+
     def test_incremental_bloom_untouched_partitions_pass_through(self, spark):
         _, seen = self.make_sets(spark, n=200)
         b1 = frontier.update_seen_bloom(

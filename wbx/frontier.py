@@ -662,10 +662,21 @@ def apply_politeness(
     hosts: DataFrame,
     default_budget: int = 10,
     broadcast: bool | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Per-host fetch budget: keep the top-`budget` URLs per host by
     (priority DESC, canon_url ASC) — an explicit total order, so the kept
     set is identical at any parallelism.
+
+    Skew shape (the module-docstring contract): a hot domain (one host =
+    30% of candidates) would put its entire row set through ONE reducer in
+    a naive per-host window. Phase 1 ranks within (host, salt) — the hot
+    host spreads over `salt_buckets` reducers — and keeps each bucket's
+    local top-budget; the global top-budget per host is a subset of the
+    union of per-bucket top-budgets, so phase 2's EXACT per-host window
+    runs over ≤ salt_buckets × budget rows per host, never the raw host
+    volume. Salting affects partitioning only — the kept set and order are
+    pure functions of (priority, canon_url) (bit-identity pinned by tests).
 
     hosts: (host, budget). ``broadcast`` as in apply_robots: at crawl scale
     this table is one row per HOST (10^7+), so the hint is opt-in; AQE
@@ -678,9 +689,19 @@ def apply_politeness(
         F.col("host") == F.col("_bhost"),
         "left",
     ).withColumn("_budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
-    w = Window.partitionBy("host").orderBy(
-        F.col("priority").desc(), F.col("canon_url").asc()
-    )
+    order = [F.col("priority").desc(), F.col("canon_url").asc()]
+    if salt_buckets and salt_buckets > 1:
+        # salt from xxhash64(canon_url) (= url_hash) so no extra column is
+        # required of the caller; participates in PARTITIONING only
+        w_salt = Window.partitionBy(
+            "host", F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt_buckets))
+        ).orderBy(*order)
+        f = (
+            f.withColumn("_srank", F.row_number().over(w_salt))
+            .filter(F.col("_srank") <= F.col("_budget"))
+            .drop("_srank")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
     return (
         f.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= F.col("_budget"))
