@@ -33,6 +33,7 @@ from wbx.frontier import (
     build_seen_bloom,
     canonicalize_url,
     crawl_round,
+    dedup_url_latest,
     filter_unseen_with_bloom,
     url_host,
     with_canonical,
@@ -849,6 +850,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_compare_parsers"] = compare_parsers
 
+    # --- Gopher-style repetition / quality gate ---------------------------
+    def repetition(spark, sf):
+        """Repetition features + the boolean Gopher keep-gate
+        (wbx.textops.repetition_features / gopher_keep). The fixture text
+        appends a deterministic multi-line tail (a duplicated line, a
+        bullet line, an ellipsis line) so every line statistic is exercised
+        even though the base corpus is single-line."""
+        docs = _t(spark, sf, "documents")
+        t2 = F.concat(
+            F.col("text"),
+            F.lit("\nitem one\nitem one\n- bullet "),
+            F.pmod("doc_id", F.lit(5)),
+            F.lit("\nend..."),
+        )
+        r = textops.repetition_features(t2)
+        return docs.select(
+            "doc_id",
+            r["n_lines"].cast("long").alias("n_lines"),
+            F.round(r["dup_line_frac"], 6).alias("dup_line_frac"),
+            F.round(r["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
+            F.round(r["dup_token_frac"], 6).alias("dup_token_frac"),
+            F.round(r["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+            F.round(r["bullet_line_frac"], 6).alias("bullet_line_frac"),
+            textops.gopher_keep(t2).alias("keep"),
+        )
+
+    q["text_repetition"] = repetition
+
+    # top bigram share (the Gopher mode-of-ngrams statistic), relational —
+    # the shuffle carries (doc_id, gram), never the text
+    q["text_top_ngram"] = lambda spark, sf: textops.top_ngram_frac(
+        _t(spark, sf, "documents"), n=2
+    )
+
+    # --- paragraph-level exact dedup --------------------------------------
+    def paragraphs(spark, sf):
+        """Corpus-wide paragraph dedup (wbx.textops.dedup_paragraphs):
+        documents are given a 3-paragraph structure with cross-document
+        shared paragraphs ('shared <k>' heads/tails), so survivors mix
+        first-occurrence winners and unique middles."""
+        docs = _t(spark, sf, "documents")
+        t3 = F.concat(
+            F.lit("shared "),
+            F.pmod("doc_id", F.lit(7)),
+            F.lit("\n\n"),
+            F.col("text"),
+            F.lit("\n\nshared "),
+            F.pmod("doc_id", F.lit(3)),
+        )
+        return textops.dedup_paragraphs(
+            docs.select("doc_id", t3.alias("text"))
+        ).select("doc_id", F.col("para_idx").cast("long").alias("para_idx"), "para_hash")
+
+    q["dedup_paragraphs"] = paragraphs
+
+    # --- PII scrubbing ----------------------------------------------------
+    def pii(spark, sf):
+        """PII redaction (wbx.textops.pii_scrub): deterministic emails,
+        phones and dotted-quad IPs are planted in every document, scrubbed
+        to placeholder tokens, and the md5 of the scrubbed text is compared
+        (the oracle chains the identical RE2-safe regexes in DuckDB)."""
+        docs = _t(spark, sf, "documents")
+        planted = F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id"),
+            F.lit("@mail"),
+            F.pmod("doc_id", F.lit(5)),
+            F.lit(".org or 555-"),
+            F.lpad(F.pmod("doc_id", F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-0199 from 10."),
+            F.pmod("doc_id", F.lit(256)),
+            F.lit(".0.7"),
+        )
+        return docs.select(
+            "doc_id", F.md5(textops.pii_scrub(planted)).alias("scrubbed_md5")
+        )
+
+    q["text_pii_scrub"] = pii
+
+    # --- pages-table operators (north_rule input_hint shape) --------------
+    def url_latest(spark, sf):
+        """Snapshot dedup on the pages table (wbx.frontier.dedup_url_latest):
+        revisit URLs are synthesized with messy-but-equivalent surface forms
+        (upper-case scheme/host, explicit :80, fragments) so the canonical
+        grouping is exercised; keeps the latest capture per canonical URL
+        and late-fetches its payload."""
+        docs = _t(spark, sf, "documents")
+        key = F.pmod("doc_id", F.lit(50))
+        host = F.concat(F.lit("site"), F.pmod(key, F.lit(7)), F.lit(".example"))
+        url = F.when(
+            F.pmod("doc_id", F.lit(2)) == 1,
+            F.concat(
+                F.lit("HTTP://"), F.upper(host), F.lit(":80/p/"), key, F.lit("#frag")
+            ),
+        ).otherwise(F.concat(F.lit("http://"), host, F.lit("/p/"), key))
+        pages = docs.select(
+            url.alias("url"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id"))
+            ).alias("warc_ts"),
+            F.encode(F.col("text"), "utf-8").alias("html"),
+            "text",
+            "lang",
+        )
+        return dedup_url_latest(pages).select(
+            "canon_url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+            F.col("n_snapshots").cast("long").alias("n_snapshots"),
+            F.md5("text").alias("text_md5"),
+        )
+
+    q["dedup_url_latest"] = url_latest
+
+    def host_rep(spark, sf):
+        """Per-host crawl report (wbx.analytics.host_report) over a pages
+        fixture spread across 13 hosts."""
+        docs = _t(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(13)),
+            F.lit(".example.net/d/"),
+            F.col("doc_id"),
+        )
+        pages = docs.select(
+            url.alias("url"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id"))
+            ).alias("warc_ts"),
+            F.encode(F.col("text"), "utf-8").alias("html"),
+            "text",
+            "lang",
+        )
+        return analytics.host_report(pages).select(
+            "host",
+            "n_pages",
+            "text_chars",
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+
+    q["a_host_report"] = host_rep
+
     return q
 
 
@@ -1186,6 +1333,118 @@ def oracle_sql() -> dict[str, str]:
           FROM e a JOIN e b ON a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.2
+        """,
+        "text_repetition": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || chr(10) || 'item one' || chr(10) || 'item one' || chr(10)
+                      || '- bullet ' || (doc_id % 5) || chr(10) || 'end...' AS t
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 list_filter(string_split(t, chr(10)), l -> length(l) > 0) AS ls,
+                 regexp_extract_all(lower(t), '[a-z0-9]+') AS toks
+          FROM d
+        ), m AS (
+          SELECT doc_id, ls, toks,
+                 len(ls) AS nl,
+                 len(list_distinct(ls)) AS ndl,
+                 list_aggregate(list_transform(ls, x -> length(x)), 'sum') AS lc,
+                 list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum') AS dlc,
+                 len(toks) AS nt,
+                 len(list_distinct(toks)) AS ndt,
+                 len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS ell,
+                 len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•'))) AS bul,
+                 list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS tc,
+                 len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+                 len(list_filter(list_distinct(toks), x -> x IN ({_LANG_IN['en']}))) AS dstop
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(nl AS BIGINT) AS n_lines,
+               round((nl - ndl) / nl, 6) AS dup_line_frac,
+               round((lc - dlc) / lc, 6) AS dup_line_char_frac,
+               round(CASE WHEN nt > 0 THEN (nt - ndt) / nt ELSE 0.0 END, 6) AS dup_token_frac,
+               round(ell / nl, 6) AS ellipsis_line_frac,
+               round(bul / nl, 6) AS bullet_line_frac,
+               (nt >= 50 AND nt <= 100000
+                AND (CASE WHEN nt > 0 THEN tc / nt ELSE 0.0 END) >= 3
+                AND (CASE WHEN nt > 0 THEN tc / nt ELSE 0.0 END) <= 10
+                AND (nl - ndl) / nl <= 0.30
+                AND (lc - dlc) / lc <= 0.30
+                AND ell / nl <= 0.30
+                AND bul / nl <= 0.90
+                AND (CASE WHEN nt > 0 THEN alpha / nt ELSE 0.0 END) >= 0.80
+                AND dstop >= 2) AS keep
+        FROM m
+        """,
+        "text_top_ngram": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2),
+        g AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram FROM i),
+        c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        SELECT doc_id, round(max(cnt) / sum(cnt), 6) AS top_ngram_frac
+        FROM c GROUP BY doc_id
+        """,
+        "dedup_paragraphs": """
+        WITH d AS (
+          SELECT doc_id,
+                 'shared ' || (doc_id % 7) || chr(10) || chr(10) || text
+                 || chr(10) || chr(10) || 'shared ' || (doc_id % 3) AS t
+          FROM documents
+        ), a AS (
+          SELECT doc_id, string_split(t, chr(10) || chr(10)) AS arr FROM d
+        ), p AS (
+          SELECT doc_id,
+                 unnest(range(1, len(arr) + 1)) AS i,
+                 unnest(arr) AS para
+          FROM a
+        ), f AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_idx, md5(para) AS para_hash
+          FROM p WHERE length(trim(para)) > 0
+        )
+        SELECT doc_id, para_idx, para_hash FROM f
+        QUALIFY row_number() OVER (PARTITION BY para_hash ORDER BY doc_id, para_idx) = 1
+        """,
+        "text_pii_scrub": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' reach user' || doc_id || '@mail' || (doc_id % 5)
+                      || '.org or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-0199 from 10.' || (doc_id % 256) || '.0.7' AS t
+          FROM documents
+        )
+        SELECT doc_id, md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        ) AS scrubbed_md5 FROM d
+        """,
+        "dedup_url_latest": """
+        WITH p AS (SELECT doc_id, doc_id % 50 AS k, text FROM documents),
+        w AS (SELECT k, max(doc_id) AS doc_id, count(*) AS n_snapshots
+              FROM p GROUP BY k)
+        SELECT 'http://site' || (w.k % 7) || '.example/p/' || w.k AS canon_url,
+               strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(w.doc_id),
+                        '%Y-%m-%d %H:%M:%S') AS warc_ts,
+               CAST(w.n_snapshots AS BIGINT) AS n_snapshots,
+               md5(p.text) AS text_md5
+        FROM w JOIN p ON p.doc_id = w.doc_id
+        """,
+        "a_host_report": """
+        SELECT 'h' || (doc_id % 13) || '.example.net' AS host,
+               count(*) AS n_pages,
+               CAST(sum(length(text)) AS BIGINT) AS text_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)),
+                        '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(max(doc_id)),
+                        '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM documents GROUP BY 1
         """,
     }
 

@@ -365,3 +365,40 @@ class TestNetloc:
             for r in df.select(analytics.netloc_expr(F.col("url")).alias("d")).collect()
         ]
         assert fast == exp
+
+
+class TestHostReport:
+    def test_aggregates_per_host(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("https://a.com/1", dt.datetime(2024, 1, 1, 0, 0, 1), b"", "abc", "en"),
+            ("https://a.com/2", dt.datetime(2024, 1, 1, 0, 0, 9), b"", "defgh", "de"),
+            ("https://b.com/1", dt.datetime(2024, 1, 2), b"", "xy", "en"),
+            ("not a url", dt.datetime(2024, 1, 3), b"", "zz", "en"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        out = {r["host"]: r for r in analytics.host_report(pages).collect()}
+        assert set(out) == {"a.com", "b.com"}  # unparseable host dropped
+        a = out["a.com"]
+        assert a["n_pages"] == 2
+        assert a["text_chars"] == 8
+        assert a["n_langs"] == 2
+        assert a["first_ts"].second == 1 and a["last_ts"].second == 9
+
+    def test_partial_aggregation_before_shuffle(self, spark):
+        import contextlib
+        import datetime as dt
+        import io
+
+        pages = spark.createDataFrame(
+            [("https://a.com/1", dt.datetime(2024, 1, 1), b"", "t", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            analytics.host_report(pages).explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "partial_count" in plan or "partial" in plan.lower(), plan

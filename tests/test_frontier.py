@@ -607,3 +607,58 @@ class TestRobotsSectionEdges:
         }
         assert rules_a == []
         assert rules_b == {("deny", "/x")}
+
+
+class TestDedupUrlLatest:
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+
+    def test_messy_variants_collapse_to_latest(self, spark):
+        import datetime as dt
+
+        ts = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            ("http://ex.com/a", ts(1), b"1", "old", "en"),
+            ("HTTP://EX.com:80/a#frag", ts(5), b"2", "new", "en"),
+            ("https://other.com/b", ts(2), b"3", "only", "de"),
+        ]
+        out = frontier.dedup_url_latest(self._pages(spark, rows)).collect()
+        got = {r["canon_url"]: r for r in out}
+        assert set(got) == {"http://ex.com/a", "https://other.com/b"}
+        a = got["http://ex.com/a"]
+        assert a["n_snapshots"] == 2
+        assert a["text"] == "new" and a["warc_ts"].second == 5
+        assert got["https://other.com/b"]["n_snapshots"] == 1
+
+    def test_timestamp_tie_breaks_by_raw_url(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1)
+        rows = [
+            ("http://ex.com/a?z=1", t, b"1", "zee", "en"),
+            ("http://ex.com/a?z=1#x", t, b"2", "frag", "en"),
+        ]
+        out = frontier.dedup_url_latest(self._pages(spark, rows)).collect()
+        assert len(out) == 1
+        # max raw url string: 'http://ex.com/a?z=1#x' > 'http://ex.com/a?z=1'
+        assert out[0]["text"] == "frag"
+
+    def test_winner_shuffle_carries_no_payload(self, spark):
+        import contextlib
+        import datetime as dt
+        import io
+        import re
+
+        rows = [("http://ex.com/a", dt.datetime(2024, 1, 1), b"x", "t", "en")]
+        df = frontier.dedup_url_latest(self._pages(spark, rows))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        args = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert args, plan
+        # the winner aggregation exchange groups by canon_url and must not
+        # carry the html/text payload columns
+        assert all("html#" not in a and "text#" not in a for a in args), plan

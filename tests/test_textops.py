@@ -252,3 +252,118 @@ class TestBpeTokenCount:
             textops.bpe_token_count(F.col("text")).alias("n")
         )
         assert [r["n"] for r in df.collect()] == [0, 2]
+
+
+class TestRepetitionFeatures:
+    def test_known_document(self, spark):
+        # 4 non-empty lines: "a b", "a b", "- x", "done..."; dup pair, one
+        # bullet, one ellipsis; tokens: a b a b x done (6, 4 distinct)
+        text = "a b\na b\n\n- x\ndone..."
+        row = (
+            docs_df(spark, [text])
+            .select(
+                *[
+                    v.alias(k)
+                    for k, v in textops.repetition_features(F.col("text")).items()
+                ]
+            )
+            .first()
+        )
+        assert row["n_lines"] == 4
+        assert row["dup_line_frac"] == pytest.approx(1 / 4)
+        # chars: lines 3+3+3+7=16, distinct 3+3+7=13 → 3/16
+        assert row["dup_line_char_frac"] == pytest.approx(3 / 16)
+        assert row["dup_token_frac"] == pytest.approx(2 / 6)
+        assert row["ellipsis_line_frac"] == pytest.approx(1 / 4)
+        assert row["bullet_line_frac"] == pytest.approx(1 / 4)
+
+    def test_null_text_propagates_null_and_keep_false(self, spark):
+        df = docs_df(spark, [None]).select(
+            textops.repetition_features(F.col("text"))["dup_line_frac"].alias("f"),
+            textops.gopher_keep(F.col("text")).alias("keep"),
+        )
+        row = df.first()
+        assert row["f"] is None
+        assert row["keep"] is False
+
+    def test_gopher_keep_accepts_clean_prose_rejects_repetition(self, spark):
+        clean = (
+            "the quick brown fox jumps over the lazy dog and then the dog "
+            "sleeps while a bird sings in the tree because it is a warm day "
+            "and the sun is bright so all the animals are happy to be out "
+            "in the field where the grass is green and the water is clear"
+        )
+        spam = ("buy now\n" * 30) + "visit shop today"
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in docs_df(spark, [clean, spam])
+            .select("doc_id", textops.gopher_keep(F.col("text")).alias("keep"))
+            .collect()
+        }
+        assert got[0] is True
+        assert got[1] is False  # 29/30 duplicate lines
+
+
+class TestTopNgramFrac:
+    def test_mode_fraction(self, spark):
+        # bigrams of "a b a b a": ab ba ab ba → top 2/4
+        out = {
+            r["doc_id"]: r["top_ngram_frac"]
+            for r in textops.top_ngram_frac(
+                docs_df(spark, ["a b a b a", "x y z"]), n=2
+            ).collect()
+        }
+        assert out[0] == pytest.approx(0.5)
+        assert out[1] == pytest.approx(1 / 2)  # xy yz → max 1 / total 2
+
+    def test_docs_below_n_tokens_absent(self, spark):
+        out = textops.top_ngram_frac(docs_df(spark, ["solo", "", None]), n=2)
+        assert out.count() == 0
+
+
+class TestDedupParagraphs:
+    def test_first_occurrence_wins(self, spark):
+        d0 = "alpha\n\nshared para"
+        d1 = "shared para\n\nbeta"
+        out = textops.dedup_paragraphs(docs_df(spark, [d0, d1])).collect()
+        by_hash = {r["para_hash"]: (r["doc_id"], r["para_idx"]) for r in out}
+        assert len(out) == 3  # alpha, shared, beta
+        import hashlib
+
+        shared_h = hashlib.md5(b"shared para").hexdigest()
+        assert by_hash[shared_h] == (0, 1)  # doc0 pos1 beats doc1 pos0
+
+    def test_exchange_carries_digest_not_text(self, spark):
+        import io, contextlib
+
+        df = textops.dedup_paragraphs(docs_df(spark, ["a\n\nb", "b\n\nc"]))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        # the shuffled attributes must be the digest, never the paragraph text
+        import re as _re
+
+        args = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert args, plan
+        assert any("para_hash#" in a for a in args), plan
+        assert all("para#" not in a and "text#" not in a for a in args), plan
+
+
+class TestPiiScrub:
+    def test_exact_replacements(self, spark):
+        text = (
+            "write bob.smith+x@Mail-Host.org or call 555-867-5309; "
+            "server at 192.168.0.1 responded"
+        )
+        got = docs_df(spark, [text]).select(
+            textops.pii_scrub(F.col("text")).alias("t")
+        ).first()["t"]
+        assert got == "write <EMAIL> or call <PHONE>; server at <IP> responded"
+
+    def test_plain_text_unchanged(self, spark):
+        text = "no pii here, just words and numbers like 42 and 3.14"
+        got = docs_df(spark, [text]).select(
+            textops.pii_scrub(F.col("text")).alias("t")
+        ).first()["t"]
+        assert got == text

@@ -500,3 +500,26 @@ def stop_after_nth(records: DataFrame, n: int) -> DataFrame:
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def host_report(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host crawl report over the input_hint pages table: page count,
+    total extracted-text characters, distinct languages, first/last capture
+    timestamps. The host key is the JVM netloc tier (netloc_expr — codegen,
+    no Python); every aggregate is map-side combinable, so the single
+    shuffle carries one partial row per (task, host) — at 10^10 pages the
+    exchange is ~#hosts×tasks rows, not #pages. approx_count_distinct is
+    deliberately NOT used: lang cardinality is tiny and the exact
+    count_distinct keeps the report oracle-checkable."""
+    return (
+        pages.withColumn("host", netloc_expr(F.col(url_col)))
+        .filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )

@@ -249,6 +249,32 @@ def with_canonical(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def dedup_url_latest(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Snapshot dedup over the input_hint pages table: canonicalize URLs
+    (two crawls of HTTP://Ex.com/a#frag and http://ex.com:80/a are the same
+    page) and keep exactly the LATEST capture of each canonical URL —
+    max (warc_ts, url), a total order so ties on timestamp break
+    deterministically by the raw url string.
+
+    Scale shape (the late-fetch rule): the winner aggregation shuffles only
+    (canon_url, warc_ts, url) — html/text never ride the exchange — and the
+    surviving rows are fetched back with an equi-join on (url, warc_ts),
+    broadcast-able when the winner set is small and AQE-planned otherwise.
+    Returns the surviving pages rows plus canon_url and n_snapshots."""
+    canon = with_canon_url(pages.select(url_col, "warc_ts"), url_col)
+    winners = canon.groupBy("canon_url").agg(
+        F.max(F.struct("warc_ts", F.col(url_col).alias("u"))).alias("_w"),
+        F.count("*").alias("n_snapshots"),
+    )
+    keys = winners.select(
+        "canon_url",
+        F.col("_w")["warc_ts"].alias("warc_ts"),
+        F.col("_w")["u"].alias(url_col),
+        "n_snapshots",
+    )
+    return keys.join(pages, [url_col, "warc_ts"], "inner")
+
+
 # ---------------------------------------------------------------------------
 # J4: seen-set membership (partitioned Bloom pre-filter + exact anti-join)
 # ---------------------------------------------------------------------------

@@ -551,3 +551,198 @@ def winnow(
             )
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / Gopher-style document quality (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+
+def text_lines(text: Column) -> Column:
+    """Non-empty lines of a document (split on '\\n'). The line primitive for
+    the repetition filters; a pure Column expression, codegen'd."""
+    return F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
+
+
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals, all JVM-side array algebra — no
+    explode, no Python, no shuffle (per-document arrays only):
+
+    - ``dup_line_frac``: fraction of non-empty lines that repeat an earlier
+      line (1 - distinct/total);
+    - ``dup_line_char_frac``: fraction of line characters inside those
+      repeated occurrences;
+    - ``dup_token_frac``: same over the canonical token stream;
+    - ``ellipsis_line_frac``: lines ending in '...' or '…';
+    - ``bullet_line_frac``: lines starting with '-', '*' or '•'.
+
+    NULL text propagates NULL (size/aggregate of NULL are NULL under ANSI),
+    matching rolling_hashes' NULL-in/NULL-out convention; empty docs get 0.0
+    via the denominator guards. Ratios are single IEEE divisions of exact
+    integers, so the DuckDB oracle (list_filter/list_distinct/list_aggregate
+    over the same splits) reproduces them bit-for-bit."""
+    ls = text_lines(text)
+    n_lines = F.size(ls)
+    distinct_lines = F.array_distinct(ls)
+    line_chars = _sum_lengths(ls)
+    toks = tokens(text)
+    n_toks = F.size(toks)
+
+    def frac(num: Column, den: Column) -> Column:
+        # no otherwise(): NULL denominator (NULL text) stays NULL instead of
+        # being swallowed into 0.0 — rolling_hashes' NULL-in/NULL-out rule
+        return F.when(den > 0, num / den).when(den.isNotNull(), F.lit(0.0))
+
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": frac(n_lines - F.size(distinct_lines), n_lines),
+        "dup_line_char_frac": frac(
+            line_chars - _sum_lengths(distinct_lines), line_chars
+        ),
+        "dup_token_frac": frac(n_toks - F.size(F.array_distinct(toks)), n_toks),
+        "ellipsis_line_frac": frac(
+            F.size(
+                F.filter(ls, lambda l: l.endswith("...") | l.endswith("…"))
+            ),
+            n_lines,
+        ),
+        "bullet_line_frac": frac(
+            F.size(
+                F.filter(
+                    ls,
+                    lambda l: l.startswith("-")
+                    | l.startswith("*")
+                    | l.startswith("•"),
+                )
+            ),
+            n_lines,
+        ),
+    }
+
+
+def gopher_keep(text: Column) -> Column:
+    """Boolean Gopher-rule document filter (the subset of Rae et al. A1.1
+    expressible without the mode-of-ngrams statistic, which lives in
+    :func:`top_ngram_frac` as a relational operator): token count in
+    [50, 100000], mean token length in [3, 10], ≤30% duplicate lines /
+    duplicate-line chars, ≤30% ellipsis lines, ≤90% bullet lines, ≥80% of
+    tokens containing a letter, and ≥2 distinct stopword hits. Pure Column
+    expression; NULL text → false."""
+    q = quality_features(text)
+    r = repetition_features(text)
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    en = _LANG_MARKERS["en"]
+    distinct_stop_hits = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin(en))
+    )
+    return F.coalesce(
+        (n_toks >= 50)
+        & (n_toks <= 100000)
+        & (q["mean_token_len"] >= 3)
+        & (q["mean_token_len"] <= 10)
+        & (r["dup_line_frac"] <= 0.30)
+        & (r["dup_line_char_frac"] <= 0.30)
+        & (r["ellipsis_line_frac"] <= 0.30)
+        & (r["bullet_line_frac"] <= 0.90)
+        & (F.when(n_toks > 0, alpha_toks / n_toks).otherwise(F.lit(0.0)) >= 0.80)
+        & (distinct_stop_hits >= 2),
+        F.lit(False),
+    )
+
+
+def top_ngram_frac(
+    documents: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fraction of a document's n-grams occupied by its single most frequent
+    n-gram (the Gopher "top n-gram" repetition statistic; Rae et al. A1.1
+    caps it at 0.20/0.18/0.16 for n=2/3/4).
+
+    Relational, not per-row O(n²): explode n-grams → count per (doc, gram)
+    → max/sum per doc. The shuffle carries (doc_id, gram) pairs only — the
+    document text never moves — and both aggregations are map-side
+    combinable. Docs with fewer than n tokens are absent from the output
+    (no n-grams ⇒ no statistic), mirroring SQL group semantics."""
+    toks = tokens(F.col(text_col))
+    grams = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_ngram_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup: split every document on blank
+    lines ('\\n\\n'), keep the FIRST occurrence of each distinct paragraph
+    — "first" = minimum (doc_id, para_idx), fully deterministic — and
+    return (doc_id, para_idx, para_hash) of the survivors.
+
+    Scale shape: paragraphs are keyed by md5 digest immediately, so the
+    groupBy shuffles (digest, doc_id, para_idx) — 32 bytes + two longs per
+    paragraph, never the paragraph text — and min(struct) is map-side
+    combinable. This is the paragraph analogue of dedup_exact_ids
+    (same digest-only-shuffle rule). Callers that need the surviving text
+    join back on (doc_id, para_idx), the same late-fetch pattern as the
+    embedding LSH."""
+    paras = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n\n")).alias("para_idx", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) > 0)
+    keyed = paras.select(
+        F.md5(F.col("para")).alias("para_hash"), F.col(id_col), F.col("para_idx")
+    )
+    winners = keyed.groupBy("para_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_w")
+    )
+    return winners.select(
+        F.col("_w")[id_col].alias(id_col),
+        F.col("_w")["para_idx"].alias("para_idx"),
+        "para_hash",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backreferences) so the identical strings
+# run in Java regex (Spark) and RE2 (DuckDB oracle):
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact common PII surface forms with fixed placeholder tokens:
+    emails → <EMAIL>, NNN-NNN-NNNN phones → <PHONE>, dotted-quad IPs →
+    <IP>. Replacement order is fixed (email, phone, ip) so the composition
+    is deterministic and the DuckDB oracle (regexp_replace …, 'g') chains
+    identically. Pure Column expressions — codegen'd, no Python."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
