@@ -884,6 +884,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), n=2
     )
 
+    # duplicate 5-gram character fraction (the other Gopher repetition
+    # statistic), same relational shape
+    q["text_dup_ngram"] = lambda spark, sf: textops.dup_ngram_char_frac(
+        _t(spark, sf, "documents"), n=5
+    )
+
+    # --- benchmark decontamination ----------------------------------------
+    def decontam(spark, sf):
+        """Test-set leakage gate (wbx.textops.decontaminate_ngram_overlap):
+        every 20th document doubles as the 'benchmark'; docs sharing any
+        8-token gram with it are flagged with their hit count. The query
+        runs hash_grams=False so DuckDB joins the same string keys; the
+        production default hashes grams to xxhash64 first."""
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(F.pmod("doc_id", F.lit(20)) == 7).select("text")
+        return textops.decontaminate_ngram_overlap(
+            docs, bench, n=8, hash_grams=False
+        )
+
+    q["dedup_decontaminate"] = decontam
+
+    # --- C4-style line cleaning -------------------------------------------
+    def c4(spark, sf):
+        """C4 line filter + doc gate (wbx.textops.c4_clean_lines /
+        c4_doc_keep): fixture lines exercise every rule — a clean sentence
+        (kept), a 2-word line (dropped), a javascript line (dropped), a
+        multi-sentence tail (kept), and a '{' planted on doc_id%11==3
+        (fails the doc gate)."""
+        docs = _t(spark, sf, "documents")
+        t2 = F.concat(
+            F.col("text"),
+            F.lit(
+                "\nThis is a clean sentence line."
+                "\nshort line"
+                "\nAlso javascript enabled sentence here."
+                "\nAnother tidy sentence with words. And more. Yes. Ok. Fine."
+            ),
+            F.when(F.pmod("doc_id", F.lit(11)) == 3, F.lit(" {")).otherwise(
+                F.lit("")
+            ),
+        )
+        return docs.select(
+            "doc_id",
+            F.md5(textops.c4_clean_lines(t2)).alias("cleaned_md5"),
+            textops.c4_doc_keep(t2).alias("keep"),
+        )
+
+    q["text_c4_clean"] = c4
+
+    # --- corpus vocabulary ------------------------------------------------
+    q["corpus_top_tokens"] = lambda spark, sf: textops.corpus_top_tokens(
+        _t(spark, sf, "documents"), k=100
+    )
+
     # --- paragraph-level exact dedup --------------------------------------
     def paragraphs(spark, sf):
         """Corpus-wide paragraph dedup (wbx.textops.dedup_paragraphs):
@@ -1386,6 +1440,62 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
         SELECT doc_id, round(max(cnt) / sum(cnt), 6) AS top_ngram_frac
         FROM c GROUP BY doc_id
+        """,
+        "text_dup_ngram": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        i AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+              FROM t WHERE len(toks) >= 5),
+        g AS (SELECT doc_id, array_to_string(toks[i:i + 4], ' ') AS gram FROM i),
+        c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                     / sum(cnt * length(gram)), 6) AS dup_ngram_char_frac
+        FROM c GROUP BY doc_id
+        """,
+        "dedup_decontaminate": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        e AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+              FROM t WHERE len(toks) >= 8),
+        dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i + 7], ' ') AS gram
+               FROM e),
+        bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 20 = 7)
+        SELECT dg.doc_id, count(*) AS n_hits
+        FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id
+        """,
+        "text_c4_clean": """
+        WITH d AS (
+          SELECT doc_id,
+                 text || chr(10) || 'This is a clean sentence line.'
+                      || chr(10) || 'short line'
+                      || chr(10) || 'Also javascript enabled sentence here.'
+                      || chr(10) || 'Another tidy sentence with words. And more. Yes. Ok. Fine.'
+                      || CASE WHEN doc_id % 11 = 3 THEN ' {' ELSE '' END AS t
+          FROM documents
+        ), c AS (
+          SELECT doc_id, t,
+                 array_to_string(list_filter(string_split(t, chr(10)),
+                   l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                         OR ends_with(trim(l), '?') OR ends_with(trim(l), '"')
+                         OR ends_with(trim(l), ''''))
+                        AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                            w -> w <> '')) >= 3
+                        AND NOT contains(lower(trim(l)), 'javascript')),
+                   chr(10)) AS cleaned
+          FROM d
+        )
+        SELECT doc_id, md5(cleaned) AS cleaned_md5,
+               (length(cleaned) > 0
+                AND NOT contains(t, '{')
+                AND NOT contains(lower(t), 'lorem ipsum')
+                AND length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+               ) AS keep
+        FROM c
+        """,
+        "corpus_top_tokens": f"""
+        WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+        c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+        SELECT token, n FROM c
+        QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= 100
         """,
         "dedup_paragraphs": """
         WITH d AS (

@@ -281,6 +281,8 @@ def main() -> None:
         "text_lang_id",
         "sim_brute_topk",
         "frontier_unseen",
+        "text_repetition",
+        "dedup_paragraphs",
     ]
     for name in suite:
         # min-of-reps like the headline jobs: a single execution conflates

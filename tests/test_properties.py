@@ -106,3 +106,63 @@ class TestWarcRoundtripProperties:
             assert r["record_start"] <= r["header_end"] <= r["content_start"]
             assert r["content_start"] <= r["content_end"] == r["record_end"]
             prev_end = r["record_end"]
+
+
+text_lines_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30
+    ),
+    min_size=0,
+    max_size=8,
+).map(lambda ls: "\n".join(ls))
+
+
+class TestTextopsProperties:
+    @settings(**SETTINGS)
+    @given(st.lists(text_lines_strategy, min_size=1, max_size=20))
+    def test_c4_clean_is_idempotent(self, spark, texts):
+        """Every surviving line already satisfies the line rules, so a
+        second cleaning pass must be the identity."""
+        from wbx import textops
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        once = df.select(textops.c4_clean_lines(F.col("text")).alias("c1"))
+        rows = once.select(
+            "c1", textops.c4_clean_lines(F.col("c1")).alias("c2")
+        ).collect()
+        for r in rows:
+            assert r["c2"] == r["c1"], (r["c1"], r["c2"])
+
+    @settings(**SETTINGS)
+    @given(st.lists(text_lines_strategy, min_size=1, max_size=20))
+    def test_repetition_fractions_bounded(self, spark, texts):
+        """All repetition ratios live in [0, 1] (or NULL for NULL text)."""
+        from wbx import textops
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        feats = textops.repetition_features(F.col("text"))
+        keys = [k for k in feats if k.endswith("_frac")]
+        rows = df.select(*[feats[k].alias(k) for k in keys]).collect()
+        for r in rows:
+            for k in keys:
+                v = r[k]
+                assert v is None or (0.0 <= v <= 1.0), (k, v)
+
+    @settings(**SETTINGS)
+    @given(st.lists(text_lines_strategy, min_size=1, max_size=10))
+    def test_pii_scrub_removes_every_email(self, spark, texts):
+        """After scrubbing, the email pattern never matches — replacement
+        is complete, not first-occurrence."""
+        from wbx import textops
+
+        salted = [
+            f"{t} a{i}@ex{i}.org mid {t} b{i}@host{i}.net" for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame([(t,) for t in salted], "text string")
+        rows = df.select(
+            textops.pii_scrub(F.col("text")).alias("t")
+        ).collect()
+        import re as _re
+
+        for r in rows:
+            assert not _re.search(textops.PII_EMAIL_RE, r["t"]), r["t"]

@@ -367,3 +367,109 @@ class TestPiiScrub:
             textops.pii_scrub(F.col("text")).alias("t")
         ).first()["t"]
         assert got == text
+
+
+class TestDupNgramCharFrac:
+    def test_known_repetition(self, spark):
+        # 11 tokens, 7 5-grams; "a b c d e" occurs twice (9 chars each):
+        # dup chars 2*9=18 of total 7*9=63
+        out = textops.dup_ngram_char_frac(
+            docs_df(spark, ["a b c d e a b c d e x", "u v w x y z"]), n=5
+        ).collect()
+        got = {r["doc_id"]: r["dup_ngram_char_frac"] for r in out}
+        assert got[0] == pytest.approx(18 / 63, abs=1e-6)
+        assert got[1] == 0.0  # all 5-grams unique
+
+    def test_short_docs_absent(self, spark):
+        out = textops.dup_ngram_char_frac(docs_df(spark, ["a b c d", None]), n=5)
+        assert out.count() == 0
+
+
+class TestDecontaminate:
+    def test_overlap_detection(self, spark):
+        doc = "one two three four five six seven eight nine ten"
+        partial = "zzz one two three four five six seven eight qqq"
+        clean = "totally different words with no shared gram run here at all"
+        docs = docs_df(spark, [doc, partial, clean])
+        bench = spark.createDataFrame([(doc,)], "text string")
+        out = {
+            r["doc_id"]: r["n_hits"]
+            for r in textops.decontaminate_ngram_overlap(
+                docs, bench, n=8
+            ).collect()
+        }
+        # doc 0 == benchmark: 3 distinct 8-grams, all hit; doc 1 contains
+        # the run "one..eight" = exactly 1 of the benchmark's 8-grams
+        assert out[0] == 3
+        assert out[1] == 1
+        assert 2 not in out
+
+    def test_hashed_and_string_paths_agree(self, spark):
+        docs = docs_df(spark, [BASE, BASE.replace("garden", "yard"), "other"])
+        bench = spark.createDataFrame([(BASE,)], "text string")
+        a = sorted(
+            (r["doc_id"], r["n_hits"])
+            for r in textops.decontaminate_ngram_overlap(
+                docs, bench, n=8, hash_grams=True
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_hits"])
+            for r in textops.decontaminate_ngram_overlap(
+                docs, bench, n=8, hash_grams=False
+            ).collect()
+        )
+        assert a == b
+
+
+class TestC4Clean:
+    def test_line_rules(self, spark):
+        text = (
+            "This line is properly terminated.\n"
+            "too short.\n"
+            "no terminal punctuation here at all\n"
+            "Enable javascript to view this page.\n"
+            'A quoted ending counts as terminal."'
+        )
+        got = docs_df(spark, [text]).select(
+            textops.c4_clean_lines(F.col("text")).alias("t")
+        ).first()["t"]
+        assert got == (
+            "This line is properly terminated.\n"
+            'A quoted ending counts as terminal."'
+        )
+
+    def test_doc_gate(self, spark):
+        good = "One sentence here. Two now. Three more. Four yes. Five done."
+        brace = good + " {"
+        lorem = good + " lorem ipsum dolor"
+        few = "Only one sentence appears right here."
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in docs_df(spark, [good, brace, lorem, few, None])
+            .select("doc_id", textops.c4_doc_keep(F.col("text")).alias("keep"))
+            .collect()
+        }
+        assert got == {0: True, 1: False, 2: False, 3: False, 4: False}
+
+
+class TestCorpusTopTokens:
+    def test_counts_and_tiebreak(self, spark):
+        df = docs_df(spark, ["b b a a c", "a b z"])
+        got = [
+            (r["token"], r["n"])
+            for r in textops.corpus_top_tokens(df, k=3).collect()
+        ]
+        # a:3 b:3 c:1 z:1 → top3 = a, b (tie → asc token), then c (c < z)
+        assert got == [("a", 3), ("b", 3), ("c", 1)]
+
+    def test_plan_uses_take_ordered_not_global_sort(self, spark):
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            textops.corpus_top_tokens(docs_df(spark, ["a b"]), k=5).explain(
+                mode="formatted"
+            )
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan, plan

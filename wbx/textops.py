@@ -746,3 +746,166 @@ def pii_scrub(text: Column) -> Column:
     out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def dup_ngram_char_frac(
+    documents: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fraction of token characters covered by n-grams that occur more than
+    once within the document — the Gopher "duplicate n-gram" repetition
+    statistic (Rae et al. A1.1 caps it at 0.15/0.14/0.13/0.12/0.11/0.10 for
+    n=5..10), in the standard non-overlapping approximation used by public
+    curation pipelines: every occurrence of a repeated n-gram contributes
+    its character length, normalized by total n-gram characters.
+
+    Relational like top_ngram_frac: explode n-grams → per-(doc, gram)
+    count+length → per-doc sums. The shuffle carries (doc_id, gram) pairs
+    only; both aggregates are map-side combinable. Docs with fewer than n
+    tokens are absent (no n-grams ⇒ no statistic)."""
+    toks = tokens(F.col(text_col))
+    grams = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    glen = F.length(F.col("gram"))
+    return per_gram.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * glen).otherwise(0))
+            / F.sum(F.col("cnt") * glen),
+            6,
+        ).alias("dup_ngram_char_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (test-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_ngrams(documents: DataFrame, n: int, text_col: str, id_col) -> DataFrame:
+    toks = tokens(F.col(text_col))
+    cols = [F.col(id_col)] if id_col else []
+    return documents.select(
+        *cols,
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                    )
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+def decontaminate_ngram_overlap(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: (doc_id, n_hits) for every document sharing
+    at least one n-token gram with the benchmark corpus (the standard
+    LLM-pretraining leakage gate; production pipelines use n≈8-13).
+
+    Scale shape: both sides reduce to DISTINCT gram keys before the join —
+    the benchmark side is typically a few million grams and broadcast-joins
+    (AQE decides; no forced hint), so the corpus side never shuffles at all.
+    With ``hash_grams`` (default) the join key is xxhash64(gram) — 8 bytes
+    instead of the gram string — at a vanishingly small false-hit risk;
+    the oracle query runs with hash_grams=False for cross-engine equality."""
+    dg = _distinct_ngrams(documents, n, text_col, id_col)
+    bg = _distinct_ngrams(benchmark, n, bench_text_col, None).distinct()
+    if hash_grams:
+        dg = dg.select(id_col, F.xxhash64("gram").alias("gram"))
+        bg = bg.select(F.xxhash64("gram").alias("gram")).distinct()
+    return (
+        dg.join(bg, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning
+# ---------------------------------------------------------------------------
+
+_TERMINALS = ('.', '!', '?', '"', "'")
+
+
+def c4_clean_lines(text: Column) -> Column:
+    """C4-inspired line filter (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation (. ! ? " '), contain at least 3
+    whitespace-words, and do not mention 'javascript' (case-insensitive);
+    survivors re-joined with '\\n'. Pure Column array algebra — per-row,
+    no shuffle; NULL text → NULL."""
+    def keep(l: Column) -> Column:
+        t = F.trim(l)
+        ends_ok = None
+        for ch in _TERMINALS:
+            c = t.endswith(ch)
+            ends_ok = c if ends_ok is None else (ends_ok | c)
+        n_words = F.size(F.filter(F.split(t, "\\s+"), lambda w: w != ""))
+        return ends_ok & (n_words >= 3) & ~F.lower(t).contains("javascript")
+
+    return F.when(
+        text.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(F.filter(F.split(text, "\n"), keep), "\n"))
+
+
+def c4_doc_keep(text: Column) -> Column:
+    """C4-inspired document gate: the cleaned text is non-empty, the raw
+    text contains no '{' (code/markup tell) nor 'lorem ipsum', and at least
+    5 sentence terminators (. ! ?) remain after cleaning. NULL → false."""
+    cleaned = c4_clean_lines(text)
+    terminators = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, r"[.!?]", "")
+    )
+    return F.coalesce(
+        (F.length(cleaned) > 0)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+        & (terminators >= 5),
+        F.lit(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def corpus_top_tokens(
+    documents: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Global top-k tokens by corpus frequency, deterministic tie-break
+    (count DESC, token ASC). explode → map-side-combinable count, then
+    orderBy+limit — Spark plans TakeOrderedAndProject, a per-partition
+    partial top-k with a k-row driver merge, NOT a global sort shuffle
+    (the counts table at web scale is #distinct-tokens rows; only k rows
+    ever leave the executors)."""
+    return (
+        documents.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
