@@ -984,6 +984,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_pii_scrub"] = pii
 
+    # --- gap-based sessionization over the events table -------------------
+    def sessions(spark, sf):
+        return analytics.sessionize(_t(spark, sf, "events"), gap_seconds=1800).select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "value_cents",
+        )
+
+    q["a_sessionize"] = sessions
+
     # --- pages-table operators (north_rule input_hint shape) --------------
     def url_latest(spark, sf):
         """Snapshot dedup on the pages table (wbx.frontier.dedup_url_latest):
@@ -1533,6 +1550,30 @@ def oracle_sql() -> dict[str, str]:
               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
         ) AS scrubbed_md5 FROM d
+        """,
+        "a_sessionize": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), f AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM o
+        ), s AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM f
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, session_idx
         """,
         "dedup_url_latest": """
         WITH p AS (SELECT doc_id, doc_id % 50 AS k, text FROM documents),

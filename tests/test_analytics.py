@@ -402,3 +402,50 @@ class TestHostReport:
             analytics.host_report(pages).explain(mode="formatted")
         plan = buf.getvalue()
         assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: two events 10s apart, then a 2000s gap, then one more
+            (0, base, 1, "view", 1.0, None),
+            (1, base + dt.timedelta(seconds=10), 1, "click", 2.5, None),
+            (2, base + dt.timedelta(seconds=2010), 1, "view", 0.5, None),
+            # user 2: single event
+            (3, base, 2, "view", 10.0, None),
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+            " value double, props string",
+        )
+        out = {
+            (r["user_id"], r["session_idx"]): r
+            for r in analytics.sessionize(events, gap_seconds=1800).collect()
+        }
+        assert set(out) == {(1, 1), (1, 2), (2, 1)}
+        s11 = out[(1, 1)]
+        assert s11["n_events"] == 2
+        assert s11["value_cents"] == 350
+        assert s11["session_end"].second == 10
+        assert out[(1, 2)]["n_events"] == 1
+
+    def test_parallelism_independent(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(seconds=i * 700), i % 3, "view", float(i), None)
+            for i in range(60)
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+            " value double, props string",
+        )
+        a = sorted(map(tuple, analytics.sessionize(events).collect()))
+        b = sorted(map(tuple, analytics.sessionize(events.repartition(13)).collect()))
+        assert a == b

@@ -523,3 +523,40 @@ def host_report(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.max("warc_ts").alias("last_ts"),
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a user separated by
+    more than `gap_seconds` start a new session. Returns one row per
+    (user, session): event count, start/end timestamps, value total (in
+    exact integer cents so the aggregate is order-independent).
+
+    Scale shape: ONE shuffle on user_id for the window (lag + running sum
+    over (ts, event_id) — a fully-determined total order per user, so
+    session numbering is parallelism-independent); the per-session rollup's
+    exchange then carries only (user, session) partial rows thanks to
+    map-side combine. Gap arithmetic is in unix microseconds — exact longs,
+    no float drift."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prev = F.lag(ts_col).over(w)
+    # interval arithmetic, not unix_micros: the input is TIMESTAMP_NTZ
+    # (input_hint parquet), where +interval is exact microsecond math
+    new_sess = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.make_interval(secs=F.lit(gap_seconds)))
+    ).cast("long")
+    cum = Window.partitionBy(user_col).orderBy(ts_col, "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_sess = events.withColumn("session_idx", F.sum(new_sess).over(cum))
+    return with_sess.groupBy(user_col, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
