@@ -662,3 +662,27 @@ class TestDedupUrlLatest:
         # the winner aggregation exchange groups by canon_url and must not
         # carry the html/text payload columns
         assert all("html#" not in a and "text#" not in a for a in args), plan
+
+
+class TestStagedHostPathEquivalence:
+    def test_staged_forms_match_expression_forms(self, spark):
+        """with_url_host / with_url_path (the hot-path staged pipelines)
+        must be pointwise identical to the url_host / url_path expression
+        forms on every canonicalized CANON_CASES input plus NULL."""
+        urls = [u for u, _ in CANON_CASES] + [None]
+        df = frontier.with_canon_url(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+        )
+        expr = df.select(
+            "canon_url",
+            frontier.url_host(F.col("canon_url")).alias("h"),
+            frontier.url_path(F.col("canon_url")).alias("p"),
+        )
+        staged = frontier.with_url_path(
+            frontier.with_url_host(df, out="h2"), out="p2"
+        ).select("canon_url", "h2", "p2")
+        joined = expr.join(staged, ["canon_url"]).collect()
+        assert joined, "join produced no rows"
+        for r in joined:
+            assert r["h"] == r["h2"], (r["canon_url"], r["h"], r["h2"])
+            assert r["p"] == r["p2"], (r["canon_url"], r["p"], r["p2"])
