@@ -864,16 +864,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.pmod("doc_id", F.lit(5)),
             F.lit("\nend..."),
         )
-        r = textops.repetition_features(t2)
-        return docs.select(
+        # staged form: the line/token arrays are real columns computed once
+        # per row (with_repetition_features), not once per feature
+        staged = textops.with_repetition_features(
+            docs.withColumn("_t2", t2), "_t2", round_to=6
+        )
+        return staged.select(
             "doc_id",
-            r["n_lines"].cast("long").alias("n_lines"),
-            F.round(r["dup_line_frac"], 6).alias("dup_line_frac"),
-            F.round(r["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
-            F.round(r["dup_token_frac"], 6).alias("dup_token_frac"),
-            F.round(r["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
-            F.round(r["bullet_line_frac"], 6).alias("bullet_line_frac"),
-            textops.gopher_keep(t2).alias("keep"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_token_frac",
+            "ellipsis_line_frac",
+            "bullet_line_frac",
+            textops.gopher_keep(F.col("_t2")).alias("keep"),
         )
 
     q["text_repetition"] = repetition

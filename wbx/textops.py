@@ -394,25 +394,44 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Best-scoring language, 'und' when nothing matches. Deterministic
-    tie-break: language code ascending."""
-    scores = lang_scores(text)
-    pairs = F.array(
-        *[
-            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
-            for lang in sorted(scores)
-        ]
+    tie-break: language code ascending. The token array is let-bound so the
+    per-language marker scans share ONE tokenization per row."""
+
+    def best_of(toks: Column) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.filter(toks, lambda t: t.isin(_LANG_MARKERS[lang]))
+                    ).alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in sorted(_LANG_MARKERS)
+            ]
+        )
+        # array_max on structs compares fieldwise (ties would pick the
+        # DESCENDING code); a reduce keeps the asc-lang tie-break:
+        return F.reduce(
+            pairs,
+            F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+            lambda acc, p: F.when(
+                (p["score"] > acc["score"]),
+                F.struct(p["score"].alias("score"), p["lang"].alias("lang")),
+            ).otherwise(acc),
+        )
+
+    # both the token array AND the winning struct are let-bound: best is
+    # referenced twice in the final projection, and an unbound reference
+    # would re-run the whole reduce per reference
+    return let_col(
+        tokens(text),
+        lambda toks: let_col(
+            best_of(toks),
+            lambda best: F.when(best["score"] <= 0, F.lit("und")).otherwise(
+                best["lang"]
+            ),
+        ),
     )
-    # array_max on structs compares fieldwise (ties would pick the DESCENDING
-    # code); a reduce keeps the asc-lang tie-break:
-    best = F.reduce(
-        pairs,
-        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
-        lambda acc, p: F.when(
-            (p["score"] > acc["score"]),
-            F.struct(p["score"].alias("score"), p["lang"].alias("lang")),
-        ).otherwise(acc),
-    )
-    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
 def token_count(text: Column) -> Column:
@@ -463,20 +482,33 @@ def quality_features(text: Column) -> dict[str, Column]:
 def quality_score(text: Column) -> Column:
     """Composite score in [0,1]: rewards stopword presence, sane token
     length, alnum density. Fixed deterministic formula (documented in
-    oracle SQL form in __spark_entry__)."""
-    f = quality_features(text)
-    sane_len = F.when(
-        (f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), F.lit(1.0)
-    ).otherwise(F.lit(0.0))
-    return F.round(
-        (
-            F.least(f["stopword_ratio"] * 4, F.lit(1.0))
-            + sane_len
-            + f["alnum_ratio"]
+    oracle SQL form in __spark_entry__). The token array is let-bound: the
+    composed formula references token statistics ~7 times, and unbound each
+    reference would re-tokenize the document."""
+    en = _LANG_MARKERS["en"]
+
+    def score(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        mean_len = F.when(
+            n_tokens > 0, _sum_lengths(toks) / n_tokens
+        ).otherwise(F.lit(0.0))
+        stop_ratio = F.when(
+            n_tokens > 0,
+            F.size(F.filter(toks, lambda t: t.isin(en))) / n_tokens,
+        ).otherwise(F.lit(0.0))
+        sane_len = F.when(
+            (mean_len >= 3) & (mean_len <= 10), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+        alnum_ratio = F.when(
+            F.length(text) > 0, alnum_chars / F.length(text)
+        ).otherwise(F.lit(0.0))
+        return F.round(
+            (F.least(stop_ratio * 4, F.lit(1.0)) + sane_len + alnum_ratio) / 3.0,
+            6,
         )
-        / 3.0,
-        6,
-    )
+
+    return let_col(tokens(text), score)
 
 
 def fingerprint(text: Column) -> Column:
@@ -568,6 +600,47 @@ def _sum_lengths(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
 
 
+def _frac(num: Column, den: Column) -> Column:
+    # no otherwise(): NULL denominator (NULL text) stays NULL instead of
+    # being swallowed into 0.0 — rolling_hashes' NULL-in/NULL-out rule
+    return F.when(den > 0, num / den).when(den.isNotNull(), F.lit(0.0))
+
+
+def _repetition_from(ls: Column, toks: Column) -> dict[str, Column]:
+    """Repetition signals from already-derived line/token arrays — the
+    shared core of repetition_features (unbound), gopher_keep (let-bound)
+    and with_repetition_features (column-staged)."""
+    n_lines = F.size(ls)
+    distinct_lines = F.array_distinct(ls)
+    line_chars = _sum_lengths(ls)
+    n_toks = F.size(toks)
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": _frac(n_lines - F.size(distinct_lines), n_lines),
+        "dup_line_char_frac": _frac(
+            line_chars - _sum_lengths(distinct_lines), line_chars
+        ),
+        "dup_token_frac": _frac(n_toks - F.size(F.array_distinct(toks)), n_toks),
+        "ellipsis_line_frac": _frac(
+            F.size(
+                F.filter(ls, lambda l: l.endswith("...") | l.endswith("…"))
+            ),
+            n_lines,
+        ),
+        "bullet_line_frac": _frac(
+            F.size(
+                F.filter(
+                    ls,
+                    lambda l: l.startswith("-")
+                    | l.startswith("*")
+                    | l.startswith("•"),
+                )
+            ),
+            n_lines,
+        ),
+    }
+
+
 def repetition_features(text: Column) -> dict[str, Column]:
     """Gopher-style repetition signals, all JVM-side array algebra — no
     explode, no Python, no shuffle (per-document arrays only):
@@ -584,44 +657,30 @@ def repetition_features(text: Column) -> dict[str, Column]:
     matching rolling_hashes' NULL-in/NULL-out convention; empty docs get 0.0
     via the denominator guards. Ratios are single IEEE divisions of exact
     integers, so the DuckDB oracle (list_filter/list_distinct/list_aggregate
-    over the same splits) reproduces them bit-for-bit."""
-    ls = text_lines(text)
-    n_lines = F.size(ls)
-    distinct_lines = F.array_distinct(ls)
-    line_chars = _sum_lengths(ls)
-    toks = tokens(text)
-    n_toks = F.size(toks)
+    over the same splits) reproduces them bit-for-bit.
 
-    def frac(num: Column, den: Column) -> Column:
-        # no otherwise(): NULL denominator (NULL text) stays NULL instead of
-        # being swallowed into 0.0 — rolling_hashes' NULL-in/NULL-out rule
-        return F.when(den > 0, num / den).when(den.isNotNull(), F.lit(0.0))
+    Selecting SEVERAL of these features re-derives the line/token arrays
+    once per feature — use :func:`with_repetition_features` (stages the
+    arrays as real columns, evaluated once per row) on the hot path."""
+    return _repetition_from(text_lines(text), tokens(text))
 
-    return {
-        "n_lines": n_lines,
-        "dup_line_frac": frac(n_lines - F.size(distinct_lines), n_lines),
-        "dup_line_char_frac": frac(
-            line_chars - _sum_lengths(distinct_lines), line_chars
-        ),
-        "dup_token_frac": frac(n_toks - F.size(F.array_distinct(toks)), n_toks),
-        "ellipsis_line_frac": frac(
-            F.size(
-                F.filter(ls, lambda l: l.endswith("...") | l.endswith("…"))
-            ),
-            n_lines,
-        ),
-        "bullet_line_frac": frac(
-            F.size(
-                F.filter(
-                    ls,
-                    lambda l: l.startswith("-")
-                    | l.startswith("*")
-                    | l.startswith("•"),
-                )
-            ),
-            n_lines,
-        ),
-    }
+
+def with_repetition_features(
+    df: DataFrame, text_col: str = "text", round_to: int | None = None
+) -> DataFrame:
+    """Staged form of repetition_features: the line/token arrays become
+    real columns (computed once per row) and every feature reads them as
+    attributes — the expression-staging rule (see wbx.frontier
+    with_url_host) applied to the quality gate."""
+    staged = df.withColumn("_rls", text_lines(F.col(text_col))).withColumn(
+        "_rtoks", tokens(F.col(text_col))
+    )
+    feats = _repetition_from(F.col("_rls"), F.col("_rtoks"))
+    for name, col in feats.items():
+        if round_to is not None and name.endswith("_frac"):
+            col = F.round(col, round_to)
+        staged = staged.withColumn(name, col)
+    return staged.drop("_rls", "_rtoks")
 
 
 def gopher_keep(text: Column) -> Column:
@@ -631,27 +690,41 @@ def gopher_keep(text: Column) -> Column:
     [50, 100000], mean token length in [3, 10], ≤30% duplicate lines /
     duplicate-line chars, ≤30% ellipsis lines, ≤90% bullet lines, ≥80% of
     tokens containing a letter, and ≥2 distinct stopword hits. Pure Column
-    expression; NULL text → false."""
-    q = quality_features(text)
-    r = repetition_features(text)
-    toks = tokens(text)
-    n_toks = F.size(toks)
-    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    expression; NULL text → false.
+
+    The token and line arrays are let-bound (see let_col), so the ~10
+    feature references tokenize/split ONCE per row instead of once per
+    reference."""
     en = _LANG_MARKERS["en"]
-    distinct_stop_hits = F.size(
-        F.filter(F.array_distinct(toks), lambda t: t.isin(en))
-    )
+
+    def gate(toks: Column, ls: Column) -> Column:
+        r = _repetition_from(ls, toks)
+        n_toks = F.size(toks)
+        total_tok_chars = _sum_lengths(toks)
+        mean_len = F.when(n_toks > 0, total_tok_chars / n_toks).otherwise(
+            F.lit(0.0)
+        )
+        alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        distinct_stop_hits = F.size(
+            F.filter(F.array_distinct(toks), lambda t: t.isin(en))
+        )
+        return (
+            (n_toks >= 50)
+            & (n_toks <= 100000)
+            & (mean_len >= 3)
+            & (mean_len <= 10)
+            & (r["dup_line_frac"] <= 0.30)
+            & (r["dup_line_char_frac"] <= 0.30)
+            & (r["ellipsis_line_frac"] <= 0.30)
+            & (r["bullet_line_frac"] <= 0.90)
+            & (F.when(n_toks > 0, alpha_toks / n_toks).otherwise(F.lit(0.0)) >= 0.80)
+            & (distinct_stop_hits >= 2)
+        )
+
     return F.coalesce(
-        (n_toks >= 50)
-        & (n_toks <= 100000)
-        & (q["mean_token_len"] >= 3)
-        & (q["mean_token_len"] <= 10)
-        & (r["dup_line_frac"] <= 0.30)
-        & (r["dup_line_char_frac"] <= 0.30)
-        & (r["ellipsis_line_frac"] <= 0.30)
-        & (r["bullet_line_frac"] <= 0.90)
-        & (F.when(n_toks > 0, alpha_toks / n_toks).otherwise(F.lit(0.0)) >= 0.80)
-        & (distinct_stop_hits >= 2),
+        let_col(
+            tokens(text), lambda toks: let_col(text_lines(text), lambda ls: gate(toks, ls))
+        ),
         F.lit(False),
     )
 
