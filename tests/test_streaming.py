@@ -200,3 +200,76 @@ class TestStreamSplitText:
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, whole)
+
+
+class TestStreamCrawl:
+    CAND_SCHEMA = "url string, priority double"
+
+    def _hosts(self, spark):
+        return spark.createDataFrame(
+            [(f"h{i}.com", 100) for i in range(5)], "host string, budget int"
+        )
+
+    def _write_batch(self, spark, d, lo, hi):
+        spark.createDataFrame(
+            [(f"http://h{i % 5}.com/p/{i}", float(i % 7)) for i in range(lo, hi)],
+            self.CAND_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def _drain(self, spark, src, store, ckpt):
+        from wbx.streaming import stream_crawl
+
+        cand = spark.readStream.schema(self.CAND_SCHEMA).parquet(src)
+        q = (
+            stream_crawl(cand, store, self._hosts(spark), checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def test_micro_batches_schedule_rounds_and_dedup_seen(self, spark, tmp_path):
+        from wbx.checkpoint import CheckpointStore
+
+        src = str(tmp_path / "cands")
+        ckpt = str(tmp_path / "ckpt")
+        store = CheckpointStore(str(tmp_path / "store"))
+
+        self._write_batch(spark, src, 0, 10)
+        self._drain(spark, src, store, ckpt)
+        assert store.latest_round() >= 1
+        log1 = store.load(spark, "fetch_log").collect()
+        assert {r["canon_url"] for r in log1} == {
+            f"http://h{i % 5}.com/p/{i}" for i in range(10)
+        }
+
+        # second delivery overlaps the first: 5-9 are already seen and must
+        # NOT be re-scheduled; 10-14 are new
+        self._write_batch(spark, src, 5, 15)
+        self._drain(spark, src, store, ckpt)
+        latest = store.latest_round()
+        log2 = store.load(spark, "fetch_log", latest).collect()
+        assert {r["canon_url"] for r in log2} == {
+            f"http://h{i % 5}.com/p/{i}" for i in range(10, 15)
+        }
+        # cumulative seen-set = union of the disjoint deltas
+        seen = store.load_seen(spark)
+        assert seen.count() == 15
+
+    def test_replayed_epoch_is_skipped(self, spark, tmp_path):
+        from wbx.checkpoint import CheckpointStore
+        from wbx.streaming import crawl_batch_processor
+
+        store = CheckpointStore(str(tmp_path / "store2"))
+        proc = crawl_batch_processor(store, self._hosts(spark))
+        batch = spark.createDataFrame(
+            [("http://h1.com/a", 1.0), ("http://h2.com/b", 2.0)], self.CAND_SCHEMA
+        )
+        proc(batch, 7)
+        assert store.latest_round() == 1
+        n1 = store.load(spark, "fetch_log", 1).count()
+        proc(batch, 7)  # redelivery of the same epoch → no new round
+        assert store.latest_round() == 1
+        assert store.load(spark, "fetch_log", 1).count() == n1
+        proc(batch, 8)  # genuinely new epoch: all urls now seen → empty round
+        assert store.latest_round() == 2
+        assert store.load(spark, "fetch_log", 2).count() == 0

@@ -214,3 +214,128 @@ def stream_split_text(
     return splits.mapInPandas(
         split_text_iterator(style, gz_style, on_error), schema=TEXT_RECORDS
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl scheduler (foreachBatch over the batch crawl_round)
+# ---------------------------------------------------------------------------
+
+
+def crawl_batch_processor(
+    store,
+    hosts: DataFrame,
+    robots: DataFrame | None = None,
+    batch_size: int | None = None,
+    default_budget: int = 10,
+    use_bloom: bool = True,
+    bloom_partitions: int = 64,
+    bloom_bits: int = 1 << 20,
+):
+    """foreachBatch processor for :func:`stream_crawl` (factored out so the
+    exactly-once replay contract is unit-testable without a running query).
+
+    Each micro-batch of discovered candidate (url, priority) rows is
+    scheduled as ONE crawl round with the batch engine's crawl_round —
+    identical canonicalization, seen anti-join (Bloom-prefiltered), robots,
+    politeness and deterministic ordering — and committed atomically to the
+    CheckpointStore as {seen_delta, fetch_log, metrics, seen_bloom,
+    stream_marker}.
+
+    Exactly-once: Spark redelivers at most the last uncommitted micro-batch
+    after a restart. The committed round's ``stream_marker`` table records
+    the epoch id that produced it; a replayed epoch matches the marker of
+    the LATEST committed round and is skipped, so the seen-set and fetch
+    log never double-count (state lives in the store, which commits via
+    atomic rename — a crash mid-commit leaves the prior round visible and
+    the replay re-runs cleanly)."""
+    from wbx.checkpoint import round_metrics
+    from wbx.frontier import (
+        build_seen_bloom,
+        crawl_round,
+        empty_seen_bloom,
+        release_rank_caches,
+        update_seen_bloom,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = store.latest_round()
+        if prev > 0:
+            try:
+                marker = store.load(spark, "stream_marker", prev).first()
+                if marker is not None and marker["batch_id"] == batch_id:
+                    return  # replay of the already-committed epoch
+            except Exception:
+                pass  # pre-streaming checkpoint (batch rounds): no marker
+        if prev == 0:
+            seen = spark.createDataFrame([], "url_hash long, canon_url string")
+            bloom = empty_seen_bloom(spark)
+        else:
+            seen = store.load_seen(spark)
+            try:
+                bloom = store.load(spark, "seen_bloom", prev)
+            except Exception:
+                bloom = build_seen_bloom(seen, bloom_partitions)
+        rid = prev + 1
+        batch = crawl_round(
+            batch_df,
+            seen,
+            hosts,
+            robots,
+            batch_size,
+            default_budget,
+            bloom=bloom if use_bloom else None,
+            bloom_partitions=bloom_partitions,
+        ).persist()
+        seen_delta = batch.select("url_hash", "canon_url")
+        fetch_log = batch.select(
+            F.lit(rid).alias("round"),
+            "fetch_order",
+            "canon_url",
+            "url_hash",
+            "host",
+            "priority",
+        )
+        store.commit(
+            rid,
+            {
+                "seen_delta": seen_delta,
+                "fetch_log": fetch_log,
+                "metrics": round_metrics(rid, batch, seen_delta),
+                "seen_bloom": update_seen_bloom(
+                    bloom, seen_delta, bloom_partitions, bloom_bits
+                ),
+                "stream_marker": spark.createDataFrame(
+                    [(int(batch_id),)], "batch_id long"
+                ),
+            },
+        )
+        batch.unpersist()
+        release_rank_caches()
+
+    return process
+
+
+def stream_crawl(
+    candidates: DataFrame,
+    store,
+    hosts: DataFrame,
+    robots: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    **round_opts,
+):
+    """Continuous crawl scheduling: a streaming DataFrame of discovered
+    candidate (url, priority) rows drives one deterministic crawl round per
+    micro-batch (see crawl_batch_processor). Returns the DataStreamWriter —
+    callers pick the trigger (e.g. ``.trigger(availableNow=True)`` for
+    drain-and-stop ingest) and call ``.start()``.
+
+    The frontier state machine is the same as batch run_crawl minus the
+    ``expand`` step: in streaming mode link discovery IS the input stream,
+    so rounds contain exactly the new candidates that arrived."""
+    writer = candidates.writeStream.foreachBatch(
+        crawl_batch_processor(store, hosts, robots, **round_opts)
+    ).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
