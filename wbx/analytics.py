@@ -536,12 +536,14 @@ def sessionize(
     (user, session): event count, start/end timestamps, value total (in
     exact integer cents so the aggregate is order-independent).
 
-    Scale shape: ONE shuffle on user_id for the window (lag + running sum
-    over (ts, event_id) — a fully-determined total order per user, so
-    session numbering is parallelism-independent); the per-session rollup's
-    exchange then carries only (user, session) partial rows thanks to
-    map-side combine. Gap arithmetic is in unix microseconds — exact longs,
-    no float drift."""
+    Scale shape: ONE shuffle total. The window (lag + running sum over
+    (ts, event_id) — a fully-determined total order per user, so session
+    numbering is parallelism-independent) exchanges on user_id, and the
+    per-session rollup adds NO second exchange: HashPartitioning(user_id)
+    already satisfies the ClusteredDistribution of groupBy(user_id,
+    session_idx) — every (user, session) group is co-located (plan verified:
+    a single hashpartitioning(user_id) exchange). Gap arithmetic is exact
+    interval math on TIMESTAMP_NTZ — no float drift."""
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
     prev = F.lag(ts_col).over(w)
     # interval arithmetic, not unix_micros: the input is TIMESTAMP_NTZ
