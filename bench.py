@@ -71,7 +71,10 @@ def _read(spark, name):
 # headline number a steady-state throughput (the JSON reports the candidate
 # count, so rounds remain comparable via frontier_urls_per_sec)
 AMPLIFY_FRONTIER = int(os.environ.get("SPARK_GRAFT_AMPLIFY_FRONTIER", "60"))
-AMPLIFY_PAGES = int(os.environ.get("SPARK_GRAFT_AMPLIFY_PAGES", "10"))
+# pages default raised 10 -> 60 (50k -> 300k pages) for the same reason:
+# 50k pages finish in ~0.7s at 32 cores, which times stage setup, not the
+# parse kernel (the scaling sessions measure 385k pages/s on 16 cores)
+AMPLIFY_PAGES = int(os.environ.get("SPARK_GRAFT_AMPLIFY_PAGES", "60"))
 
 
 def frontier_candidates(spark):
