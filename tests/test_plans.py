@@ -258,3 +258,29 @@ class TestRobotsPolitenessJoins:
         assert sorted(r["canon_url"] for r in unhinted.collect()) == sorted(
             r["canon_url"] for r in forced.collect()
         )
+
+
+class TestSessionizePlan:
+    def test_single_exchange(self, spark):
+        """sessionize must plan ONE shuffle: the window's user_id exchange
+        also satisfies the per-session rollup's clustered distribution
+        (co-location by a key prefix), so a second exchange appearing here
+        means the rollup keys or window partitioning drifted."""
+        import datetime as dt
+        import re
+
+        from wbx import analytics
+
+        events = spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 700),
+                 i % 3, "view", float(i), None)
+                for i in range(30)
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+            " value double, props string",
+        )
+        plan = plan_str(analytics.sessionize(events))
+        ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert len(ex) == 1, plan
+        assert "user_id#" in ex[0] and "session_idx" not in ex[0], ex
