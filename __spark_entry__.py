@@ -545,6 +545,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_robots_rules"] = robots_rules
 
+    def links(spark, sf):
+        """Link discovery (wbx.frontier.extract_links): synthesized HTML
+        exercises every resolution form — absolute, protocol-relative,
+        root-relative, path-relative — plus the dropped schemes
+        (javascript/mailto) and fragment-only hrefs; the oracle pins the
+        resolved URLs closed-form."""
+        from wbx.frontier import extract_links
+
+        docs = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit('<html><body><a href="https://abs'),
+            F.pmod("doc_id", F.lit(7)),
+            F.lit('.example/x">a</a><a href="//proto.example/p/'),
+            F.col("doc_id"),
+            F.lit('">b</a><a href="/root/'),
+            F.pmod("doc_id", F.lit(5)),
+            F.lit('">c</a><a href="rel/'),
+            F.pmod("doc_id", F.lit(3)),
+            F.lit(
+                '">d</a><a href="javascript:void(0)">e</a>'
+                '<a href="#frag">f</a>'
+                '<a href="mailto:x@y.z">g</a></body></html>'
+            ),
+        )
+        pages = docs.select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod("doc_id", F.lit(13)),
+                F.lit(".example.net/d/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.encode(html, "utf-8").alias("html"),
+        )
+        return extract_links(pages)
+
+    q["frontier_extract_links"] = links
+
     # --- similarity search ------------------------------------------------
     def topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1554,6 +1591,17 @@ def oracle_sql() -> dict[str, str]:
               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
         ) AS scrubbed_md5 FROM d
+        """,
+        "frontier_extract_links": """
+        SELECT url, link FROM (
+          SELECT 'https://h' || (doc_id % 13) || '.example.net/d/' || doc_id AS url,
+                 unnest([
+                   'https://abs' || (doc_id % 7) || '.example/x',
+                   'https://proto.example/p/' || doc_id,
+                   'https://h' || (doc_id % 13) || '.example.net/root/' || (doc_id % 5),
+                   'https://h' || (doc_id % 13) || '.example.net/d/rel/' || (doc_id % 3)
+                 ]) AS link
+          FROM documents)
         """,
         "a_sessionize": """
         WITH o AS (

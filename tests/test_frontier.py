@@ -686,3 +686,72 @@ class TestStagedHostPathEquivalence:
         for r in joined:
             assert r["h"] == r["h2"], (r["canon_url"], r["h"], r["h2"])
             assert r["p"] == r["p2"], (r["canon_url"], r["p"], r["p2"])
+
+
+class TestExtractLinks:
+    def _pages(self, spark, base, html):
+        return spark.createDataFrame(
+            [(base, html.encode("utf-8"))], "url string, html binary"
+        )
+
+    def test_resolution_forms(self, spark):
+        html = (
+            '<a href="https://other.com/abs">1</a>'
+            '<a href="//cdn.com/p">2</a>'
+            '<a href="/rooted?q=1">3</a>'
+            '<a href="sib.html">4</a>'
+            '<a href="https://frag.com/x#sec">5</a>'
+        )
+        out = {
+            r["link"]
+            for r in frontier.extract_links(
+                self._pages(spark, "https://ex.com/dir/page.html", html)
+            ).collect()
+        }
+        assert out == {
+            "https://other.com/abs",
+            "https://cdn.com/p",
+            "https://ex.com/rooted?q=1",
+            "https://ex.com/dir/sib.html",
+            "https://frag.com/x",  # fragment cut by the capture pattern
+        }
+
+    def test_skipped_schemes_and_empty(self, spark):
+        html = (
+            '<a href="javascript:void(0)">a</a>'
+            '<a href="MAILTO:x@y.z">b</a>'
+            '<a href="data:text/plain,hi">c</a>'
+            '<a href="#top">d</a>'
+            '<a href="">e</a>'
+        )
+        assert (
+            frontier.extract_links(
+                self._pages(spark, "https://ex.com/p/", html)
+            ).count()
+            == 0
+        )
+
+    def test_expand_from_html_distinct_candidates(self, spark):
+        html = '<a href="/a">1</a><a href="/a">2</a><a href="/b">3</a>'
+        out = frontier.expand_from_html(
+            self._pages(spark, "https://ex.com/p/x", html)
+        ).collect()
+        assert sorted(r["url"] for r in out) == [
+            "https://ex.com/a",
+            "https://ex.com/b",
+        ]
+        assert all(r["priority"] == 0.0 for r in out)
+
+    def test_closes_the_crawl_loop(self, spark):
+        """pages → expand_from_html → crawl_round schedules the discovered
+        links (minus the already-seen base)."""
+        html = '<a href="/next/1">n</a><a href="/next/2">n</a>'
+        pages = self._pages(spark, "http://h1.com/start", html)
+        cand = frontier.expand_from_html(pages)
+        seen = frontier.with_canonical(
+            spark.createDataFrame([("http://h1.com/next/1",)], "url string")
+        ).select("url_hash", "canon_url")
+        hosts = spark.createDataFrame([("h1.com", 10)], "host string, budget int")
+        batch = frontier.crawl_round(cand, seen, hosts).collect()
+        frontier.release_rank_caches()
+        assert [r["canon_url"] for r in batch] == ["http://h1.com/next/2"]

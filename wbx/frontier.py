@@ -1010,3 +1010,82 @@ def crawl_round(
     return schedule_fetch_batch(polite, batch_size).select(
         "canon_url", "url_hash", "host", "priority", "fetch_order"
     )
+
+
+# ---------------------------------------------------------------------------
+# link discovery (the expand step: pages -> candidate URLs)
+# ---------------------------------------------------------------------------
+
+HREF_RE = r'href\s*=\s*"([^"#]*)'
+
+
+def extract_links(
+    pages: DataFrame, base_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, link) — one row per resolvable href in the page HTML; the
+    discovery half of the crawl loop (feed through with_canonical →
+    crawl_round to schedule).
+
+    Extraction is a single JVM regexp_extract_all over the decoded html
+    (double-quoted hrefs; the fragment is cut in the same pattern).
+    Resolution handles the forms that matter at crawl scale, all as string
+    primitives on a let-bound base:
+
+    - absolute http(s) links pass through;
+    - protocol-relative ``//host/p`` takes the base's scheme;
+    - root-relative ``/p`` takes the base's scheme://host;
+    - path-relative ``p`` resolves against the base's directory (the base
+      url up to its last '/'; bases are expected canonical, so a path is
+      always present — see canonicalize_url's empty-path → '/');
+    - javascript:/mailto:/data:/empty links are dropped.
+
+    '..' segments are NOT normalized (the reference engine never resolves
+    dot-segments either; canonicalize_url keeps paths verbatim), so the
+    output is deterministic string algebra both engines reproduce exactly.
+    Scale: pure per-row expressions, no shuffle, no Python; the html column
+    is read once per row and never exchanged."""
+    raw = F.explode(
+        F.regexp_extract_all(
+            F.decode(F.col(html_col), "utf-8"), F.lit(HREF_RE), F.lit(1)
+        )
+    ).alias("_href")
+    exploded = pages.select(F.col(base_col).alias("url"), raw)
+    href = F.col("_href")
+    base = F.col("url")
+    scheme = F.substring_index(base, "://", 1)
+    host_part = F.concat(
+        scheme, F.lit("://"), F.substring_index(F.substring_index(base, "://", -1), "/", 1)
+    )
+    base_dir = F.regexp_replace(base, r"[^/]*$", "")
+    resolved = (
+        F.when(href.startswith("http://") | href.startswith("https://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(host_part, href))
+        .otherwise(F.concat(base_dir, href))
+    )
+    keep = (
+        (F.length(href) > 0)
+        & ~F.lower(href).startswith("javascript:")
+        & ~F.lower(href).startswith("mailto:")
+        & ~F.lower(href).startswith("data:")
+    )
+    return exploded.filter(keep).select("url", resolved.alias("link"))
+
+
+def expand_from_html(
+    pages: DataFrame,
+    base_col: str = "url",
+    html_col: str = "html",
+    priority: float = 0.0,
+) -> DataFrame:
+    """Discovered links as frontier candidates (url, priority) — the
+    default ``expand`` for run_crawl / the input feed for stream_crawl.
+    Distinct per link so a page linking something twice contributes one
+    candidate (crawl_round would dedup anyway; doing it here shrinks the
+    shuffle)."""
+    return (
+        extract_links(pages, base_col, html_col)
+        .select(F.col("link").alias("url"))
+        .distinct()
+        .withColumn("priority", F.lit(priority))
+    )
