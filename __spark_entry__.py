@@ -582,6 +582,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_extract_links"] = links
 
+    def blocklist_q(spark, sf):
+        """Host-suffix blocklist gate (wbx.frontier.apply_blocklist): hosts
+        h<k>.example.net with k≡3 (mod 13) are blocked exactly, and a
+        'sub<k>.h7.example.net' tier exercises subdomain suffix matching."""
+        from wbx.frontier import apply_blocklist
+
+        docs = _t(spark, sf, "documents")
+        k = F.pmod("doc_id", F.lit(13))
+        host = F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(F.lit("sub"), k, F.lit(".h7.example.net")),
+        ).otherwise(F.concat(F.lit("h"), k, F.lit(".example.net")))
+        cand = docs.select(
+            "doc_id",
+            host.alias("host"),
+            F.concat(F.lit("http://"), host, F.lit("/d/"), F.col("doc_id")).alias(
+                "canon_url"
+            ),
+        )
+        blocklist = spark.createDataFrame(
+            [("h3.example.net",), ("h7.example.net",)], "domain string"
+        )
+        return apply_blocklist(cand, blocklist).select("doc_id", "host")
+
+    q["frontier_blocklist"] = blocklist_q
+
     # --- similarity search ------------------------------------------------
     def topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1602,6 +1628,17 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 13) || '.example.net/d/rel/' || (doc_id % 3)
                  ]) AS link
           FROM documents)
+        """,
+        "frontier_blocklist": """
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN 'sub' || (doc_id % 13) || '.h7.example.net'
+                      ELSE 'h' || (doc_id % 13) || '.example.net' END AS host
+          FROM documents)
+        SELECT doc_id, host FROM c
+        WHERE NOT (host = 'h3.example.net' OR host LIKE '%.h3.example.net'
+                   OR host = 'h7.example.net' OR host LIKE '%.h7.example.net')
         """,
         "a_sessionize": """
         WITH o AS (

@@ -755,3 +755,50 @@ class TestExtractLinks:
         batch = frontier.crawl_round(cand, seen, hosts).collect()
         frontier.release_rank_caches()
         assert [r["canon_url"] for r in batch] == ["http://h1.com/next/2"]
+
+
+class TestBlocklist:
+    def test_suffix_semantics(self, spark):
+        cand = spark.createDataFrame(
+            [
+                ("ads.example.com", "http://ads.example.com/x"),
+                ("sub.ads.example.com", "http://sub.ads.example.com/y"),
+                ("example.com", "http://example.com/z"),
+                ("notads.example.com", "http://notads.example.com/w"),
+                ("clean.org", "http://clean.org/ok"),
+            ],
+            "host string, canon_url string",
+        )
+        blocklist = spark.createDataFrame([("ads.example.com",)], "domain string")
+        kept = {
+            r["host"] for r in frontier.apply_blocklist(cand, blocklist).collect()
+        }
+        # exact + subdomain blocked; sibling and partial-string hosts kept
+        assert kept == {"example.com", "notads.example.com", "clean.org"}
+
+    def test_host_suffixes(self, spark):
+        row = (
+            spark.createDataFrame([("a.b.co.uk",)], "h string")
+            .select(frontier.host_suffixes(F.col("h")).alias("s"))
+            .first()
+        )
+        assert row["s"] == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+
+    def test_url_rows_never_explode(self, spark):
+        import contextlib, io, re
+
+        cand = spark.createDataFrame(
+            [("h.com", "http://h.com/1")], "host string, canon_url string"
+        )
+        blocklist = spark.createDataFrame([("x.com",)], "domain string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frontier.apply_blocklist(cand, blocklist).explain(mode="formatted")
+        plan = buf.getvalue()
+        # the Generate (explode) must sit above the distinct-host aggregate,
+        # never on the raw candidate scan: exactly one Generate, consuming
+        # only the deduped host column
+        blocks = re.findall(r"\(\d+\) Generate\n((?:.+\n)+?)\n", plan)
+        assert len(blocks) == 1, plan
+        assert "canon_url" not in blocks[0], plan
+        assert "host" in blocks[0], plan

@@ -1089,3 +1089,53 @@ def expand_from_html(
         .distinct()
         .withColumn("priority", F.lit(priority))
     )
+
+
+# ---------------------------------------------------------------------------
+# host blocklist (UT1-style domain blocking)
+# ---------------------------------------------------------------------------
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname: 'a.b.co.uk' →
+    ['a.b.co.uk', 'b.co.uk', 'co.uk', 'uk'] — the key set for
+    suffix-blocklist joins. Let-bound parts (one split per row); NULL → NULL."""
+    from wbx.textops import let_col
+
+    return let_col(
+        F.split(host, r"\."),
+        lambda parts: F.transform(
+            F.sequence(F.lit(0), F.size(parts) - 1),
+            lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts) - i), "."),
+        ),
+    )
+
+
+def apply_blocklist(
+    frontier: DataFrame, blocklist: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Drop frontier rows whose host equals or is a subdomain of any
+    blocklist domain (the UT1/adult-list gate every production crawl runs).
+
+    blocklist: (domain string) — exact hosts or registrable suffixes.
+
+    Scale shape: the suffix explosion runs on DISTINCT hosts (cardinality
+    #hosts, orders of magnitude below #URLs), the blocklist side of the
+    semi-join is broadcast-eligible (AQE decides; no forced hint — UT1-class
+    lists are ~10^6 rows but a tenant list could be larger), and the
+    frontier is filtered with ONE host anti-join — URL rows never explode
+    and never carry suffix arrays."""
+    blocked = (
+        frontier.select(F.col(host_col).alias("host")).distinct()
+        .select("host", F.explode(host_suffixes(F.col("host"))).alias("_suf"))
+        .join(
+            blocklist.select(F.col("domain").alias("_suf")).distinct(),
+            "_suf",
+            "left_semi",
+        )
+        .select("host")
+        .distinct()
+    )
+    return frontier.join(
+        blocked.withColumnRenamed("host", host_col), [host_col], "left_anti"
+    )
