@@ -608,6 +608,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_blocklist"] = blocklist_q
 
+    def h2t(spark, sf):
+        """Visible-text extraction from HTML (wbx.extract.html_to_text):
+        fixture pages wrap the document text in markup exercising every
+        rule — style/script bodies, a comment, tags, and entities."""
+        from wbx.extract import html_to_text
+
+        docs = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit(
+                "<html><head><style>p {color:red}</style>"
+                "<script>var x = 1 < 2;</script></head><body><h1>Title "
+            ),
+            F.pmod("doc_id", F.lit(9)),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; more&nbsp;here</p><!-- note --></body></html>"),
+        )
+        return docs.select("doc_id", html_to_text(html).alias("extracted"))
+
+    q["warc_html_to_text"] = h2t
+
     # --- similarity search ------------------------------------------------
     def topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1628,6 +1649,26 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 13) || '.example.net/d/rel/' || (doc_id % 3)
                  ]) AS link
           FROM documents)
+        """,
+        "warc_html_to_text": """
+        WITH d AS (
+          SELECT doc_id,
+                 '<html><head><style>p {color:red}</style>'
+                 || '<script>var x = 1 < 2;</script></head><body><h1>Title '
+                 || (doc_id % 9) || '</h1><p>' || text
+                 || ' &amp; more&nbsp;here</p><!-- note --></body></html>' AS h
+          FROM documents)
+        SELECT doc_id, trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS extracted
+        FROM d
         """,
         "frontier_blocklist": """
         WITH c AS (

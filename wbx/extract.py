@@ -294,3 +294,36 @@ def parse_headers_udf(header_bytes: pd.Series) -> pd.Series:
 def utf8_replace_udf(data: pd.Series) -> pd.Series:
     """bytes → str with errors='replace' (Spark's decode() is not parity)."""
     return pd.Series([utf8_replace(b) for b in data], dtype=object)
+
+
+def html_to_text(html: "Column") -> "Column":
+    """Visible text of an HTML string (Column → Column), with fixed,
+    documented semantics so the result is deterministic and cross-engine
+    reproducible (the DuckDB oracle chains the identical RE2-safe patterns —
+    no backreferences, inline (?is) flags only):
+
+    1. script/style element bodies removed (two passes — RE2 has no
+       backreferences so the tags can't share one pattern);
+    2. comments removed; 3. every remaining tag → ' ';
+    4. the five ubiquitous entities decoded (&lt; &gt; &quot; &#39; &nbsp;
+       first, &amp; LAST so '&amp;lt;' cannot double-decode);
+    5. whitespace runs collapsed to single spaces, trimmed.
+
+    A regex stripper is a deliberate engine primitive, not a DOM parser:
+    it is whole-stage-codegen'd, shuffle-free, and good enough for
+    training-data text mining; pages needing DOM fidelity carry their
+    extracted `text` column from the fused WARC kernel instead."""
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
