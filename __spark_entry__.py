@@ -548,7 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def links(spark, sf):
         """Link discovery (wbx.frontier.extract_links): synthesized HTML
         exercises every resolution form — absolute, protocol-relative,
-        root-relative, path-relative — plus the dropped schemes
+        root-relative, path-relative — in all three quoting styles
+        (double-quoted, single-quoted, unquoted), plus the dropped schemes
         (javascript/mailto) and fragment-only hrefs; the oracle pins the
         resolved URLs closed-form."""
         from wbx.frontier import extract_links
@@ -563,8 +564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.pmod("doc_id", F.lit(5)),
             F.lit('">c</a><a href="rel/'),
             F.pmod("doc_id", F.lit(3)),
+            F.lit("\">d</a><a href='https://sq"),
+            F.pmod("doc_id", F.lit(4)),
+            F.lit(".example/s'>h</a><a href=uq/"),
+            F.pmod("doc_id", F.lit(6)),
             F.lit(
-                '">d</a><a href="javascript:void(0)">e</a>'
+                '>i</a><a href="javascript:void(0)">e</a>'
                 '<a href="#frag">f</a>'
                 '<a href="mailto:x@y.z">g</a></body></html>'
             ),
@@ -1646,7 +1651,9 @@ def oracle_sql() -> dict[str, str]:
                    'https://abs' || (doc_id % 7) || '.example/x',
                    'https://proto.example/p/' || doc_id,
                    'https://h' || (doc_id % 13) || '.example.net/root/' || (doc_id % 5),
-                   'https://h' || (doc_id % 13) || '.example.net/d/rel/' || (doc_id % 3)
+                   'https://h' || (doc_id % 13) || '.example.net/d/rel/' || (doc_id % 3),
+                   'https://sq' || (doc_id % 4) || '.example/s',
+                   'https://h' || (doc_id % 13) || '.example.net/d/uq/' || (doc_id % 6)
                  ]) AS link
           FROM documents)
         """,

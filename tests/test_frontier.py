@@ -731,6 +731,76 @@ class TestExtractLinks:
             == 0
         )
 
+    def test_quote_forms(self, spark):
+        """Single-quoted and unquoted hrefs are extracted alongside
+        double-quoted ones; the three patterns are disjoint (no double
+        counting of a quoted href by the unquoted pattern)."""
+        html = (
+            '<a href="/dq">1</a>'
+            "<a href='/sq'>2</a>"
+            "<a href=/uq>3</a>"
+            "<a href = 'spaced.html'>4</a>"
+            "<a href=un/quoted?q=1#frag>5</a>"
+        )
+        out = [
+            r["link"]
+            for r in frontier.extract_links(
+                self._pages(spark, "https://ex.com/d/p.html", html)
+            ).collect()
+        ]
+        assert sorted(out) == [
+            "https://ex.com/d/spaced.html",
+            "https://ex.com/d/un/quoted?q=1",
+            "https://ex.com/dq",
+            "https://ex.com/sq",
+            "https://ex.com/uq",
+        ]
+        assert len(out) == len(set(out))  # disjoint patterns: no dup rows
+
+    def test_malformed_utf8_does_not_crash(self, spark):
+        """Real crawled pages contain invalid UTF-8; a strict decode under
+        Spark 4 ANSI mode aborts the stage (MALFORMED_CHARACTER_CODING).
+        extract_links must decode permissively and still find every link,
+        including one whose surrounding text holds the bad bytes."""
+        raw = (
+            b'<html>\xff\xfe<a href="/ok">x</a>'
+            b"<a href='/sq\x80'>y</a>"
+            b'<a href="https://abs.com/z">\xc3</a></html>'
+        )
+        pages = spark.createDataFrame(
+            [("https://ex.com/p", bytearray(raw))], "url string, html binary"
+        )
+        out = sorted(
+            r["link"] for r in frontier.extract_links(pages).collect()
+        )
+        assert out[0] == "https://abs.com/z"
+        assert out[1] == "https://ex.com/ok"
+        # the href containing the invalid byte survives, bad byte replaced
+        assert out[2].startswith("https://ex.com/sq")
+        assert "�" in out[2]
+
+    def test_expand_from_html_malformed_utf8(self, spark):
+        """The crawl-loop expand step survives malformed bytes end-to-end."""
+        pages = spark.createDataFrame(
+            [("https://ex.com/p", bytearray(b'\xff<a href="/n">x</a>'))],
+            "url string, html binary",
+        )
+        out = frontier.expand_from_html(pages).collect()
+        assert [r["url"] for r in out] == ["https://ex.com/n"]
+
+    def test_pathless_base_resolves_to_host_root(self, spark):
+        """A base with no path ('http://ex.com') must resolve relative
+        hrefs against the host root, not the bare scheme (which would turn
+        the href into the host)."""
+        html = '<a href="x.html">1</a><a href="/abs.html">2</a>'
+        out = sorted(
+            r["link"]
+            for r in frontier.extract_links(
+                self._pages(spark, "http://ex.com", html)
+            ).collect()
+        )
+        assert out == ["http://ex.com/abs.html", "http://ex.com/x.html"]
+
     def test_expand_from_html_distinct_candidates(self, spark):
         html = '<a href="/a">1</a><a href="/a">2</a><a href="/b">3</a>'
         out = frontier.expand_from_html(

@@ -1016,7 +1016,13 @@ def crawl_round(
 # link discovery (the expand step: pages -> candidate URLs)
 # ---------------------------------------------------------------------------
 
+# One pattern per HTML attribute-quoting form; disjoint by construction
+# (the unquoted form's first char class excludes both quotes), so the
+# concat of the three match lists has no duplicates. All three are
+# RE2-safe (no backrefs/lookaround) so the DuckDB oracle runs them verbatim.
 HREF_RE = r'href\s*=\s*"([^"#]*)'
+HREF_RE_SQ = r"href\s*=\s*'([^'#]*)"
+HREF_RE_UQ = r"""href\s*=\s*([^"'\s<>#][^\s<>#]*)"""
 
 
 def extract_links(
@@ -1026,37 +1032,54 @@ def extract_links(
     discovery half of the crawl loop (feed through with_canonical →
     crawl_round to schedule).
 
-    Extraction is a single JVM regexp_extract_all over the decoded html
-    (double-quoted hrefs; the fragment is cut in the same pattern).
-    Resolution handles the forms that matter at crawl scale, all as string
-    primitives on a let-bound base:
+    The html bytes are decoded PERMISSIVELY (binary→string cast, which is
+    a byte reinterpretation Spark never validates, then make_valid_utf8
+    to replace any ill-formed sequence with U+FFFD). Real crawled pages
+    routinely contain invalid UTF-8; a strict F.decode here would abort
+    the whole stage under Spark 4's default ANSI mode
+    (MALFORMED_CHARACTER_CODING), so the crawl loop must never use it.
+
+    Extraction is one JVM regexp_extract_all per quoting form — double-
+    quoted, single-quoted, and unquoted hrefs (the fragment is cut in the
+    same patterns) — over the once-decoded html. Resolution handles the
+    forms that matter at crawl scale, all as string primitives:
 
     - absolute http(s) links pass through;
     - protocol-relative ``//host/p`` takes the base's scheme;
     - root-relative ``/p`` takes the base's scheme://host;
     - path-relative ``p`` resolves against the base's directory (the base
-      url up to its last '/'; bases are expected canonical, so a path is
-      always present — see canonicalize_url's empty-path → '/');
+      url up to its last '/'); a base with no path at all
+      (``http://ex.com``) resolves against ``http://ex.com/`` rather than
+      degenerating to the bare scheme;
     - javascript:/mailto:/data:/empty links are dropped.
 
     '..' segments are NOT normalized (the reference engine never resolves
     dot-segments either; canonicalize_url keeps paths verbatim), so the
     output is deterministic string algebra both engines reproduce exactly.
     Scale: pure per-row expressions, no shuffle, no Python; the html column
-    is read once per row and never exchanged."""
-    raw = F.explode(
-        F.regexp_extract_all(
-            F.decode(F.col(html_col), "utf-8"), F.lit(HREF_RE), F.lit(1)
-        )
-    ).alias("_href")
-    exploded = pages.select(F.col(base_col).alias("url"), raw)
+    is decoded once per row and never exchanged."""
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+    staged = pages.select(F.col(base_col).alias("url"), decoded.alias("_html_s"))
+    hrefs = F.concat(
+        F.regexp_extract_all("_html_s", F.lit(HREF_RE), F.lit(1)),
+        F.regexp_extract_all("_html_s", F.lit(HREF_RE_SQ), F.lit(1)),
+        F.regexp_extract_all("_html_s", F.lit(HREF_RE_UQ), F.lit(1)),
+    )
+    exploded = staged.select("url", F.explode(hrefs).alias("_href"))
     href = F.col("_href")
     base = F.col("url")
     scheme = F.substring_index(base, "://", 1)
     host_part = F.concat(
         scheme, F.lit("://"), F.substring_index(F.substring_index(base, "://", -1), "/", 1)
     )
-    base_dir = F.regexp_replace(base, r"[^/]*$", "")
+    raw_dir = F.regexp_replace(base, r"[^/]*$", "")
+    # Path-less base ("http://ex.com"): stripping after the last '/' leaves
+    # just "http://", which would resolve "x.html" to "http://x.html" — the
+    # href silently becomes the host. Fall back to the host root instead.
+    base_dir = F.when(
+        raw_dir == F.concat(scheme, F.lit("://")),
+        F.concat(host_part, F.lit("/")),
+    ).otherwise(raw_dir)
     resolved = (
         F.when(href.startswith("http://") | href.startswith("https://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
