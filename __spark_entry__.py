@@ -463,6 +463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textops.simhash(_t(spark, sf, "documents")), max_hamming=8
     )
 
+    # simhash VALUES, oracle-checked (the winnow trick): the signature
+    # given token hashes is pure arithmetic, so running it over md5_hash60
+    # — a hash both engines compute bit-identically — lets the oracle pin
+    # the actual 64-bit fingerprints. Production keeps the xxhash64 default
+    # (dedup_simhash_pairs above exercises the blocking recall path).
+    q["text_simhash"] = lambda spark, sf: textops.simhash(
+        _t(spark, sf, "documents"), hasher=textops.md5_hash60
+    )
+
     # --- Sc12/Sc13 + J4 + north_rule frontier ----------------------------
     def canonical(spark, sf):
         # STAGED, not inlined: url_host(canonicalize_url(url)) as one
@@ -1294,6 +1303,28 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT DISTINCT doc_id, fp FROM w WHERE i <= greatest(nh - 8, 1)
+        """,
+        "text_simhash": f"""
+        WITH tok AS (
+          SELECT doc_id, t.t
+          FROM documents, unnest({_TOKS}) AS t(t)
+          WHERE text IS NOT NULL
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
+          FROM tok
+        ),
+        b AS (
+          SELECT doc_id, g.i,
+                 sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM h, unnest(generate_series(0, 59)) AS g(i)
+          GROUP BY doc_id, g.i
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM b GROUP BY doc_id
         """,
         "text_quality": f"""
         SELECT doc_id,

@@ -645,6 +645,36 @@ class TestDedupUrlLatest:
         # max raw url string: 'http://ex.com/a?z=1#x' > 'http://ex.com/a?z=1'
         assert out[0]["text"] == "frag"
 
+    def test_full_duplicate_capture_keeps_one_row(self, spark):
+        """Two captures with identical raw url AND timestamp must not both
+        survive: differing content breaks the tie deterministically (min
+        capture digest), byte-identical clones collapse to one row."""
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1)
+        rows = [
+            ("http://ex.com/a", t, b"1", "one", "en"),
+            ("http://ex.com/a", t, b"2", "two", "en"),  # differing content
+            ("http://ex.com/b", t, b"3", "same", "en"),
+            ("http://ex.com/b", t, b"3", "same", "en"),  # exact clone
+        ]
+        out = frontier.dedup_url_latest(self._pages(spark, rows)).collect()
+        by_canon = {}
+        for r in out:
+            by_canon.setdefault(r["canon_url"], []).append(r)
+        assert {k: len(v) for k, v in by_canon.items()} == {
+            "http://ex.com/a": 1,
+            "http://ex.com/b": 1,
+        }
+        assert by_canon["http://ex.com/a"][0]["n_snapshots"] == 2
+        # deterministic at any parallelism: repartitioned input, same pick
+        out2 = frontier.dedup_url_latest(
+            self._pages(spark, rows).repartition(7)
+        ).collect()
+        assert sorted(r["text"] for r in out2) == sorted(
+            r["text"] for r in out
+        )
+
     def test_winner_shuffle_carries_no_payload(self, spark):
         import contextlib
         import datetime as dt
@@ -662,6 +692,29 @@ class TestDedupUrlLatest:
         # the winner aggregation exchange groups by canon_url and must not
         # carry the html/text payload columns
         assert all("html#" not in a and "text#" not in a for a in args), plan
+
+
+class TestStagingCollisionGuard:
+    def test_canon_staging_collision_raises(self, spark):
+        df = spark.createDataFrame(
+            [("http://ex.com/a", 1)], "url string, _u0 int"
+        )
+        with pytest.raises(ValueError, match="_u0"):
+            frontier.with_canon_url(df)
+
+    def test_host_staging_collision_raises(self, spark):
+        df = spark.createDataFrame(
+            [("http://ex.com/a", 1)], "canon_url string, _fsep int"
+        )
+        with pytest.raises(ValueError, match="_fsep"):
+            frontier.with_url_host(df)
+
+    def test_repetition_staging_collision_raises(self, spark):
+        from wbx import textops
+
+        df = spark.createDataFrame([("hi", 1)], "text string, _rls int")
+        with pytest.raises(ValueError, match="_rls"):
+            textops.with_repetition_features(df)
 
 
 class TestStagedHostPathEquivalence:

@@ -159,6 +159,36 @@ class TestDedupExchangeCarriesNoText:
         for b in blocks:
             assert "text#" not in b, b
 
+    def test_ivf_candidate_exchange_carries_no_vectors(self, spark):
+        """ivf_topk's candidate generation (list_id equi-join + candidate
+        dedup) must shuffle only (list_id, id) / (query_id, id) — vectors
+        are fetched back by id AFTER dedup, so each embedding crosses the
+        wire at most once per side (the verdict-r3 anti-pattern: _qvec and
+        _cvec riding the list_id join and the dropDuplicates exchange)."""
+        from wbx import simsearch
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        queries = emb.filter("vec_id < 4").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        out = simsearch.ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=2)
+        out.collect()
+        plan = plan_str(out)
+        blocks = [
+            b
+            for b in plan.split("\n\n")
+            if b.splitlines() and ") Exchange" in b.splitlines()[0]
+        ]
+        # every exchange partitioned on the candidate keys is vector-free
+        for b in blocks:
+            head = b.splitlines()[0]
+            if "list_id#" in head:
+                assert "_cvec#" not in b and "_qvec#" not in b, b
+                assert "embedding#" not in b, b
+        # late fetch: each side's vector crosses at most one exchange
+        assert sum("_cvec#" in b.splitlines()[0] for b in blocks) <= 1
+        assert sum("_qvec#" in b.splitlines()[0] for b in blocks) <= 1
+
     def test_minhash_precollapse_shuffles_no_text(self, spark):
         from wbx import textops
         from pyspark.sql import functions as F

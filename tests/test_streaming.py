@@ -273,3 +273,49 @@ class TestStreamCrawl:
         proc(batch, 8)  # genuinely new epoch: all urls now seen → empty round
         assert store.latest_round() == 2
         assert store.load(spark, "fetch_log", 2).count() == 0
+
+    def test_marker_read_error_propagates(self, spark, tmp_path):
+        """A real I/O failure while checking the replay marker must fail
+        the batch (Spark retries it), NOT be swallowed and re-committed as
+        a new round — the swallow would double-count seen_delta/fetch_log
+        on a genuine epoch redelivery."""
+        import os
+
+        import pytest
+
+        from wbx.checkpoint import CheckpointStore
+        from wbx.streaming import crawl_batch_processor
+
+        store = CheckpointStore(str(tmp_path / "store3"))
+        proc = crawl_batch_processor(store, self._hosts(spark))
+        batch = spark.createDataFrame(
+            [("http://h1.com/a", 1.0)], self.CAND_SCHEMA
+        )
+        proc(batch, 1)
+        assert store.latest_round() == 1
+        # corrupt the committed marker: the dir exists (has_table → True)
+        # but the parquet inside is garbage, so load() raises
+        marker_dir = os.path.join(
+            store.base, "rounds", "r000001", "stream_marker"
+        )
+        for f in os.listdir(marker_dir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(marker_dir, f), "wb") as fh:
+                    fh.write(b"not parquet")
+        with pytest.raises(Exception):
+            proc(batch, 1)  # redelivery + broken marker → must raise
+        assert store.latest_round() == 1  # and must NOT have committed
+
+    def test_has_table_probe(self, spark, tmp_path):
+        from wbx.checkpoint import CheckpointStore
+        from wbx.streaming import crawl_batch_processor
+
+        store = CheckpointStore(str(tmp_path / "store4"))
+        assert not store.has_table("stream_marker", 1)
+        proc = crawl_batch_processor(store, self._hosts(spark))
+        proc(
+            spark.createDataFrame([("http://h1.com/a", 1.0)], self.CAND_SCHEMA),
+            3,
+        )
+        assert store.has_table("stream_marker", 1)
+        assert not store.has_table("no_such_table", 1)

@@ -99,6 +99,16 @@ class CheckpointStore:
         path = os.path.join(self.base, "rounds", f"r{rid:06d}", table)
         return spark.read.parquet(path)
 
+    def has_table(self, table: str, round_id: int | None = None) -> bool:
+        """Whether `table` was committed for the round — the supported way
+        to probe for optional tables (stream_marker, seen_bloom) written
+        only by some producers. Callers must use this rather than catching
+        load()'s read errors: a broad except around spark.read would also
+        swallow transient I/O failures, silently breaking the streaming
+        replay guard's exactly-once property."""
+        rid = round_id if round_id is not None else self.latest_round()
+        return os.path.isdir(os.path.join(self.base, "rounds", f"r{rid:06d}", table))
+
     def compact_seen(self, spark: SparkSession, buckets: int = 64) -> dict:
         """Maintenance job (the Iceberg bin-packing analogue): merge every
         round's append-only ``seen_delta`` directory into ONE bucketed
@@ -268,9 +278,9 @@ def run_crawl(
     else:
         seen = store.load_seen(spark)
         frontier = store.load(spark, "frontier")
-        try:
+        if store.has_table("seen_bloom"):
             bloom = store.load(spark, "seen_bloom")
-        except Exception:
+        else:
             # checkpoint predates the sketch — one rebuild, then incremental
             bloom = build_seen_bloom(seen, bloom_partitions)
 

@@ -162,6 +162,12 @@ def url_hash(canon_url: Column) -> Column:
     return F.xxhash64(canon_url)
 
 
+_CANON_TMP = (
+    "_u0", "_sep", "_scheme_raw", "_after", "_slash", "_qm", "_cut",
+    "_auth0", "_rest", "_scheme", "_scheme_ok", "_auth",
+)
+
+
 def with_canon_url(
     urls: DataFrame, url_col: str = "url", out_col: str = "canon_url"
 ) -> DataFrame:
@@ -178,6 +184,9 @@ def with_canon_url(
     CollapseProject keeps multi-referenced non-cheap aliases staged, so the
     shape survives optimization. Guard: tests/test_plans.py asserts the
     frontier pipeline compiles with codegen fallback disabled."""
+    from wbx.textops import assert_staging_free
+
+    assert_staging_free(urls, _CANON_TMP, "with_canon_url")
     port80 = F.col("_scheme").eqNullSafe("http") & F.col("_auth0").endswith(":80")
     port443 = F.col("_scheme").eqNullSafe("https") & F.col("_auth0").endswith(":443")
     canon = F.when(
@@ -251,6 +260,9 @@ def _with_authority_stages(df: DataFrame, src: str) -> DataFrame:
     codegen re-evaluates them per reference — measured 7-16s for url_path
     ALONE over 3M cached rows at local[16], i.e. the dominant cost of the
     whole robots phase. The staged form is one pass per intermediate."""
+    from wbx.textops import assert_staging_free
+
+    assert_staging_free(df, tuple(_AUTH_TMP), "with_url_host/with_url_path")
     return (
         df.withColumn("_fsep", F.instr(F.col(src), "://"))
         .withColumn(
@@ -358,6 +370,17 @@ def dedup_url_latest(pages: DataFrame, url_col: str = "url") -> DataFrame:
     (canon_url, warc_ts, url) — html/text never ride the exchange — and the
     surviving rows are fetched back with an equi-join on (url, warc_ts),
     broadcast-able when the winner set is small and AQE-planned otherwise.
+
+    Full-duplicate guard: if the pages table holds two captures with
+    identical raw url AND timestamp, the late-fetch join would return both
+    and the output would not be unique per canon_url. A per-capture digest
+    over every column (computed map-side on the join branch, which reads
+    all columns anyway — the pruned scan on the agg branch is untouched)
+    breaks the tie deterministically: min digest wins, byte-identical
+    clones collapse to one row. The tie-break window runs on the join keys,
+    which the sort-merge join output is already partitioned and sorted by,
+    so it adds no exchange in the non-broadcast plan.
+
     Returns the surviving pages rows plus canon_url and n_snapshots."""
     canon = with_canon_url(pages.select(url_col, "warc_ts"), url_col)
     winners = canon.groupBy("canon_url").agg(
@@ -370,7 +393,16 @@ def dedup_url_latest(pages: DataFrame, url_col: str = "url") -> DataFrame:
         F.col("_w")["u"].alias(url_col),
         "n_snapshots",
     )
-    return keys.join(pages, [url_col, "warc_ts"], "inner")
+    pg = pages.withColumn(
+        "_cap", F.xxhash64(*[F.col(c) for c in pages.columns])
+    )
+    w = Window.partitionBy(url_col, "warc_ts").orderBy("_cap")
+    return (
+        keys.join(pg, [url_col, "warc_ts"], "inner")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cap")
+    )
 
 
 # ---------------------------------------------------------------------------

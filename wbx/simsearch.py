@@ -262,6 +262,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_list: int | None = 100_000,
 ) -> DataFrame:
     """IVF ANN top-k: the FAISS-style scale path next to lsh_topk.
 
@@ -270,7 +271,22 @@ def ivf_topk(
     the stored index, built once); queries probe their `nprobe` nearest
     lists, so the join is a centroid-id equi-join touching only ~nprobe/n of
     the corpus per query. Distances are exact cosine; recall < 1 by
-    construction and tunable with nprobe. Deterministic end-to-end."""
+    construction and tunable with nprobe. Deterministic end-to-end.
+
+    Scale shape (same as lsh_topk / pairwise_above_threshold): the
+    candidate join carries only (list_id, id) — vectors do NOT ride the
+    equi-join or the dedup shuffle; after the (query_id, vec_id) candidate
+    set is deduped, both vectors are fetched back by id for the
+    exact-cosine stage, so each vector crosses the wire at most once per
+    side regardless of nprobe or list size.
+
+    Skew guard (`max_list`): a clustered corpus can pile most vectors into
+    one inverted list, making that list's join quadratic with everything in
+    flight. Lists larger than the cap are dropped BEFORE the join (window
+    count on the join key). Unlike LSH there is no second table to recover
+    through, so the cap defaults high — it is a safety valve against a
+    degenerate quantizer, not a tuning knob; recall within surviving lists
+    is unchanged."""
     cents = train_ivf_centroids(
         embeddings, n_centroids, iters=5, vec_col=vec_col, seed=seed
     )
@@ -278,23 +294,34 @@ def ivf_topk(
     q_assign = _ivf_assign_udf(cents, nprobe=nprobe)
     c = embeddings.select(
         F.col(id_col),
-        F.col(vec_col).alias("_cvec"),
         F.explode(c_assign(F.col(vec_col))).alias("list_id"),
     )
+    if max_list is not None:
+        wl = Window.partitionBy("list_id")
+        c = (
+            c.withColumn("_ln", F.count("*").over(wl))
+            .filter(F.col("_ln") <= max_list)
+            .drop("_ln")
+        )
     q = queries.select(
         "query_id",
-        F.col(vec_col).alias("_qvec"),
         F.explode(q_assign(F.col(vec_col))).alias("list_id"),
     )
     candidates = (
         c.join(q, "list_id")
-        .select("query_id", id_col, "_qvec", "_cvec")
+        .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
     )
-    scored = candidates.select(
-        "query_id",
-        F.col(id_col),
-        cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+    scored = (
+        candidates.join(
+            embeddings.select(F.col(id_col), F.col(vec_col).alias("_cvec")), id_col
+        )
+        .join(queries.select("query_id", F.col(vec_col).alias("_qvec")), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (

@@ -260,21 +260,24 @@ def crawl_batch_processor(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = store.latest_round()
-        if prev > 0:
-            try:
-                marker = store.load(spark, "stream_marker", prev).first()
-                if marker is not None and marker["batch_id"] == batch_id:
-                    return  # replay of the already-committed epoch
-            except Exception:
-                pass  # pre-streaming checkpoint (batch rounds): no marker
+        # Existence-probe, not try/except: a broad except here would also
+        # swallow a transient read error during a genuine epoch redelivery
+        # and re-commit the batch as a new round, double-counting seen_delta
+        # and fetch_log. Missing marker = pre-streaming checkpoint (batch
+        # rounds); any actual I/O failure propagates and fails the batch,
+        # which Spark then retries — exactly-once is preserved either way.
+        if prev > 0 and store.has_table("stream_marker", prev):
+            marker = store.load(spark, "stream_marker", prev).first()
+            if marker is not None and marker["batch_id"] == batch_id:
+                return  # replay of the already-committed epoch
         if prev == 0:
             seen = spark.createDataFrame([], "url_hash long, canon_url string")
             bloom = empty_seen_bloom(spark)
         else:
             seen = store.load_seen(spark)
-            try:
+            if store.has_table("seen_bloom", prev):
                 bloom = store.load(spark, "seen_bloom", prev)
-            except Exception:
+            else:
                 bloom = build_seen_bloom(seen, bloom_partitions)
         rid = prev + 1
         batch = crawl_round(

@@ -76,6 +76,21 @@ def let_col(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def assert_staging_free(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Guard for withColumn-staged operators: fixed internal staging names
+    ('_rls', '_u0', ...) silently OVERWRITE and then drop any caller column
+    of the same name. Raise loudly instead of corrupting the caller's data.
+    The '_'-prefix convention keeps collisions out of normal schemas; this
+    turns the remaining edge from silent data loss into an actionable
+    error."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with internal staging "
+            f"names; rename them before calling"
+        )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
@@ -289,7 +304,12 @@ def dedup_minhash(
 # ---------------------------------------------------------------------------
 
 
-def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher=None,
+) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over token xxhash64 hashes.
 
     Fully relational (the round-1 form ran a per-token Python FNV loop):
@@ -299,11 +319,19 @@ def simhash(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     the final fingerprint ORs together 2^i for every positive accumulator
     (bit 63 contributes the sign bit, hence the negative literal).
     Documents with no tokens produce no rows (they carry no signal and
-    would otherwise all collide at hamming distance 0)."""
+    would otherwise all collide at hamming distance 0).
+
+    ``hasher``: Column→Column int64 token hash (default xxhash64;
+    md5_hash60 for cross-engine value parity — with its 60-bit range the
+    top 4 accumulators are all-negative so bits 60-63 stay 0, which both
+    engines reproduce identically)."""
+    token_hash = (
+        hasher(F.col("_t")) if hasher is not None else F.xxhash64("_t")
+    )
     exploded = (
         documents.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
-        .select(id_col, F.xxhash64("_t").alias("_h"))
+        .select(id_col, token_hash.alias("_h"))
     )
     aggs = [
         F.sum(
@@ -672,6 +700,7 @@ def with_repetition_features(
     real columns (computed once per row) and every feature reads them as
     attributes — the expression-staging rule (see wbx.frontier
     with_url_host) applied to the quality gate."""
+    assert_staging_free(df, ("_rls", "_rtoks"), "with_repetition_features")
     staged = df.withColumn("_rls", text_lines(F.col(text_col))).withColumn(
         "_rtoks", tokens(F.col(text_col))
     )
