@@ -625,7 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def h2t(spark, sf):
         """Visible-text extraction from HTML (wbx.extract.html_to_text):
         fixture pages wrap the document text in markup exercising every
-        rule — style/script bodies, a comment, tags, and entities."""
+        rule — style/script bodies, a comment, tags, named + uppercase
+        entities, decimal/hex/astral numeric references, the deferred
+        &#38; amp form, and an invalid (surrogate) reference that must
+        stay literal."""
         from wbx.extract import html_to_text
 
         docs = _t(spark, sf, "documents")
@@ -637,7 +640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.pmod("doc_id", F.lit(9)),
             F.lit("</h1><p>"),
             F.col("text"),
-            F.lit(" &amp; more&nbsp;here</p><!-- note --></body></html>"),
+            F.lit(
+                " &amp; more&nbsp;here &#65;&#x42;&#8217;s "
+                "&LT;tag&GT; &#38;joined &#128512; &#xD800;bad"
+                "</p><!-- note --></body></html>"
+            ),
         )
         return docs.select("doc_id", html_to_text(html).alias("extracted"))
 
@@ -1694,19 +1701,54 @@ def oracle_sql() -> dict[str, str]:
                  '<html><head><style>p {color:red}</style>'
                  || '<script>var x = 1 < 2;</script></head><body><h1>Title '
                  || (doc_id % 9) || '</h1><p>' || text
-                 || ' &amp; more&nbsp;here</p><!-- note --></body></html>' AS h
-          FROM documents)
-        SELECT doc_id, trim(regexp_replace(
-          replace(replace(replace(replace(replace(replace(
+                 || ' &amp; more&nbsp;here &#65;&#x42;&#8217;s '
+                 || '&LT;tag&GT; &#38;joined &#128512; &#xD800;bad'
+                 || '</p><!-- note --></body></html>' AS h
+          FROM documents),
+        stripped AS (
+          SELECT doc_id,
             regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
               '(?s)<!--.*?-->', ' ', 'g'),
-              '<[^>]+>', ' ', 'g'),
-            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-            '&nbsp;', ' '), '&amp;', '&'),
+              '<[^>]+>', ' ', 'g') AS t
+          FROM d),
+        segs AS (SELECT doc_id, string_split(t, '&#') AS sg FROM stripped),
+        numdec AS (
+          SELECT doc_id,
+            sg[1] || array_to_string(list_transform(sg[2:], s ->
+              CASE
+                WHEN regexp_extract(s, '^([0-9]{1,7});', 1) <> '' THEN
+                  CASE WHEN CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS BIGINT) > 0
+                        AND CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS BIGINT) <= 1114111
+                        AND NOT (CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS BIGINT)
+                                 BETWEEN 55296 AND 57343)
+                        AND CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS BIGINT) <> 38
+                    THEN chr(CAST(regexp_extract(s, '^([0-9]{1,7});', 1) AS INTEGER))
+                         || substr(s, strlen(regexp_extract(s, '^([0-9]{1,7});', 1)) + 2)
+                    ELSE '&#' || s END
+                WHEN regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1) <> '' THEN
+                  CASE WHEN CAST(concat('0x', regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT) > 0
+                        AND CAST(concat('0x', regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT) <= 1114111
+                        AND NOT (CAST(concat('0x', regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT)
+                                 BETWEEN 55296 AND 57343)
+                        AND CAST(concat('0x', regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS BIGINT) <> 38
+                    THEN chr(CAST(concat('0x', regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) AS INTEGER))
+                         || substr(s, strlen(regexp_extract(s, '^[xX]([0-9a-fA-F]{1,6});', 1)) + 3)
+                    ELSE '&#' || s END
+                ELSE '&#' || s
+              END), '') AS t
+          FROM segs)
+        SELECT doc_id, trim(regexp_replace(
+          replace(
+            regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(t,
+                '&lt;', '<'), '&LT;', '<'), '&gt;', '>'), '&GT;', '>'),
+                '&quot;', '"'), '&QUOT;', '"'), '&nbsp;', ' '),
+              '&amp;|&AMP;|&#0*38;|&#[xX]0*26;', '&', 'g'),
+            chr(160), ' '),
           '\\s+', ' ', 'g')) AS extracted
-        FROM d
+        FROM numdec
         """,
         "frontier_blocklist": """
         WITH c AS (

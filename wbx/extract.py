@@ -296,6 +296,66 @@ def utf8_replace_udf(data: pd.Series) -> pd.Series:
     return pd.Series([utf8_replace(b) for b in data], dtype=object)
 
 
+def decode_numeric_entities(t: "Column") -> "Column":
+    """Decode HTML numeric character references — ``&#NN;`` (decimal) and
+    ``&#xHH;``/``&#XHH;`` (hex) — to their Unicode characters, as a pure
+    Column chain (split on '&#', fix each segment in a transform lambda,
+    reassemble). Out-of-range codepoints, lone surrogates, and code 38
+    ('&' — deferred to html_to_text's final amp pass so '&#38;lt;' cannot
+    double-decode, mirroring the amp-last rule for &amp;) are left literal.
+
+    The character is built by decoding the codepoint's UTF-16BE bytes
+    (hex → unhex → decode; astral codepoints become an explicit surrogate
+    pair) — decode()'s charset whitelist has no UTF-32. Inputs to the
+    decode are valid by construction, so ANSI-strict decode cannot fire."""
+
+    def fix(s):
+        dec = F.regexp_extract(s, r"^([0-9]{1,7});", 1)
+        hx = F.regexp_extract(s, r"^[xX]([0-9a-fA-F]{1,6});", 1)
+        code = (
+            F.when(dec != "", dec.cast("long"))
+            .when(hx != "", F.conv(hx, 16, 10).cast("long"))
+        )
+        valid = (
+            code.isNotNull()
+            & (code > 0)
+            & (code <= 0x10FFFF)
+            & ~code.between(0xD800, 0xDFFF)
+            & (code != 38)
+        )
+        rest = F.when(dec != "", s.substr(F.length(dec) + 2, F.lit(1 << 30))).otherwise(
+            s.substr(F.length(hx) + 3, F.lit(1 << 30))
+        )
+        cp = code - F.lit(0x10000)
+        hi = F.shiftright(cp, 10) + F.lit(0xD800)
+        lo = cp.bitwiseAND(F.lit(0x3FF)) + F.lit(0xDC00)
+        ch = F.when(
+            code <= 0xFFFF,
+            F.decode(F.unhex(F.lpad(F.hex(code), 4, "0")), "UTF-16BE"),
+        ).otherwise(
+            F.decode(
+                F.unhex(
+                    F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+                ),
+                "UTF-16BE",
+            )
+        )
+        return F.when(valid, F.concat(ch, rest)).otherwise(
+            F.concat(F.lit("&#"), s)
+        )
+
+    segs = F.split(t, "&#")
+    return F.concat(
+        F.element_at(segs, 1),
+        F.array_join(
+            F.transform(
+                F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))), fix
+            ),
+            "",
+        ),
+    )
+
+
 def html_to_text(html: "Column") -> "Column":
     """Visible text of an HTML string (Column → Column), with fixed,
     documented semantics so the result is deterministic and cross-engine
@@ -305,9 +365,16 @@ def html_to_text(html: "Column") -> "Column":
     1. script/style element bodies removed (two passes — RE2 has no
        backreferences so the tags can't share one pattern);
     2. comments removed; 3. every remaining tag → ' ';
-    4. the five ubiquitous entities decoded (&lt; &gt; &quot; &#39; &nbsp;
-       first, &amp; LAST so '&amp;lt;' cannot double-decode);
-    5. whitespace runs collapsed to single spaces, trimmed.
+    4. numeric character references decoded (decimal and hex; see
+       decode_numeric_entities — code 38 deferred to step 6);
+    5. the named entities &lt; &gt; &quot; &nbsp; decoded, plus their
+       legacy uppercase forms &LT; &GT; &QUOT; (the HTML spec's
+       case-insensitive set);
+    6. every ampersand form LAST — &amp; &AMP; &#38; &#x26; in ONE
+       alternation pass (a regex replace never rescans its own output, so
+       '&amp;#38;' and '&#38;amp;' both yield the literal they should,
+       and '&amp;lt;' cannot double-decode);
+    7. U+00A0 → space, whitespace runs collapsed, trimmed.
 
     A regex stripper is a deliberate engine primitive, not a DOM parser:
     it is whole-stage-codegen'd, shuffle-free, and good enough for
@@ -317,13 +384,17 @@ def html_to_text(html: "Column") -> "Column":
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"<[^>]+>", " ")
+    t = decode_numeric_entities(t)
     for ent, ch in [
         ("&lt;", "<"),
+        ("&LT;", "<"),
         ("&gt;", ">"),
+        ("&GT;", ">"),
         ("&quot;", '"'),
-        ("&#39;", "'"),
+        ("&QUOT;", '"'),
         ("&nbsp;", " "),
-        ("&amp;", "&"),
     ]:
         t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"&amp;|&AMP;|&#0*38;|&#[xX]0*26;", "&")
+    t = F.replace(t, F.lit("\u00a0"), F.lit(" "))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
