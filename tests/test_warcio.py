@@ -629,6 +629,97 @@ class TestSplittableScan:
         assert ms[0][4] == b"W" * 64 and ms[0][5] == b"\r\n\r\n"
         assert ms[1][4] == b"xy" and ms[1][5] == b"xy"
 
+    def test_remote_opener_reads_only_its_slice(self, spark, tmp_path):
+        """The opener injection point: stage 2 against a fake remote scheme
+        (mem://) must (a) produce byte-identical records and (b) issue
+        exactly ONE ranged read per split, never touching bytes outside
+        [comp_start, comp_end) — the property that makes each task a single
+        range GET on object storage."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        data = self._record_gz(40)
+        backing = str(tmp_path / "arc.warc.gz")
+        with open(backing, "wb") as f:
+            f.write(data)
+        log = str(tmp_path / "reads.log")
+
+        class AuditFile:
+            def __init__(self, path, uri, log_path):
+                self._f = open(path, "rb")
+                self._uri = uri
+                self._log = log_path
+
+            def seek(self, pos, whence=0):
+                return self._f.seek(pos, whence)
+
+            def read(self, n=-1):
+                pos = self._f.tell()
+                out = self._f.read(n)
+                with open(self._log, "a") as lf:
+                    lf.write(f"{self._uri}\t{pos}\t{pos + len(out)}\n")
+                return out
+
+            def close(self):
+                self._f.close()
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self.close()
+                return False
+
+        def opener(uri):
+            assert uri == "mem://bucket/arc.warc.gz", uri
+            return AuditFile(backing, uri, log)
+
+        files = spark.createDataFrame([(backing,)], "source_file string")
+        whole = spark.read.format("binaryFile").load(backing).select(
+            F.col("path").alias("source_file"), "content"
+        )
+        expect = (
+            warcio.scan_files_to_records(whole)
+            .drop("source_file")
+            .toPandas()
+            .sort_values(["record_start", "unc_start"])
+            .reset_index(drop=True)
+        )
+        splits = warcio.index_gzip_splits(files, 256).withColumn(
+            "source_file", F.lit("mem://bucket/arc.warc.gz")
+        )
+        split_rows = splits.collect()
+        assert len(split_rows) >= 2
+        got = (
+            warcio.scan_splits_to_records(splits, opener=opener)
+            .drop("source_file")
+            .toPandas()
+            .sort_values(["record_start", "unc_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(expect, got)
+        # audit: one read per split, each exactly its own byte range
+        with open(log) as lf:
+            reads = sorted(
+                tuple(int(x) for x in line.split("\t")[1:])
+                for line in lf.read().splitlines()
+            )
+        want = sorted((r["comp_start"], r["comp_end"]) for r in split_rows)
+        assert reads == want
+
+    def test_remote_scheme_without_opener_is_rejected(self, spark, tmp_path):
+        data = self._record_gz(6)
+        p = tmp_path / "a.warc.gz"
+        p.write_bytes(data)
+        files = spark.createDataFrame([(str(p),)], "source_file string")
+        from pyspark.sql import functions as F
+
+        splits = warcio.index_gzip_splits(files, 256).withColumn(
+            "source_file", F.lit("s3://bucket/a.warc.gz")
+        )
+        with pytest.raises(Exception, match="no opener registered"):
+            warcio.scan_splits_to_records(splits).collect()
+
     def test_parity_content_length(self, spark, tmp_path):
         self._assert_parity(spark, tmp_path, self._record_gz(), "content_length")
 

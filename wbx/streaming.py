@@ -197,6 +197,7 @@ def stream_split_text(
     style: str = "content_length",
     gz_style: str = "file",
     on_error: str = "raise",
+    opener=None,
 ) -> DataFrame:
     """Streaming ingest at SPLIT granularity — the scale form of
     stream_file_text. A (batch or scheduled) index job appends
@@ -212,7 +213,7 @@ def stream_split_text(
 
     splits = spark.readStream.schema(ARCHIVE_SPLITS).parquet(splits_path)
     return splits.mapInPandas(
-        split_text_iterator(style, gz_style, on_error), schema=TEXT_RECORDS
+        split_text_iterator(style, gz_style, on_error, opener), schema=TEXT_RECORDS
     )
 
 

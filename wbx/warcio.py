@@ -1342,27 +1342,44 @@ def _local_path(uri: str) -> str:
     """Filesystem path for a Spark file URI (file:/x, file:///x, bare path).
 
     Non-local schemes are rejected explicitly: at cluster scale the ranged
-    read should go through the storage client (S3 range GET / HDFS pread) —
-    wiring that is deployment-specific and out of this repo's scope."""
+    read goes through a storage-client `opener` (S3 range GET / HDFS pread)
+    injected into the scan — see default_opener."""
     if uri.startswith("file:"):
         from urllib.parse import unquote, urlparse
 
         return unquote(urlparse(uri).path)
     if "://" in uri:
         raise NotImplementedError(
-            f"ranged reads are implemented for local files only, got {uri!r}; "
-            "use the storage client's ranged read on a cluster"
+            f"no opener registered for {uri!r}: pass an fsspec-style "
+            "`opener` (uri -> seekable binary file) to the scan functions "
+            "for non-local schemes"
         )
     return uri
 
 
-def _read_slice(uri: str, start: int, end: int) -> bytes:
-    with open(_local_path(uri), "rb") as f:
+def default_opener(uri: str):
+    """uri → seekable binary file object; the local-filesystem default for
+    the splittable scan's `opener` injection point.
+
+    On a cluster, pass an opener wrapping the storage client instead (e.g.
+    ``fsspec.open(uri, 'rb').open()`` or ``s3fs.S3FileSystem().open``):
+    anything returning a file-like with seek/read works, and because the
+    stage-2 kernels read exactly [comp_start, comp_end) per task, a
+    range-GET-backed file object makes every task a single ranged request —
+    the same index-then-random-access design as the reference's member
+    index (ref patches.py:29-155, models.py:273-291). The opener callable
+    is closure-captured into the executor kernels, so it must be
+    picklable."""
+    return open(_local_path(uri), "rb")
+
+
+def _read_slice(uri: str, start: int, end: int, opener=None) -> bytes:
+    with (opener or default_opener)(uri) as f:
         f.seek(start)
         return f.read(end - start)
 
 
-def index_gzip_splits(files_df, target_bytes: int = 128 << 20):
+def index_gzip_splits(files_df, target_bytes: int = 128 << 20, opener=None):
     """Stage 1: (path|source_file) rows → ARCHIVE_SPLITS rows.
 
     One streaming pass per file on the executors (iter_gzip_members_stream —
@@ -1383,7 +1400,7 @@ def index_gzip_splits(files_df, target_bytes: int = 128 << 20):
         for pdf in batches:
             rows: list[dict] = []
             for p in pdf["source_file"]:
-                with open(_local_path(p), "rb") as f:
+                with (opener or default_opener)(p) as f:
                     groups = plan_member_groups(
                         iter_gzip_members_stream(f), target_bytes
                     )
@@ -1398,7 +1415,7 @@ def index_gzip_splits(files_df, target_bytes: int = 128 << 20):
     )
 
 
-def _scan_splits_df(splits_df, schema, emit_rows, out_cols, style, wanted, gz_style):
+def _scan_splits_df(splits_df, schema, emit_rows, out_cols, style, wanted, gz_style, opener=None):
     """Shared stage-2 runner: ranged-read each group's slice, scan it with
     absolute offsets, emit rows via `emit_rows(result, non_warc, source)`."""
 
@@ -1407,7 +1424,10 @@ def _scan_splits_df(splits_df, schema, emit_rows, out_cols, style, wanted, gz_st
             rows: list = []
             for _, row in pdf.iterrows():
                 data = _read_slice(
-                    row["source_file"], int(row["comp_start"]), int(row["comp_end"])
+                    row["source_file"],
+                    int(row["comp_start"]),
+                    int(row["comp_end"]),
+                    opener,
                 )
                 result, non_warc = scan_member_group(
                     data,
@@ -1427,7 +1447,11 @@ def _scan_splits_df(splits_df, schema, emit_rows, out_cols, style, wanted, gz_st
 
 
 def scan_splits_to_records(
-    splits_df, style: str = "content_length", columns=None, gz_style: str = "file"
+    splits_df,
+    style: str = "content_length",
+    columns=None,
+    gz_style: str = "file",
+    opener=None,
 ):
     """Stage 2: ARCHIVE_SPLITS rows → records DF, byte-identical to
     scan_files_to_records on the whole files (parity pinned by
@@ -1440,13 +1464,16 @@ def scan_splits_to_records(
     def emit(result, non_warc, source):
         return result.records + [_non_warc_row(m) for m in non_warc]
 
-    return _scan_splits_df(splits_df, schema, emit, out_cols, style, wanted, gz_style)
+    return _scan_splits_df(
+        splits_df, schema, emit, out_cols, style, wanted, gz_style, opener
+    )
 
 
 def split_text_iterator(
     style: str = "content_length",
     gz_style: str = "file",
     on_error: str = "raise",
+    opener=None,
 ):
     """The fused split-scan batch-iterator kernel, shared by the batch
     (scan_splits_to_text) and streaming (wbx.streaming.stream_split_text)
@@ -1459,7 +1486,10 @@ def split_text_iterator(
             records: list[dict] = []
             for _, row in pdf.iterrows():
                 data = _read_slice(
-                    row["source_file"], int(row["comp_start"]), int(row["comp_end"])
+                    row["source_file"],
+                    int(row["comp_start"]),
+                    int(row["comp_end"]),
+                    opener,
                 )
                 result, _ = scan_member_group(
                     data,
@@ -1483,6 +1513,7 @@ def scan_splits_to_text(
     style: str = "content_length",
     gz_style: str = "file",
     on_error: str = "raise",
+    opener=None,
 ):
     """Stage 2, fused scan+extract (the 100-TB hot path): same slim
     TEXT_RECORDS output as scan_files_to_text, but one task per member
@@ -1491,11 +1522,11 @@ def scan_splits_to_text(
     from wbx.schema import TEXT_RECORDS
 
     return splits_df.mapInPandas(
-        split_text_iterator(style, gz_style, on_error), schema=TEXT_RECORDS
+        split_text_iterator(style, gz_style, on_error, opener), schema=TEXT_RECORDS
     )
 
 
-def scan_splits_to_unparsable(splits_df, style: str = "content_length"):
+def scan_splits_to_unparsable(splits_df, style: str = "content_length", opener=None):
     """Stage 2 side-channel: unparsable lines, absolute offsets."""
     from wbx.schema import UNPARSABLE_LINES
 
@@ -1505,11 +1536,11 @@ def scan_splits_to_unparsable(splits_df, style: str = "content_length"):
         return result.unparsable
 
     return _scan_splits_df(
-        splits_df, UNPARSABLE_LINES, emit, cols, style, None, "file"
+        splits_df, UNPARSABLE_LINES, emit, cols, style, None, "file", opener
     )
 
 
-def scan_splits_to_diagnostics(splits_df, style: str = "content_length"):
+def scan_splits_to_diagnostics(splits_df, style: str = "content_length", opener=None):
     """Stage 2 side-channel: warning/error diagnostics rows."""
     from wbx.schema import DIAGNOSTICS
 
@@ -1527,5 +1558,5 @@ def scan_splits_to_diagnostics(splits_df, style: str = "content_length"):
         return rows
 
     return _scan_splits_df(
-        splits_df, DIAGNOSTICS, emit, cols, style, None, "file"
+        splits_df, DIAGNOSTICS, emit, cols, style, None, "file", opener
     )
