@@ -283,10 +283,12 @@ def main() -> None:
     suite = [] if os.environ.get("SPARK_GRAFT_SUITE", "1") == "0" else [
         "j1_match_pairs",
         "j2_compare_headers",
-        "dedup_exact",
+        # r4 registry consolidation (driver caps correctness at 50 queries):
+        # dedup_exact -> dedup_exact_all (adds the embeddings branch);
+        # text_fingerprint + text_lang_id -> text_doc_metrics (one wide scan)
+        "dedup_exact_all",
         "dedup_minhash_pairs",
-        "text_fingerprint",
-        "text_lang_id",
+        "text_doc_metrics",
         "sim_brute_topk",
         "frontier_unseen",
         "text_repetition",
