@@ -437,7 +437,7 @@ class TestGlobalRank:
             spark.createDataFrame(rows, "url string, priority double")
         )
         ranked = frontier.global_rank(
-            df, [F.col("priority").desc(), F.col("canon_url").asc()]
+            df, [("priority", False), ("canon_url", True)]
         )
         got = [
             r["canon_url"]
@@ -450,6 +450,25 @@ class TestGlobalRank:
             for r in sorted(rows2, key=lambda r: (-r["priority"], r["canon_url"]))
         ]
         assert got == exp
+        frontier.release_rank_caches()
+
+    def test_rank_parallelism_invariant_with_forced_buckets(self, spark):
+        """Identical ranks at 1 and 16 input partitions, exercising a real
+        multi-boundary bucket split (sample_per_part=1 forces boundaries
+        even on a small input) including duplicate priorities across
+        buckets."""
+        rows = [(f"http://h/{i:03d}", float(i % 4)) for i in range(300)]
+        df = frontier.with_canonical(
+            spark.createDataFrame(rows, "url string, priority double")
+        )
+        keys = [("priority", False), ("canon_url", True)]
+        a = frontier.global_rank(df.repartition(1), keys, sample_per_part=1)
+        b = frontier.global_rank(df.repartition(16), keys, sample_per_part=1)
+        got_a = {r["canon_url"]: r["fetch_order"] for r in a.collect()}
+        got_b = {r["canon_url"]: r["fetch_order"] for r in b.collect()}
+        frontier.release_rank_caches()
+        assert got_a == got_b
+        assert sorted(got_a.values()) == list(range(1, 301))
 
 
 ROBOTS_TXT = """\

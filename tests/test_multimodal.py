@@ -1,6 +1,7 @@
 """Multimodal plumbing tests: magic sniffing, the deterministic stand-in
-featurizer (numeric goldens recomputed independently), and the frame-sample
-fan-out plan. The decode seam stays a declared NotImplementedError."""
+featurizer (numeric goldens recomputed independently), the frame-sample
+fan-out plan, and real PNG decode through the host decoder probe
+(Pillow, else system libpng via ctypes)."""
 
 from __future__ import annotations
 
@@ -85,10 +86,63 @@ class TestFramePlan:
         assert sorted(got[2]) == [0, 30, 60]  # 65 frames, every 30th
 
 
+def _png_bytes(width, height, pixels):
+    """Hand-rolled minimal PNG (8-bit RGB, no interlace) — no image
+    library needed to build the fixture, so the test exercises the decoder
+    independently."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * width * 3 : (y + 1) * width * 3])
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_HAS_DECODER = multimodal._PILImage is not None or multimodal._libpng is not None
+
+
 class TestDecodeSeam:
-    def test_decode_image_is_declared_unimplemented(self):
+    @pytest.mark.skipif(not _HAS_DECODER, reason="no PNG decoder on host")
+    def test_png_decodes_to_rgb_pixels(self):
+        px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]  # 2x2 RGB
+        w, h, mode, out = multimodal.decode_image(_png_bytes(2, 2, px))
+        assert (w, h, mode) == (2, 2, "RGB")
+        assert list(out) == px
+
+    @pytest.mark.skipif(not _HAS_DECODER, reason="no PNG decoder on host")
+    def test_corrupt_png_raises_decode_error(self):
+        good = _png_bytes(2, 2, [0] * 12)
+        bad = good[:20] + b"\xff\xff\xff\xff" + good[24:]
+        with pytest.raises(multimodal.ImageDecodeError):
+            multimodal.decode_image(bad)
+
+    def test_empty_payload_raises(self):
+        with pytest.raises(multimodal.ImageDecodeError):
+            multimodal.decode_image(b"")
+
+    def test_unsupported_container_is_declared(self):
+        """Non-PNG containers (JPEG) either decode via Pillow or raise the
+        declared NotImplementedError — never a silent wrong answer."""
+        if multimodal._PILImage is not None:
+            pytest.skip("Pillow present: JPEG path exercised by Pillow")
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+            multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
 
 
 class TestResize:

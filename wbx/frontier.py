@@ -900,69 +900,151 @@ def _register_rank_cache(df: DataFrame) -> None:
         _RANK_CACHES.pop(0).unpersist()
 
 
-def global_rank(df: DataFrame, order_cols: list[Column], rank_col: str = "fetch_order") -> DataFrame:
+def global_rank(
+    df: DataFrame,
+    keys: list[tuple[str, bool]],
+    rank_col: str = "fetch_order",
+    sample_per_part: int = 100,
+) -> DataFrame:
     """Scalable deterministic global rank over a total order.
 
+    ``keys``: [(column_name, ascending)] — must form a total order (ties
+    would make ranks partition-dependent). NULLs order LAST for both
+    directions (pinned explicitly; matches DuckDB's default).
+
     A naive `row_number().over(Window.orderBy(...))` funnels every row
-    through ONE reducer — a non-starter at 10^10 rows. Two-phase instead,
-    entirely JVM-side, with NO driver collect (the round-1 form collected
-    per-partition counts to the driver — an extra synchronization point per
-    crawl round — and leaked its cache):
+    through ONE reducer — a non-starter at 10^10 rows. Bucketed two-phase
+    instead:
 
-      1. range-partition + sort by the order keys (distributed total sort —
-         the same physical strategy Spark's own orderBy uses), `persist`ed;
-      2. `monotonically_increasing_id()` over the sorted partitions encodes
-         (partition_id << 33 | local_row_index) — a per-partition local
-         index computed inside the same codegen stage as the sort output;
-      3. per-partition counts → cumulative-sum offsets (a single-reducer
-         window over ≤ `n_part` rows — trivially small) broadcast-joined
-         back on the partition id, all inside the caller's one action.
+      1. a small driver-side sample of the (persisted) input picks up to
+         n_part-1 BOUNDARY key tuples; each row's ``_rbucket`` = how many
+         boundaries it sorts strictly after — a monotone function of the
+         sort key computed as one compact higher-order-function expression
+         (size(filter(boundaries, b -> row_after(b))): O(boundaries) JVM
+         comparisons per row, no when-chain codegen blowup at high
+         parallelism);
+      2. rows hash-shuffle ON the bucket and rank locally
+         (row_number over Window.partitionBy(_rbucket)) — the bucket
+         column satisfies the window's distribution, so this is the single
+         full-data exchange of the whole rank;
+      3. bucket counts come from a map-side-combinable aggregate over the
+         SAME cached input — only ~n_mappers × n_buckets tiny rows cross
+         that exchange, never the data — then a single-reducer window over
+         ≤ n_part count rows forms cumulative offsets, broadcast-joined
+         back on the bucket id inside the caller's one action.
 
-    Why the persist is load-bearing (not a local-mode convenience): the
-    counts branch and the output branch must observe the SAME partition ids.
-    Without a shared materialization Catalyst plans two independent range
-    exchanges (column pruning rewrites the branches differently, so
-    ReuseExchange does not fire — verified on the physical plan), and two
-    range exchanges sample their boundaries independently — the pids could
-    disagree. An InMemoryRelation is shared by cache identity, which column
-    pruning cannot break; evicted partitions recompute deterministically
-    (fixed shuffle boundaries + total-order sort). The input `df` is also
-    persisted so the expensive upstream pipeline (anti-join, robots,
-    politeness) feeds BOTH the range sampler and the shuffle write exactly
-    once. Lifecycle: both handles are registered for
-    :func:`release_rank_caches`; run_crawl releases after each round commit.
+    Why this shape (r4 rewrite of the repartitionByRange form): boundaries
+    affect only partition BALANCE — the rank is offset + local position,
+    both pure functions of the data — so making the bucket an explicit
+    COLUMN removes the old implementation's two fixed-cost seams: the
+    hidden range-boundary sampling job, and the second full
+    materialization (`indexed.persist`) that was needed only because two
+    independent range exchanges could sample different boundaries. One
+    persist remains — the input cache that lets the expensive upstream
+    pipeline (anti-join, robots, politeness) feed the sample, the counts
+    aggregate, and the bucket shuffle exactly once; registered for
+    :func:`release_rank_caches` (run_crawl releases after each round
+    commit).
 
-    The resulting rank equals the row's position in the total order, which
-    is fully determined by the data — identical at any parallelism even
-    though partition *boundaries* differ (the order keys must form a total
-    order; ties would make ranks partition-dependent).
+    The resulting rank equals the row's position in the total order —
+    identical at any parallelism even though bucket boundaries differ.
     """
     from pyspark import StorageLevel
 
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    # _mid layout: upper 31 bits = partition id, lower 33 bits = local index.
-    indexed = (
-        df.repartitionByRange(n_part, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     _register_rank_cache(df)
-    _register_rank_cache(indexed)
-    pid = F.shiftrightunsigned(F.col("_mid"), 33)
-    local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-    counts = indexed.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n"))
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    key_names = [k for k, _ in keys]
+    worder = [
+        F.col(k).asc_nulls_last() if asc else F.col(k).desc_nulls_last()
+        for k, asc in keys
+    ]
+
+    # --- boundary sample (driver-side, bounded by sample_per_part*n_part) --
+    n = df.count()  # materializes the cache; sizes the sample fraction
+    target = sample_per_part * n_part
+    if n > target:
+        keyed = df.select(*key_names).sample(False, target / n, seed=42)
+    else:
+        keyed = df.select(*key_names)
+    rows = [tuple(r) for r in keyed.collect()]
+
+    def _cmp(a, b):
+        for i, (_, asc) in enumerate(keys):
+            x, y = a[i], b[i]
+            if x == y:
+                continue
+            if x is None:
+                return 1  # nulls last
+            if y is None:
+                return -1
+            if x < y:
+                return -1 if asc else 1
+            return 1 if asc else -1
+        return 0
+
+    import functools
+
+    rows.sort(key=functools.cmp_to_key(_cmp))
+    bvals: list[tuple] = []
+    m = len(rows)
+    for i in range(1, n_part):
+        if not m:
+            break
+        t = rows[(m * i) // n_part]
+        if not bvals or t != bvals[-1]:
+            bvals.append(t)
+
+    # --- monotone bucket column -------------------------------------------
+    if bvals:
+        fields = df.select(*key_names).schema.fields
+        barr = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.lit(v).cast(f.dataType).alias(f.name)
+                        for v, f in zip(t, fields)
+                    ]
+                )
+                for t in bvals
+            ]
+        )
+
+        def row_after(b):
+            # row sorts strictly after boundary b (nulls last, both dirs)
+            cond = F.lit(False)
+            eqs = F.lit(True)
+            for kname, asc in keys:
+                c = F.col(kname)
+                bv = b[kname]
+                basic = (c > bv) if asc else (c < bv)
+                gt = (c.isNull() & bv.isNotNull()) | F.coalesce(
+                    basic, F.lit(False)
+                )
+                cond = cond | (eqs & gt)
+                eqs = eqs & c.eqNullSafe(bv)
+            return cond
+
+        bucket = F.size(F.filter(barr, row_after))
+    else:
+        bucket = F.lit(0)
+
+    staged = df.withColumn("_rbucket", bucket)
+    counts = staged.groupBy("_rbucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_rbucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+        "_rbucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
     )
+    w_local = Window.partitionBy("_rbucket").orderBy(*worder)
     return (
-        indexed.withColumn("_pid", pid)
-        .join(F.broadcast(offsets), "_pid", "left")
-        .withColumn(rank_col, local_idx + F.coalesce(F.col("_offset"), F.lit(0)) + 1)
-        .drop("_mid", "_pid", "_offset")
+        staged.repartition(n_part, "_rbucket")
+        .withColumn("_lidx", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_rbucket", "left")
+        .withColumn(
+            rank_col, F.col("_lidx") + F.coalesce(F.col("_offset"), F.lit(0))
+        )
+        .drop("_rbucket", "_lidx", "_offset")
     )
 
 
@@ -973,12 +1055,13 @@ def schedule_fetch_batch(
 ) -> DataFrame:
     """Deterministic global fetch order: rank by (priority DESC, canon_url).
 
-    Range-partitioned total sort + two-phase rank (see global_rank). The
-    salted key exists for upstream *shuffle* spreading of hot hosts; the
-    final order is pure (priority, canon_url) — salt never affects it.
+    Bucketed two-phase rank (see global_rank). The salted key exists for
+    upstream *shuffle* spreading of hot hosts; the final order is pure
+    (priority, canon_url) — salt never affects it.
     """
-    order = [F.col("priority").desc(), F.col("canon_url").asc()]
-    batch = global_rank(frontier, order, "fetch_order")
+    batch = global_rank(
+        frontier, [("priority", False), ("canon_url", True)], "fetch_order"
+    )
     if batch_size is not None:
         batch = batch.filter(F.col("fetch_order") <= batch_size)
     return batch

@@ -20,6 +20,7 @@ extraction happens at the scan, only (id, features) moves on.
 
 from __future__ import annotations
 
+import ctypes
 from typing import Iterator
 
 import numpy as np
@@ -79,12 +80,128 @@ def sniff_media(df: DataFrame, id_col: str = "media_id", bytes_col: str = "paylo
     return df.mapInPandas(sniff, schema=MEDIA_META)
 
 
-def decode_image(data: bytes) -> "object":
-    """Seam for a real image decoder (Pillow/turbojpeg). Deliberately not
-    implemented in this container — the pipeline around it is."""
+class ImageDecodeError(Exception):
+    """The payload could not be decoded (corrupt or unsupported image)."""
+
+
+# --- PNG decode via the system libpng16 simplified API (ctypes, same
+# pattern as wbx.codecs' brotli/zstd bindings). png_image is libpng's
+# stable struct-based "simplified read" API — no setjmp error handling is
+# required of the caller, which is what makes it safely reachable from
+# ctypes (libjpeg's classic API is NOT: jpeg_CreateDecompress validates a
+# compile-time struct size and the default error manager longjmps).
+class _PngImage(ctypes.Structure):
+    _fields_ = [
+        ("opaque", ctypes.c_void_p),
+        ("version", ctypes.c_uint32),
+        ("width", ctypes.c_uint32),
+        ("height", ctypes.c_uint32),
+        ("format", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("colormap_entries", ctypes.c_uint32),
+        ("warning_or_error", ctypes.c_uint32),
+        ("message", ctypes.c_char * 64),
+    ]
+
+
+_PNG_IMAGE_VERSION = 1
+_PNG_FORMAT_RGB = 0x02  # PNG_FORMAT_FLAG_COLOR
+
+
+def _load_libpng():
+    import ctypes.util
+
+    for name in ("libpng16.so.16", "libpng16.so", "libpng.so"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    else:
+        found = ctypes.util.find_library("png16") or ctypes.util.find_library("png")
+        if not found:
+            return None
+        try:
+            lib = ctypes.CDLL(found)
+        except OSError:
+            return None
+    try:
+        lib.png_image_begin_read_from_memory.restype = ctypes.c_int
+        lib.png_image_begin_read_from_memory.argtypes = [
+            ctypes.POINTER(_PngImage),
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+        ]
+        lib.png_image_finish_read.restype = ctypes.c_int
+        lib.png_image_finish_read.argtypes = [
+            ctypes.POINTER(_PngImage),
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.png_image_free.argtypes = [ctypes.POINTER(_PngImage)]
+    except AttributeError:
+        return None  # too old for the simplified API
+    return lib
+
+
+_libpng = _load_libpng()
+
+try:  # Pillow decodes everything when present; libpng covers PNG otherwise
+    from PIL import Image as _PILImage  # type: ignore[import-not-found]
+except ImportError:  # pragma: no cover
+    _PILImage = None
+
+
+def decode_image(data: bytes) -> tuple[int, int, str, bytes]:
+    """Decode an image payload to (width, height, "RGB", pixel_bytes) —
+    pixels row-major RGB8, stride = width*3.
+
+    Decoder probe order: Pillow when importable (any container), else the
+    system libpng via ctypes (PNG only — see _PngImage for why libjpeg's
+    classic C API can't be bound the same way). Raises ImageDecodeError on
+    corrupt input and NotImplementedError only when NO decoder for the
+    container exists on the host — the pipeline around this seam
+    (sniffing, batching, resize geometry, feature shape) is real and
+    tested either way."""
+    if data is None or len(data) == 0:
+        raise ImageDecodeError("empty payload")
+    if _PILImage is not None:
+        import io as _io
+
+        try:
+            with _PILImage.open(_io.BytesIO(bytes(data))) as im:
+                rgb = im.convert("RGB")
+                return rgb.width, rgb.height, "RGB", rgb.tobytes()
+        except Exception as e:
+            raise ImageDecodeError(str(e))
+    is_png = bytes(data[:8]) == b"\x89PNG\r\n\x1a\n"
+    if is_png and _libpng is not None:
+        img = _PngImage()
+        img.version = _PNG_IMAGE_VERSION
+        buf = bytes(data)
+        if not _libpng.png_image_begin_read_from_memory(
+            ctypes.byref(img), buf, len(buf)
+        ):
+            raise ImageDecodeError(
+                f"libpng: {img.message.decode('utf-8', 'replace')}"
+            )
+        img.format = _PNG_FORMAT_RGB
+        out = ctypes.create_string_buffer(img.width * img.height * 3)
+        ok = _libpng.png_image_finish_read(
+            ctypes.byref(img), None, out, 0, None
+        )
+        if not ok:
+            _libpng.png_image_free(ctypes.byref(img))
+            raise ImageDecodeError(
+                f"libpng: {img.message.decode('utf-8', 'replace')}"
+            )
+        return int(img.width), int(img.height), "RGB", out.raw
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; plug Pillow/libjpeg here"
+        "no decoder available for this payload on this host: Pillow is not "
+        "installed and the system libpng simplified API "
+        f"{'cannot decode non-PNG containers' if _libpng is not None else 'is unavailable'}"
     )
 
 
