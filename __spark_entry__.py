@@ -683,6 +683,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_blocklist"] = blocklist_q
 
+    def sitemaps_q(spark, sf):
+        """Sitemap discovery suite (wbx.frontier.robots_sitemaps +
+        parse_sitemap): src='robots' rows are Sitemap: directives pulled
+        from per-host robots.txt bodies (case/whitespace variants);
+        src='xml' rows are <loc> entries from per-doc sitemap XML with
+        padded whitespace and &amp;-escaped query strings — the oracle
+        pins both closed-form."""
+        from wbx.frontier import parse_sitemap, robots_sitemaps
+
+        docs = _t(spark, sf, "documents")
+        k = F.pmod("doc_id", F.lit(13))
+        hosts_df = docs.select(k.alias("k")).distinct()
+        robots_files = hosts_df.select(
+            F.concat(F.lit("h"), "k", F.lit(".example.net")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /x\nSitemap: https://h"),
+                F.col("k"),
+                F.lit(".example.net/sitemap.xml\nsitemap: https://h"),
+                F.col("k"),
+                F.lit(".example.net/news.xml\n"),
+            ).alias("body"),
+        )
+        r = robots_sitemaps(robots_files).select(
+            F.lit("robots").alias("src"),
+            F.col("host").alias("origin"),
+            F.col("sitemap_url").alias("url"),
+        )
+        xml = F.concat(
+            F.lit("<urlset><url><loc> https://h"),
+            k,
+            F.lit(".example.net/p/"),
+            F.col("doc_id"),
+            F.lit("&amp;v=1 </loc></url><url><loc>https://h"),
+            k,
+            F.lit(".example.net/q/"),
+            F.pmod("doc_id", F.lit(5)),
+            F.lit("</loc></url></urlset>"),
+        )
+        sm = docs.select(
+            F.concat(F.lit("https://h"), k, F.lit(".example.net/sitemap.xml")).alias(
+                "sitemap_url"
+            ),
+            F.encode(xml, "utf-8").alias("body"),
+        )
+        x = parse_sitemap(sm).select(
+            F.lit("xml").alias("src"),
+            F.col("sitemap_url").alias("origin"),
+            F.col("loc").alias("url"),
+        )
+        return r.unionByName(x)
+
+    q["frontier_sitemaps"] = sitemaps_q
+
+    def html_meta_q(spark, sf):
+        """HTML document metadata (wbx.extract.html_meta): declared
+        charset (HTML5 short form and http-equiv content= form), <html
+        lang> tag (case variants, quoted and unquoted), and
+        whitespace-collapsed <title>; every third/fourth doc omits the
+        attribute to pin the NULL normalization."""
+        from wbx.extract import html_meta
+
+        docs = _t(spark, sf, "documents")
+        m3 = F.pmod("doc_id", F.lit(3))
+        m4 = F.pmod("doc_id", F.lit(4))
+        charset_part = (
+            F.when(m3 == 0, F.lit('<meta charset="UTF-8">'))
+            .when(
+                m3 == 1,
+                F.lit(
+                    '<meta http-equiv="Content-Type" '
+                    'content="text/html; charset=iso-8859-1">'
+                ),
+            )
+            .otherwise(F.lit(""))
+        )
+        lang_part = (
+            F.when(m4 == 0, F.lit(' lang="en"'))
+            .when(m4 == 1, F.lit(" lang='de-DE'"))
+            .when(m4 == 2, F.lit(" lang=FR"))
+            .otherwise(F.lit(""))
+        )
+        html = F.concat(
+            F.lit("<html"),
+            lang_part,
+            F.lit("><head>"),
+            charset_part,
+            F.lit("<title>  Doc "),
+            F.col("doc_id"),
+            F.lit("\n of corpus </title></head><body>x</body></html>"),
+        )
+        meta = html_meta(html)
+        return docs.select("doc_id", *[v.alias(kk) for kk, v in meta.items()])
+
+    q["warc_html_meta"] = html_meta_q
+
     def h2t(spark, sf):
         """Visible-text extraction from HTML (wbx.extract.html_to_text):
         fixture pages wrap the document text in markup exercising every
@@ -1823,6 +1918,28 @@ def oracle_sql() -> dict[str, str]:
             chr(160), ' '),
           '\\s+', ' ', 'g')) AS extracted
         FROM numdec
+        """,
+        "frontier_sitemaps": """
+        WITH hosts AS (SELECT DISTINCT doc_id % 13 AS k FROM documents)
+        SELECT 'robots' AS src, 'h' || k || '.example.net' AS origin,
+               unnest(['https://h' || k || '.example.net/sitemap.xml',
+                       'https://h' || k || '.example.net/news.xml']) AS url
+        FROM hosts
+        UNION ALL
+        SELECT 'xml', 'https://h' || (doc_id % 13) || '.example.net/sitemap.xml',
+               unnest(['https://h' || (doc_id % 13) || '.example.net/p/' || doc_id || '&v=1',
+                       'https://h' || (doc_id % 13) || '.example.net/q/' || (doc_id % 5)])
+        FROM documents
+        """,
+        "warc_html_meta": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'utf-8'
+                               WHEN 1 THEN 'iso-8859-1' END AS charset,
+               CASE doc_id % 4 WHEN 0 THEN 'en'
+                               WHEN 1 THEN 'de-de'
+                               WHEN 2 THEN 'fr' END AS lang_tag,
+               'Doc ' || doc_id || ' of corpus' AS title
+        FROM documents
         """,
         "frontier_blocklist": """
         WITH c AS (

@@ -130,9 +130,16 @@ def materialize_frontier_inputs(spark) -> str:
     cand_src.select("url", "priority").repartition(2 * CPUS).write.mode(
         "overwrite"
     ).parquet(os.path.join(base, "candidates"))
+    # seen-set membership by URL-HASH parity, not (event_id + i) parity:
+    # the hot-host rows are exactly the (event_id + i) % 10 == 0 rows — all
+    # EVEN — so a parity-of-(event_id+i) seen set swallowed every hot-host
+    # candidate and the bench's designed skew never reached politeness
+    # (discovered round 4: the top host had ~2.6k rows like everyone else).
+    # Hash parity is orthogonal to hotness, so ~half the hot host survives
+    # the anti-join and the salted-politeness path is actually exercised.
     (
         with_canonical(
-            cand_src.filter(F.pmod(F.col("event_id") + F.col("i"), F.lit(2)) == 0)
+            cand_src.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(2)) == 0)
         )
         .select("url_hash", "canon_url")
         .repartition(2 * CPUS)

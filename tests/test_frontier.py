@@ -487,6 +487,63 @@ Disallow: /
 """
 
 
+class TestSitemaps:
+    def test_robots_sitemap_lines(self, spark):
+        body = (
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: https://a.com/sitemap.xml\n"
+            "sitemap:https://a.com/sitemap2.xml\n"
+            "SITEMAP:   https://a.com/s3.xml\n"
+            "# Sitemap: https://a.com/commented.xml is still matched? no -\n"
+        )
+        df = spark.createDataFrame([("a.com", body)], "host string, body string")
+        got = sorted(
+            r["sitemap_url"] for r in frontier.robots_sitemaps(df).collect()
+        )
+        # the directive is line-anchored: the commented line starts with '#'
+        assert got == [
+            "https://a.com/s3.xml",
+            "https://a.com/sitemap.xml",
+            "https://a.com/sitemap2.xml",
+        ]
+
+    def test_parse_sitemap_locs(self, spark):
+        xml = (
+            '<?xml version="1.0"?>\n<urlset>'
+            "<url><loc>  https://a.com/p/1  </loc></url>"
+            "<url><LOC>https://a.com/p/2?x=1&amp;y=2</LOC></url>"
+            "<url><loc></loc></url>"
+            "</urlset>"
+        ).encode() + b"\xff"  # trailing invalid byte: permissive decode
+        df = spark.createDataFrame(
+            [("https://a.com/sitemap.xml", bytearray(xml))],
+            "sitemap_url string, body binary",
+        )
+        got = sorted(r["loc"] for r in frontier.parse_sitemap(df).collect())
+        assert got == [
+            "https://a.com/p/1",
+            "https://a.com/p/2?x=1&y=2",
+        ]
+
+    def test_sitemapindex_recursion_shape(self, spark):
+        xml = (
+            "<sitemapindex>"
+            "<sitemap><loc>https://a.com/s-part1.xml</loc></sitemap>"
+            "<sitemap><loc>https://a.com/s-part2.xml</loc></sitemap>"
+            "</sitemapindex>"
+        ).encode()
+        df = spark.createDataFrame(
+            [("https://a.com/sitemap.xml", bytearray(xml))],
+            "sitemap_url string, body binary",
+        )
+        got = frontier.parse_sitemap(df).collect()
+        assert [r["loc"] for r in got] == [
+            "https://a.com/s-part1.xml",
+            "https://a.com/s-part2.xml",
+        ]
+        assert all(r["sitemap_url"] == "https://a.com/sitemap.xml" for r in got)
+
+
 class TestRobotsParser:
     def _files(self, spark, body=ROBOTS_TXT, host="h.com"):
         return spark.createDataFrame([(host, body)], "host string, body string")

@@ -136,6 +136,24 @@ class TestDecodeSeam:
         with pytest.raises(multimodal.ImageDecodeError):
             multimodal.decode_image(b"")
 
+    @pytest.mark.skipif(not _HAS_DECODER, reason="no PNG decoder on host")
+    def test_decode_images_dataframe_stage(self, spark):
+        """decode_images decodes valid PNGs and degrades corrupt/unknown
+        payloads to error rows without failing the stage."""
+        good = _png_bytes(2, 1, [1, 2, 3, 4, 5, 6])
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in multimodal.decode_images(df).collect()}
+        assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (2, 1, "RGB")
+        assert list(got[1]["pixels"]) == [1, 2, 3, 4, 5, 6]
+        assert got[1]["error"] is None
+        assert got[2]["pixels"] is None and got[2]["error"]
+        assert got[3]["pixels"] is None and got[3]["error"]
+
     def test_unsupported_container_is_declared(self):
         """Non-PNG containers (JPEG) either decode via Pillow or raise the
         declared NotImplementedError — never a silent wrong answer."""

@@ -398,3 +398,36 @@ def html_to_text(html: "Column") -> "Column":
     t = F.regexp_replace(t, r"&amp;|&AMP;|&#0*38;|&#[xX]0*26;", "&")
     t = F.replace(t, F.lit("\u00a0"), F.lit(" "))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# HTML meta extraction: RE2-safe patterns (no backreferences/lookaround) so
+# the DuckDB oracle chains them verbatim. Each returns '' on no match
+# (regexp_extract semantics), normalized to NULL by html_meta.
+HTML_CHARSET_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
+HTML_LANG_RE = r"""(?is)<html[^>]*\slang\s*=\s*["']?([A-Za-z-]+)"""
+HTML_TITLE_RE = r"(?is)<title[^>]*>([^<]*)"
+
+
+def html_meta(html: "Column") -> dict[str, "Column"]:
+    """Document metadata columns from an HTML string: declared charset
+    (from any <meta ... charset=...>, covering both the HTML5 short form
+    and the http-equiv content= form since 'charset=' appears inside the
+    content value too), the <html lang=...> language tag (lowercased, as
+    BCP 47 tags are case-insensitive), and the whitespace-collapsed
+    <title> text. Empty match → NULL. Pure Column expressions — pair with
+    make_valid_utf8(cast) upstream when the input is raw fetched bytes."""
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    return {
+        "charset": nn(F.lower(F.regexp_extract(html, HTML_CHARSET_RE, 1))),
+        "lang_tag": nn(F.lower(F.regexp_extract(html, HTML_LANG_RE, 1))),
+        "title": nn(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(html, HTML_TITLE_RE, 1), r"\s+", " "
+                )
+            )
+        ),
+    }

@@ -1128,6 +1128,58 @@ def crawl_round(
 
 
 # ---------------------------------------------------------------------------
+# sitemap discovery (robots.txt Sitemap: lines + sitemap-XML <loc> entries)
+# ---------------------------------------------------------------------------
+
+_SITEMAP_LINE_RE = r"(?m)^\s*[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\s*:\s*(\S+)"
+_SITEMAP_LOC_RE = r"(?is)<loc[^>]*>\s*([^<\s][^<]*?)\s*</loc>"
+
+
+def robots_sitemaps(
+    robots_files: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap_url) — every ``Sitemap:`` directive in each host's
+    robots.txt. Per the robots spec the directive is section-independent
+    (applies regardless of User-agent grouping), so this is a single
+    regexp_extract_all over the raw body — no section machinery. The
+    discovered URLs seed :func:`parse_sitemap` fetches, closing the
+    robots → sitemap → frontier loop."""
+    return robots_files.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit(_SITEMAP_LINE_RE), F.lit(1))
+        ).alias("sitemap_url"),
+    )
+
+
+def parse_sitemap(
+    sitemaps: DataFrame, url_col: str = "sitemap_url", body_col: str = "body"
+) -> DataFrame:
+    """(sitemap_url, loc) — every ``<loc>`` entry of fetched sitemap XML
+    (body: binary). Handles both urlset leaves and sitemapindex files (an
+    index's <loc>s are child sitemap URLs — the caller decides whether to
+    recurse, exactly like extract_links feeds crawl_round).
+
+    Same robustness contract as extract_links: bytes decode PERMISSIVELY
+    (cast + make_valid_utf8 — real sitemap fetches contain invalid UTF-8
+    and a strict decode would abort the stage under ANSI mode), whitespace
+    inside <loc> is trimmed per the sitemap protocol, and the XML-escaped
+    ampersand forms (&amp; &#38; &#x26;) are decoded in ONE alternation
+    pass (a regex replace never rescans its own output). Pure per-row
+    expressions, no shuffle, no Python."""
+    decoded = F.make_valid_utf8(F.col(body_col).cast("string"))
+    loc = F.explode(
+        F.regexp_extract_all(decoded, F.lit(_SITEMAP_LOC_RE), F.lit(1))
+    ).alias("_loc")
+    return sitemaps.select(F.col(url_col).alias("sitemap_url"), loc).select(
+        "sitemap_url",
+        F.regexp_replace(
+            F.col("_loc"), r"&amp;|&AMP;|&#0*38;|&#[xX]0*26;", "&"
+        ).alias("loc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # link discovery (the expand step: pages -> candidate URLs)
 # ---------------------------------------------------------------------------
 

@@ -239,6 +239,57 @@ def media_features(
     return df.mapInPandas(featurize, schema=FEATURES_SCHEMA)
 
 
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Real image decode as a pipeline stage: payload → (width, height,
+    mode, RGB8 pixels) via :func:`decode_image` (Pillow, else system
+    libpng). Undecodable payloads become (NULLs, error) rows instead of
+    failing the stage — crawled media is routinely corrupt, and malformed
+    input is first-class output here, never an engine crash.
+
+    Scale shape: payloads are consumed at the scan inside the Arrow batch;
+    only decoded pixel buffers move on, and nothing shuffles."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                row = {
+                    "media_id": mid,
+                    "width": None,
+                    "height": None,
+                    "mode": None,
+                    "pixels": None,
+                    "error": None,
+                }
+                try:
+                    b = bytes(data) if data is not None else b""
+                    w, h, mode, px = decode_image(b)
+                    row.update(width=w, height=h, mode=mode, pixels=px)
+                except (ImageDecodeError, NotImplementedError) as e:
+                    row["error"] = str(e)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mode", "pixels", "error"],
+            )
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
