@@ -166,3 +166,91 @@ class TestTextopsProperties:
 
         for r in rows:
             assert not _re.search(textops.PII_EMAIL_RE, r["t"]), r["t"]
+
+
+# numeric character references: decimal and hex forms across the codepoint
+# space, plus invalid ones (zero, surrogates, out-of-range, junk)
+_numref_strategy = st.one_of(
+    st.integers(min_value=1, max_value=0x10FFFF).map(lambda c: f"&#{c};"),
+    st.integers(min_value=1, max_value=0x10FFFF).map(lambda c: f"&#x{c:x};"),
+    st.integers(min_value=1, max_value=0x10FFFF).map(lambda c: f"&#X{c:X};"),
+    st.sampled_from(["&#0;", "&#xD800;", "&#xDFFF;", "&#1114112;", "&#zz;", "&#", "&#;"]),
+)
+
+
+class TestEntityDecodeProperties:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=32,
+                        max_codepoint=126,
+                        exclude_characters="&<",
+                    ),
+                    max_size=12,
+                ),
+                _numref_strategy,
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=32,
+                        max_codepoint=126,
+                        exclude_characters="&<",
+                    ),
+                    max_size=12,
+                ),
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def test_numeric_decode_matches_html_unescape(self, spark, parts):
+        """decode_numeric_entities agrees with Python's html.unescape on
+        every VALID numeric reference outside the HTML5 C1-remapping range
+        (unescape applies the windows-1252 compat table for 0x80-0x9F and
+        replaces nonchars — our decoder is a strict codepoint decoder, so
+        those are excluded by construction here), and leaves the invalid
+        forms exactly as written, where unescape drops/mangles them."""
+        import html as _html
+        import re
+
+        from wbx.extract import decode_numeric_entities
+
+        texts = [f"{a}{ref}{b}" for a, ref, b in parts]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [
+            r["d"]
+            for r in df.select(
+                decode_numeric_entities(F.col("t")).alias("d")
+            ).collect()
+        ]
+        valid_re = re.compile(r"^&#(?:([0-9]{1,7})|[xX]([0-9a-fA-F]{1,6}));$")
+        for t, (a, ref, b), d in zip(texts, parts, got):
+            m = valid_re.match(ref)
+            code = None
+            if m:
+                code = int(m.group(1)) if m.group(1) else int(m.group(2), 16)
+            # html.unescape INTENTIONALLY diverges from a strict codepoint
+            # decoder on its windows-1252 compat table (incl. CR and the
+            # C1 block) and its dropped-invalid set (C0 controls,
+            # noncharacters) — both are the stdlib's own tables, so the
+            # agreement set is exact, not hand-listed. Our decoder is a
+            # strict codepoint decoder: it decodes those too.
+            from html import _invalid_charrefs, _invalid_codepoints
+
+            ours_decodes = (
+                code is not None
+                and 0 < code <= 0x10FFFF
+                and not (0xD800 <= code <= 0xDFFF)
+                and code != 38  # deferred to the amp pass by design
+            )
+            unescape_agrees = (
+                code not in _invalid_charrefs and code not in _invalid_codepoints
+            )
+            if ours_decodes and unescape_agrees:
+                assert d == _html.unescape(t), (t, d)
+            elif ours_decodes:
+                assert d == f"{a}{chr(code)}{b}", (t, d)
+            else:
+                assert d == t, (t, d)  # invalid/deferred refs stay literal
