@@ -778,6 +778,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_html_meta"] = html_meta_q
 
+    def main_text_q(spark, sf):
+        """Boilerplate removal (wbx.extract.extract_main_text): fixture
+        pages wrap the document text in a nav link bar (short + all-link:
+        dropped), a tiny block (under min_chars: dropped), a clean closing
+        paragraph (kept), and a footer link farm that PASSES the length
+        rule but fails the link-density rule — the oracle pins the kept
+        main text closed-form."""
+        from wbx.extract import extract_main_text
+
+        docs = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit(
+                '<html><body><nav><a href="/1">Home</a> <a href="/2">About'
+                '</a> <a href="/3">Contact</a></nav><p>'
+            ),
+            F.col("text"),
+            F.lit("</p><div>tiny "),
+            F.pmod("doc_id", F.lit(9)),
+            F.lit("</div><p>Closing paragraph number "),
+            F.pmod("doc_id", F.lit(7)),
+            F.lit(
+                " with sufficient plain prose characters to be kept.</p>"
+                '<footer><a href="/x">Terms of service</a> '
+                '<a href="/y">Privacy policy statement</a>'
+                "</footer></body></html>"
+            ),
+        )
+        return docs.select(
+            "doc_id", extract_main_text(html).alias("main_text")
+        )
+
+    q["warc_main_text"] = main_text_q
+
     def h2t(spark, sf):
         """Visible-text extraction from HTML (wbx.extract.html_to_text):
         fixture pages wrap the document text in markup exercising every
@@ -1929,6 +1962,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'xml', 'https://h' || (doc_id % 13) || '.example.net/sitemap.xml',
                unnest(['https://h' || (doc_id % 13) || '.example.net/p/' || doc_id || '&v=1',
                        'https://h' || (doc_id % 13) || '.example.net/q/' || (doc_id % 5)])
+        FROM documents
+        """,
+        "warc_main_text": """
+        SELECT doc_id,
+               text || chr(10) || 'Closing paragraph number ' || (doc_id % 7)
+                    || ' with sufficient plain prose characters to be kept.'
+                 AS main_text
         FROM documents
         """,
         "warc_html_meta": """

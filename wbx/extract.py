@@ -384,6 +384,14 @@ def html_to_text(html: "Column") -> "Column":
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"<[^>]+>", " ")
+    t = _decode_entities(t)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def _decode_entities(t: "Column") -> "Column":
+    """Shared entity chain (steps 4-7 of html_to_text minus the final
+    collapse): numeric refs, named + legacy-uppercase entities, all
+    ampersand forms in one pass, U+00A0 \u2192 space."""
     t = decode_numeric_entities(t)
     for ent, ch in [
         ("&lt;", "<"),
@@ -396,8 +404,94 @@ def html_to_text(html: "Column") -> "Column":
     ]:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.regexp_replace(t, r"&amp;|&AMP;|&#0*38;|&#[xX]0*26;", "&")
-    t = F.replace(t, F.lit("\u00a0"), F.lit(" "))
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.replace(t, F.lit("\u00a0"), F.lit(" "))
+
+
+# Block-level elements: opening or closing tag ends the current text block.
+# One RE2-safe alternation, applied after script/style/comment removal.
+BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th"
+    r"|br|hr|section|article|aside|main|header|footer|nav|blockquote|pre"
+    r"|form|figure|figcaption)\b[^>]*>"
+)
+
+
+def html_blocks(html: "Column", ) -> "Column":
+    """HTML \u2192 array<struct<text, total_chars, link_chars>>: the per-block
+    decomposition behind :func:`extract_main_text`, exposed for tuning and
+    inspection. Fixed, documented semantics (every step a deterministic
+    Column primitive both engines reproduce):
+
+    1. any pre-existing U+0001/U+0002 bytes are stripped (they are the
+       internal anchor markers);
+    2. script/style bodies and comments removed;
+    3. ``<a ...>`` \u2192 U+0001 and ``</a>`` \u2192 U+0002 markers;
+    4. every block-level tag (BLOCK_TAG_RE) \u2192 newline \u2014 a block boundary;
+    5. remaining tags \u2192 space; entities decoded (shared chain);
+    6. per newline-delimited block: ``text`` = marker-stripped,
+       whitespace-collapsed visible text; ``total_chars`` = its length;
+       ``link_chars`` = collapsed length of the marker-delimited anchor
+       segments. Anchors never span blocks: an unclosed U+0001 counts to
+       the end of its block, a U+0002 with no opener in its block marks
+       nothing.
+    """
+    from wbx.textops import let_col
+
+    t = F.translate(html, "\x01\x02", "")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?i)<a\b[^>]*>", "\x01")
+    t = F.regexp_replace(t, r"(?i)</a\s*>", "\x02")
+    t = F.regexp_replace(t, F.lit(BLOCK_TAG_RE), "\n")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    t = _decode_entities(t)
+
+    def collapse(s):
+        return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+    def block(line):
+        visible = collapse(F.translate(line, "\x01\x02", ""))
+        segs = F.split(line, "\x01")
+        link = F.aggregate(
+            F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))),
+            F.lit(0),
+            lambda acc, p: acc
+            + F.length(collapse(F.substring_index(p, "\x02", 1))),
+        )
+        return F.struct(
+            visible.alias("text"),
+            F.length(visible).alias("total_chars"),
+            link.alias("link_chars"),
+        )
+
+    return let_col(F.split(t, "\n"), lambda lines: F.transform(lines, block))
+
+
+def extract_main_text(
+    html: "Column", min_chars: int = 40, max_link_density: float = 1.0 / 3.0
+) -> "Column":
+    """Boilerplate removal (simplified jusText/boilerpipe): the page's MAIN
+    text \u2014 blocks (see :func:`html_blocks`) joined by newline, keeping a
+    block iff its visible text has at least ``min_chars`` characters AND
+    its anchor-text fraction is at most ``max_link_density``. Navigation
+    bars, footer link farms, and stray fragments are exactly the blocks
+    those two rules drop; thresholds are the jusText defaults' order of
+    magnitude and are explicit parameters.
+
+    This is the curation-pipeline counterpart of :func:`html_to_text`
+    (which keeps ALL visible text): shuffle-free per-row Column algebra,
+    html never exchanged, deterministic at any parallelism."""
+    blocks = html_blocks(html)
+    kept = F.filter(
+        blocks,
+        lambda b: (b["total_chars"] >= F.lit(min_chars))
+        & (
+            b["link_chars"].cast("double")
+            <= F.lit(float(max_link_density)) * b["total_chars"].cast("double")
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda b: b["text"]), "\n")
 
 
 # HTML meta extraction: RE2-safe patterns (no backreferences/lookaround) so
