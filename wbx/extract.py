@@ -416,7 +416,7 @@ BLOCK_TAG_RE = (
 )
 
 
-def html_blocks(html: "Column", ) -> "Column":
+def html_blocks(html: "Column") -> "Column":
     """HTML \u2192 array<struct<text, total_chars, link_chars>>: the per-block
     decomposition behind :func:`extract_main_text`, exposed for tuning and
     inspection. Fixed, documented semantics (every step a deterministic
@@ -445,6 +445,10 @@ def html_blocks(html: "Column", ) -> "Column":
     t = F.regexp_replace(t, r"(?i)</a\s*>", "\x02")
     t = F.regexp_replace(t, F.lit(BLOCK_TAG_RE), "\n")
     t = F.regexp_replace(t, r"<[^>]+>", " ")
+    # entity references for U+0001/U+0002 would decode into fake anchor
+    # markers after the marker insertion above — drop them (control chars
+    # in web text are noise; documented contract of the block accounting)
+    t = F.regexp_replace(t, r"&#0*[12];|&#[xX]0*[12];", "")
     t = _decode_entities(t)
 
     def collapse(s):

@@ -905,6 +905,7 @@ def global_rank(
     keys: list[tuple[str, bool]],
     rank_col: str = "fetch_order",
     sample_per_part: int = 100,
+    max_buckets: int = 256,
 ) -> DataFrame:
     """Scalable deterministic global rank over a total order.
 
@@ -948,11 +949,21 @@ def global_rank(
 
     The resulting rank equals the row's position in the total order —
     identical at any parallelism even though bucket boundaries differ.
+
+    ``max_buckets`` bounds BOTH the driver-side sample
+    (sample_per_part × buckets rows) and the per-row bucket computation
+    (O(buckets) JVM comparisons), independent of cluster size — on a
+    10^3-executor cluster defaultParallelism would otherwise drag both to
+    tens of thousands. 256 reducers is ample for this operator's input:
+    the rank runs on the POLITENESS-CAPPED fetch batch (≤ Σ per-host
+    budgets), never the raw frontier, so per-reducer volume stays small at
+    any corpus size. Raise it only alongside a cheaper per-row bucket
+    lookup (e.g. two-level chunked boundaries).
     """
     from pyspark import StorageLevel
 
     spark = df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = min(spark.sparkContext.defaultParallelism, max_buckets)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _register_rank_cache(df)
     key_names = [k for k, _ in keys]
