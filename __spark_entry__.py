@@ -1067,13 +1067,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_plan"] = mm_frames
 
-    # rows-only companion: the stand-in byte-histogram featurizer (numeric
-    # goldens live in tests/test_multimodal.py; DuckDB lacks byte indexing)
     def mm_features(spark, sf):
+        """Byte-histogram featurizer, VALUE-checked (r4 upgrade from
+        rows-only): DuckDB has no blob byte indexing, but the fixture
+        payload is magic-bytes + utf-8 text and the corpus text is pure
+        ASCII, so the oracle reconstructs the byte stream from character
+        codes. Comparing de-normalized integer bin counts (round(f_i *
+        n_bytes)) instead of the float32 fractions sidesteps
+        float32-vs-double rounding at the 6th decimal."""
         from wbx import multimodal
 
-        return multimodal.media_features(_media(spark, sf)).select(
-            "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        media = _media(spark, sf)
+        feats = multimodal.media_features(media)
+        meta = multimodal.sniff_media(media).select("media_id", "n_bytes")
+        bin_at = lambda i: (
+            F.round(F.element_at("features", i + 1) * F.col("n_bytes"))
+            .cast("long")
+            .alias(f"n_bin{i}")
+        )
+        return feats.join(meta, "media_id").select(
+            "media_id", bin_at(0), bin_at(2), bin_at(7),
+            F.col("n_bytes").cast("long").alias("n_bytes"),
         )
 
     q["multimodal_features_head"] = mm_features
@@ -1685,6 +1699,24 @@ def oracle_sql() -> dict[str, str]:
         "warc_unparsable_lines": """
         SELECT doc_id AS junk_doc_id, 'JUNK ' || doc_id AS line
         FROM documents WHERE doc_id % 10 = 0
+        """,
+        "multimodal_features_head": """
+        WITH b AS (
+          SELECT doc_id,
+                 (CASE doc_id % 4 WHEN 0 THEN [137,80,78,71,13,10,26,10]
+                                  WHEN 1 THEN [255,216,255]
+                                  WHEN 2 THEN [71,73,70,56,57,97]
+                                  ELSE [73,68,51] END
+                  || list_transform(range(1, length(coalesce(text, '')) + 1),
+                                    i -> ord(substr(text, CAST(i AS INTEGER), 1)))
+                 ) AS bytes
+          FROM documents)
+        SELECT doc_id AS media_id,
+               CAST(len(list_filter(bytes, x -> x < 16)) AS BIGINT) AS n_bin0,
+               CAST(len(list_filter(bytes, x -> x >= 32 AND x < 48)) AS BIGINT) AS n_bin2,
+               CAST(len(list_filter(bytes, x -> x >= 112 AND x < 128)) AS BIGINT) AS n_bin7,
+               CAST(len(bytes) AS BIGINT) AS n_bytes
+        FROM b
         """,
         "multimodal_meta": """
         SELECT doc_id AS media_id,
