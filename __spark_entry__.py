@@ -1303,11 +1303,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def text_clean(spark, sf):
-        """C4 line cleaning + PII scrubbing as one per-doc suite row (both
-        are per-doc Column transforms over documents, each on its own
-        planted fixture): (cleaned_md5, keep) from the C4 gate joined with
-        scrubbed_md5 from the PII pass."""
-        return _c4_q(spark, sf).join(pii(spark, sf), "doc_id")
+        """C4 line cleaning + PII scrubbing + duplicate-line removal as
+        one per-doc suite row (all per-doc Column transforms over
+        documents, each on its own planted fixture): (cleaned_md5, keep)
+        from the C4 gate, scrubbed_md5 from the PII pass, and
+        dedup_lines_md5 from remove_duplicate_lines over a fixture with a
+        planted repeated line."""
+        base = _c4_q(spark, sf).join(pii(spark, sf), "doc_id")
+        docs = _t(spark, sf, "documents")
+        planted = F.concat(
+            F.col("text"),
+            F.lit("\nrepeat me\nunique "),
+            F.pmod("doc_id", F.lit(6)),
+            F.lit("\nrepeat me"),
+        )
+        rl = docs.select(
+            "doc_id",
+            F.md5(textops.remove_duplicate_lines(planted)).alias(
+                "dedup_lines_md5"
+            ),
+        )
+        return base.join(rl, "doc_id")
 
     q["text_clean"] = text_clean
 
@@ -1886,9 +1902,22 @@ def oracle_sql() -> dict[str, str]:
                 '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
           ) AS scrubbed_md5 FROM d
+        ),
+        rlq AS (
+          WITH d AS (
+            SELECT doc_id,
+                   text || chr(10) || 'repeat me' || chr(10) || 'unique '
+                        || (doc_id % 6) || chr(10) || 'repeat me' AS t
+            FROM documents
+          )
+          SELECT doc_id, md5(array_to_string(
+            list_filter(string_split(t, chr(10)),
+                        (x, i) -> list_position(string_split(t, chr(10))[1:i], x) = i),
+            chr(10))) AS dedup_lines_md5
+          FROM d
         )
-        SELECT doc_id, cleaned_md5, keep, scrubbed_md5
-        FROM c4q JOIN piiq USING (doc_id)
+        SELECT doc_id, cleaned_md5, keep, scrubbed_md5, dedup_lines_md5
+        FROM c4q JOIN piiq USING (doc_id) JOIN rlq USING (doc_id)
         """,
         "corpus_top_tokens": f"""
         WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),

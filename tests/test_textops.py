@@ -422,6 +422,32 @@ class TestDecontaminate:
         assert a == b
 
 
+class TestRemoveDuplicateLines:
+    def test_first_occurrence_kept(self, spark):
+        rows = [
+            ("a\nb\na\nc\nb\na", "a\nb\nc"),
+            ("only", "only"),
+            ("x\n\ny\n\nx", "x\n\ny"),  # blank repeats collapse too
+            (None, None),
+        ]
+        df = spark.createDataFrame(rows, "t string, want string")
+        got = df.select(
+            textops.remove_duplicate_lines(F.col("t")).alias("o"), "want"
+        ).collect()
+        for r in got:
+            assert r["o"] == r["want"], (r["o"], r["want"])
+
+    def test_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [("h\nh\nbody line\nh\nbody line",)], "t string"
+        )
+        once = df.select(textops.remove_duplicate_lines(F.col("t")).alias("c1"))
+        r = once.select(
+            "c1", textops.remove_duplicate_lines(F.col("c1")).alias("c2")
+        ).first()
+        assert r["c2"] == r["c1"]
+
+
 class TestC4Clean:
     def test_line_rules(self, spark):
         text = (

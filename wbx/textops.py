@@ -953,6 +953,30 @@ def decontaminate_ngram_overlap(
 _TERMINALS = ('.', '!', '?', '"', "'")
 
 
+def remove_duplicate_lines(text: Column) -> Column:
+    """Within-document repetition removal: keep the FIRST occurrence of
+    every line, drop later repeats (the line-level dedup step most
+    curation recipes run next to the C4 rules — boilerplate headers and
+    repeated navigation lines collapse to one).
+
+    Pure Column algebra: the line array is let-bound (split once), each
+    line survives iff its first position in the prefix up to itself is its
+    own position. O(lines²) comparisons per document — lines per document
+    is small and bounded, and nothing shuffles. Blank-line repeats
+    collapse like any other line; NULL → NULL."""
+    return let_col(
+        F.split(text, "\n"),
+        lambda lines: F.array_join(
+            F.filter(
+                lines,
+                lambda l, i: F.array_position(F.slice(lines, 1, i + 1), l)
+                == i + 1,
+            ),
+            "\n",
+        ),
+    )
+
+
 def c4_clean_lines(text: Column) -> Column:
     """C4-inspired line filter (Raffel et al. 2020 §2.2): keep only lines
     that end in terminal punctuation (. ! ? " '), contain at least 3
