@@ -230,6 +230,8 @@ def run_crawl(
     use_bloom: bool = True,
     bloom_partitions: int = 64,
     bloom_bits: int = 1 << 20,
+    sketch_kind: str = "bloom",
+    cuckoo_nbuckets: int = 1 << 16,
 ) -> dict:
     """Batch-iterative crawl: each round schedules a fetch batch from the
     current frontier, marks it seen, expands it into next-round candidates,
@@ -261,7 +263,14 @@ def run_crawl(
     re-checked exactly; the sketch never drops a candidate). Resuming from
     a checkpoint that predates the sketch rebuilds it once from the seen
     set.
+
+    ``sketch_kind`` picks the sketch family: "bloom" (default — densest
+    bits/key) or "cuckoo" (wbx.cuckoo — pick it when the crawl also
+    retracts URLs between rounds; its table commits as ``seen_cuckoo`` and
+    is maintained with the same O(batch) incremental contract). Both are
+    admit-only, so the fetch batches are bit-identical across kinds.
     """
+    from wbx import cuckoo as _cuckoo
     from wbx.frontier import (
         build_seen_bloom,
         crawl_round,
@@ -270,19 +279,29 @@ def run_crawl(
         update_seen_bloom,
     )
 
+    if sketch_kind not in ("bloom", "cuckoo"):
+        raise ValueError("sketch_kind must be bloom | cuckoo")
+    is_bloom = sketch_kind == "bloom"
+    table = "seen_bloom" if is_bloom else "seen_cuckoo"
     start = store.latest_round()
     if start == 0:
         seen = spark.createDataFrame([], "url_hash long, canon_url string")
         frontier = seeds
-        bloom = empty_seen_bloom(spark)
+        sketch = (
+            empty_seen_bloom(spark) if is_bloom else _cuckoo.empty_seen_cuckoo(spark)
+        )
     else:
         seen = store.load_seen(spark)
         frontier = store.load(spark, "frontier")
-        if store.has_table("seen_bloom"):
-            bloom = store.load(spark, "seen_bloom")
-        else:
+        if store.has_table(table):
+            sketch = store.load(spark, table)
+        elif is_bloom:
             # checkpoint predates the sketch — one rebuild, then incremental
-            bloom = build_seen_bloom(seen, bloom_partitions)
+            sketch = build_seen_bloom(seen, bloom_partitions)
+        else:
+            sketch = _cuckoo.build_seen_cuckoo(
+                seen, bloom_partitions, nbuckets=cuckoo_nbuckets
+            )
 
     last = None
     for rid in range(start + 1, rounds + 1):
@@ -293,8 +312,9 @@ def run_crawl(
             robots,
             batch_size,
             default_budget,
-            bloom=bloom if use_bloom else None,
+            bloom=sketch if (use_bloom and is_bloom) else None,
             bloom_partitions=bloom_partitions,
+            cuckoo=sketch if (use_bloom and not is_bloom) else None,
         ).persist()
         # the batch is already unseen (anti-joined) and unique per canon_url
         # (deduped), so it IS the round's exact seen-delta
@@ -311,8 +331,12 @@ def run_crawl(
                 "seen_delta": seen_delta,
                 "fetch_log": fetch_log,
                 "metrics": metrics,
-                "seen_bloom": update_seen_bloom(
-                    bloom, seen_delta, bloom_partitions, bloom_bits
+                table: (
+                    update_seen_bloom(sketch, seen_delta, bloom_partitions, bloom_bits)
+                    if is_bloom
+                    else _cuckoo.update_seen_cuckoo(
+                        sketch, seen_delta, bloom_partitions, cuckoo_nbuckets
+                    )
                 ),
             },
         )
@@ -320,7 +344,7 @@ def run_crawl(
         # committed files, not an ever-deepening in-memory plan
         seen = store.load_seen(spark, rid)
         frontier = store.load(spark, "frontier", rid)
-        bloom = store.load(spark, "seen_bloom", rid)
+        sketch = store.load(spark, table, rid)
         batch.unpersist()
         release_rank_caches()
         last = rid

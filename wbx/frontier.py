@@ -1094,6 +1094,7 @@ def crawl_round(
     bloom_partitions: int = 64,
     bloom_mode: str = "auto",
     broadcast_small: bool | None = None,
+    cuckoo: DataFrame | None = None,
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
@@ -1116,7 +1117,14 @@ def crawl_round(
     minority is confirmed exactly, so the result is bit-identical either
     way. Default distribution mode is "auto" — shuffle-free broadcast while
     the filters fit, copartition (no driver collect) at 10^10 scale.
-    ``broadcast_small`` is the robots/hosts join hint (see apply_robots)."""
+    ``broadcast_small`` is the robots/hosts join hint (see apply_robots).
+
+    ``cuckoo``: the deletable seen-sketch alternative (wbx.cuckoo — pick it
+    when the crawl retracts URLs: recrawl marks, blocklist reversals).
+    Mutually exclusive with ``bloom``; shares the partition-count and
+    distribution-mode knobs."""
+    if bloom is not None and cuckoo is not None:
+        raise ValueError("pass at most one seen-sketch (bloom or cuckoo)")
     canon = with_canon_url(candidates.select("url", "priority")).select(
         "canon_url", "priority"
     ).withColumn("url_hash", url_hash(F.col("canon_url")))
@@ -1126,6 +1134,12 @@ def crawl_round(
     if bloom is not None:
         unseen = filter_unseen_with_bloom(
             deduped, seen, bloom, bloom_partitions, bloom_mode
+        )
+    elif cuckoo is not None:
+        from wbx.cuckoo import filter_unseen_with_cuckoo
+
+        unseen = filter_unseen_with_cuckoo(
+            deduped, seen, cuckoo, bloom_partitions, bloom_mode
         )
     else:
         unseen = filter_unseen(deduped, seen)

@@ -231,6 +231,8 @@ def crawl_batch_processor(
     use_bloom: bool = True,
     bloom_partitions: int = 64,
     bloom_bits: int = 1 << 20,
+    sketch_kind: str = "bloom",
+    cuckoo_nbuckets: int = 1 << 16,
 ):
     """foreachBatch processor for :func:`stream_crawl` (factored out so the
     exactly-once replay contract is unit-testable without a running query).
@@ -248,7 +250,11 @@ def crawl_batch_processor(
     the LATEST committed round and is skipped, so the seen-set and fetch
     log never double-count (state lives in the store, which commits via
     atomic rename — a crash mid-commit leaves the prior round visible and
-    the replay re-runs cleanly)."""
+    the replay re-runs cleanly).
+
+    ``sketch_kind``: "bloom" (default) or "cuckoo" — same sketch families
+    and O(batch) incremental maintenance as batch run_crawl."""
+    from wbx import cuckoo as _cuckoo
     from wbx.checkpoint import round_metrics
     from wbx.frontier import (
         build_seen_bloom,
@@ -257,6 +263,11 @@ def crawl_batch_processor(
         release_rank_caches,
         update_seen_bloom,
     )
+
+    if sketch_kind not in ("bloom", "cuckoo"):
+        raise ValueError("sketch_kind must be bloom | cuckoo")
+    is_bloom = sketch_kind == "bloom"
+    table = "seen_bloom" if is_bloom else "seen_cuckoo"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -273,13 +284,21 @@ def crawl_batch_processor(
                 return  # replay of the already-committed epoch
         if prev == 0:
             seen = spark.createDataFrame([], "url_hash long, canon_url string")
-            bloom = empty_seen_bloom(spark)
+            sketch = (
+                empty_seen_bloom(spark)
+                if is_bloom
+                else _cuckoo.empty_seen_cuckoo(spark)
+            )
         else:
             seen = store.load_seen(spark)
-            if store.has_table("seen_bloom", prev):
-                bloom = store.load(spark, "seen_bloom", prev)
+            if store.has_table(table, prev):
+                sketch = store.load(spark, table, prev)
+            elif is_bloom:
+                sketch = build_seen_bloom(seen, bloom_partitions)
             else:
-                bloom = build_seen_bloom(seen, bloom_partitions)
+                sketch = _cuckoo.build_seen_cuckoo(
+                    seen, bloom_partitions, nbuckets=cuckoo_nbuckets
+                )
         rid = prev + 1
         batch = crawl_round(
             batch_df,
@@ -288,8 +307,9 @@ def crawl_batch_processor(
             robots,
             batch_size,
             default_budget,
-            bloom=bloom if use_bloom else None,
+            bloom=sketch if (use_bloom and is_bloom) else None,
             bloom_partitions=bloom_partitions,
+            cuckoo=sketch if (use_bloom and not is_bloom) else None,
         ).persist()
         seen_delta = batch.select("url_hash", "canon_url")
         fetch_log = batch.select(
@@ -306,8 +326,12 @@ def crawl_batch_processor(
                 "seen_delta": seen_delta,
                 "fetch_log": fetch_log,
                 "metrics": round_metrics(rid, batch, seen_delta),
-                "seen_bloom": update_seen_bloom(
-                    bloom, seen_delta, bloom_partitions, bloom_bits
+                table: (
+                    update_seen_bloom(sketch, seen_delta, bloom_partitions, bloom_bits)
+                    if is_bloom
+                    else _cuckoo.update_seen_cuckoo(
+                        sketch, seen_delta, bloom_partitions, cuckoo_nbuckets
+                    )
                 ),
                 "stream_marker": spark.createDataFrame(
                     [(int(batch_id),)], "batch_id long"
