@@ -470,6 +470,53 @@ class TestGlobalRank:
         assert got_a == got_b
         assert sorted(got_a.values()) == list(range(1, 301))
 
+    def test_rank_boundary_cache_warm_and_stale(self, spark):
+        """Boundary reuse never changes the rank: (1) a warm cache hit
+        yields the cold result, (2) boundaries sampled from a DIFFERENT
+        (disjoint, skewed) input — maximal staleness — still yield the
+        exact total order, because boundaries steer balance only."""
+        keys = [("priority", False), ("canon_url", True)]
+        rows = [(f"http://h/{i:03d}", float(i % 4)) for i in range(300)]
+        df = frontier.with_canonical(
+            spark.createDataFrame(rows, "url string, priority double")
+        )
+        cold = {
+            r["canon_url"]: r["fetch_order"]
+            for r in frontier.global_rank(df, keys, sample_per_part=1).collect()
+        }
+        cache: dict = {}
+        first = frontier.global_rank(
+            df, keys, sample_per_part=1, boundary_cache=cache
+        )
+        first.count()
+        assert cache, "miss path must populate the cache"
+        warm = {
+            r["canon_url"]: r["fetch_order"]
+            for r in frontier.global_rank(
+                df, keys, sample_per_part=1, boundary_cache=cache
+            ).collect()
+        }
+        assert warm == cold
+        # stale: boundaries from a disjoint high-priority input
+        other = frontier.with_canonical(
+            spark.createDataFrame(
+                [(f"http://zzz/{i}", 99.0) for i in range(50)],
+                "url string, priority double",
+            )
+        )
+        stale_cache: dict = {}
+        frontier.global_rank(
+            other, keys, sample_per_part=1, boundary_cache=stale_cache
+        ).count()
+        stale = {
+            r["canon_url"]: r["fetch_order"]
+            for r in frontier.global_rank(
+                df, keys, sample_per_part=1, boundary_cache=stale_cache
+            ).collect()
+        }
+        frontier.release_rank_caches()
+        assert stale == cold
+
 
 ROBOTS_TXT = """\
 # global section

@@ -232,6 +232,7 @@ def run_crawl(
     bloom_bits: int = 1 << 20,
     sketch_kind: str = "bloom",
     cuckoo_nbuckets: int = 1 << 16,
+    rank_refresh_every: int = 8,
 ) -> dict:
     """Batch-iterative crawl: each round schedules a fetch batch from the
     current frontier, marks it seen, expands it into next-round candidates,
@@ -304,7 +305,14 @@ def run_crawl(
             )
 
     last = None
+    # rank-boundary reuse across rounds (see global_rank): boundaries only
+    # steer partition balance, so a later round may rank against an earlier
+    # round's sample; refreshed every `rank_refresh_every` rounds so the
+    # balance tracks the frontier's drifting key distribution
+    rank_cache: dict = {}
     for rid in range(start + 1, rounds + 1):
+        if rank_refresh_every and (rid - start - 1) % rank_refresh_every == 0:
+            rank_cache.clear()
         batch = crawl_round(
             frontier,
             seen,
@@ -315,6 +323,7 @@ def run_crawl(
             bloom=sketch if (use_bloom and is_bloom) else None,
             bloom_partitions=bloom_partitions,
             cuckoo=sketch if (use_bloom and not is_bloom) else None,
+            rank_boundary_cache=rank_cache,
         ).persist()
         # the batch is already unseen (anti-joined) and unique per canon_url
         # (deduped), so it IS the round's exact seen-delta

@@ -168,6 +168,94 @@ _CANON_TMP = (
 )
 
 
+def _jvm_token() -> tuple:
+    """Identity of the live JVM-side context, for memoizing Column trees.
+    Unresolved Columns wrap java objects: reusable across DataFrames of one
+    context, dead after a context restart — so caches key on this."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return (id(sc), sc.applicationId if sc is not None else None)
+
+
+def _canon_stage_levels(url_col: str, out_col: str) -> tuple:
+    """Level-grouped staged columns for with_canon_url: each dict is one
+    withColumns() projection; a level only references columns from earlier
+    levels, so the chain is 8 analysis passes instead of 13 (driver plan
+    analysis is the measured fixed cost of a warm crawl round)."""
+    port80 = F.col("_scheme").eqNullSafe("http") & F.col("_auth0").endswith(":80")
+    port443 = F.col("_scheme").eqNullSafe("https") & F.col("_auth0").endswith(":443")
+    canon = F.when(
+        ~F.col("_scheme_ok"),
+        F.when(F.col("_u0").startswith("://"), F.col("_u0")).otherwise(
+            F.concat(F.lit("://"), F.col("_u0"))
+        ),
+    ).otherwise(
+        F.concat(F.col("_scheme"), F.lit("://"), F.col("_auth"), F.col("_rest"))
+    )
+    return (
+        {"_u0": F.substring_index(F.trim(F.col(url_col)), "#", 1)},
+        {"_sep": F.instr(F.col("_u0"), "://")},
+        {
+            "_scheme_raw": F.col("_u0").substr(F.lit(1), F.col("_sep") - 1),
+            "_after": F.col("_u0").substr(F.col("_sep") + 3, F.lit(1 << 30)),
+        },
+        {
+            "_slash": F.locate("/", F.col("_after")),
+            "_qm": F.locate("?", F.col("_after")),
+            "_scheme": F.lower(F.col("_scheme_raw")),
+            "_scheme_ok": (F.col("_sep") > 0)
+            & F.col("_scheme_raw").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$"),
+        },
+        {
+            "_cut": F.when(
+                (F.col("_slash") > 0)
+                & ((F.col("_qm") == 0) | (F.col("_slash") < F.col("_qm"))),
+                F.col("_slash"),
+            )
+            .when(F.col("_qm") > 0, F.col("_qm"))
+            .otherwise(F.lit(0))
+        },
+        {
+            "_auth0": F.lower(
+                F.when(
+                    F.col("_cut") > 0,
+                    F.col("_after").substr(F.lit(1), F.col("_cut") - 1),
+                ).otherwise(F.col("_after"))
+            ),
+            "_rest": F.when(
+                F.col("_cut") > 0,
+                F.col("_after").substr(F.col("_cut"), F.lit(1 << 30)),
+            ).otherwise(F.lit("/")),
+        },
+        {
+            "_auth": F.when(
+                port80, F.col("_auth0").substr(F.lit(1), F.length("_auth0") - 3)
+            )
+            .when(port443, F.col("_auth0").substr(F.lit(1), F.length("_auth0") - 4))
+            .otherwise(F.col("_auth0"))
+        },
+        {out_col: canon},
+    )
+
+
+_COL_TREE_CACHE: dict = {}
+
+
+def _memo_levels(kind: str, builder, *params) -> tuple:
+    """Per-JVM memo of staged Column-tree levels: rebuilding these is
+    hundreds of py4j round-trips per crawl round (measured ~1s serial
+    driver time at 16 cores), for byte-identical unresolved expressions."""
+    key = (kind, params, _jvm_token())
+    hit = _COL_TREE_CACHE.get(key)
+    if hit is None:
+        # drop trees from dead JVMs so the cache never grows unbounded
+        for k in [k for k in _COL_TREE_CACHE if k[2] != key[2]]:
+            del _COL_TREE_CACHE[k]
+        hit = _COL_TREE_CACHE[key] = builder(*params)
+    return hit
+
+
 def with_canon_url(
     urls: DataFrame, url_col: str = "url", out_col: str = "canon_url"
 ) -> DataFrame:
@@ -183,70 +271,47 @@ def with_canon_url(
     makes codegen evaluate it ONCE via an attribute reference;
     CollapseProject keeps multi-referenced non-cheap aliases staged, so the
     shape survives optimization. Guard: tests/test_plans.py asserts the
-    frontier pipeline compiles with codegen fallback disabled."""
+    frontier pipeline compiles with codegen fallback disabled.
+
+    Driver-cost shape (r4): the stages land as level-grouped
+    ``withColumns`` projections with memoized Column trees — 8 analysis
+    passes and zero py4j expression rebuilding on warm rounds, which is
+    where the fixed driver cost of an iterative crawl went (see
+    BENCH/BASELINE.md session N)."""
     from wbx.textops import assert_staging_free
 
     assert_staging_free(urls, _CANON_TMP, "with_canon_url")
-    port80 = F.col("_scheme").eqNullSafe("http") & F.col("_auth0").endswith(":80")
-    port443 = F.col("_scheme").eqNullSafe("https") & F.col("_auth0").endswith(":443")
-    canon = F.when(
-        ~F.col("_scheme_ok"),
-        F.when(F.col("_u0").startswith("://"), F.col("_u0")).otherwise(
-            F.concat(F.lit("://"), F.col("_u0"))
-        ),
-    ).otherwise(F.concat(F.col("_scheme"), F.lit("://"), F.col("_auth"), F.col("_rest")))
+    df = urls
+    for level in _memo_levels("canon", _canon_stage_levels, url_col, out_col):
+        df = df.withColumns(level)
+    return df.drop(*_CANON_TMP)
+
+
+def _auth_stage_levels(src: str) -> tuple:
+    """Level-grouped staged columns for _with_authority_stages (same
+    memoized-withColumns rationale as _canon_stage_levels)."""
     return (
-        urls.withColumn("_u0", F.substring_index(F.trim(F.col(url_col)), "#", 1))
-        .withColumn("_sep", F.instr(F.col("_u0"), "://"))
-        .withColumn("_scheme_raw", F.col("_u0").substr(F.lit(1), F.col("_sep") - 1))
-        .withColumn("_after", F.col("_u0").substr(F.col("_sep") + 3, F.lit(1 << 30)))
-        .withColumn("_slash", F.locate("/", F.col("_after")))
-        .withColumn("_qm", F.locate("?", F.col("_after")))
-        .withColumn(
-            "_cut",
-            F.when(
-                (F.col("_slash") > 0)
-                & ((F.col("_qm") == 0) | (F.col("_slash") < F.col("_qm"))),
-                F.col("_slash"),
+        {"_fsep": F.instr(F.col(src), "://")},
+        {
+            "_fscheme_ok": (F.col("_fsep") > 0)
+            & F.col(src)
+            .substr(F.lit(1), F.col("_fsep") - 1)
+            .rlike(r"^[a-z][a-z0-9+.-]*$"),
+            "_fafter": F.col(src).substr(F.col("_fsep") + 3, F.lit(1 << 30)),
+        },
+        {
+            "_fslash": F.locate("/", F.col("_fafter")),
+            "_fqm": F.locate("?", F.col("_fafter")),
+        },
+        {
+            "_fcut": F.when(
+                (F.col("_fslash") > 0)
+                & ((F.col("_fqm") == 0) | (F.col("_fslash") < F.col("_fqm"))),
+                F.col("_fslash"),
             )
-            .when(F.col("_qm") > 0, F.col("_qm"))
-            .otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "_auth0",
-            F.lower(
-                F.when(
-                    F.col("_cut") > 0,
-                    F.col("_after").substr(F.lit(1), F.col("_cut") - 1),
-                ).otherwise(F.col("_after"))
-            ),
-        )
-        .withColumn(
-            "_rest",
-            F.when(
-                F.col("_cut") > 0,
-                F.col("_after").substr(F.col("_cut"), F.lit(1 << 30)),
-            ).otherwise(F.lit("/")),
-        )
-        .withColumn("_scheme", F.lower(F.col("_scheme_raw")))
-        .withColumn(
-            "_scheme_ok",
-            (F.col("_sep") > 0)
-            & F.col("_scheme_raw").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$"),
-        )
-        .withColumn(
-            "_auth",
-            F.when(
-                port80, F.col("_auth0").substr(F.lit(1), F.length("_auth0") - 3)
-            )
-            .when(port443, F.col("_auth0").substr(F.lit(1), F.length("_auth0") - 4))
-            .otherwise(F.col("_auth0")),
-        )
-        .withColumn(out_col, canon)
-        .drop(
-            "_u0", "_sep", "_scheme_raw", "_after", "_slash", "_qm", "_cut",
-            "_auth0", "_rest", "_scheme", "_scheme_ok", "_auth",
-        )
+            .when(F.col("_fqm") > 0, F.col("_fqm"))
+            .otherwise(F.lit(0))
+        },
     )
 
 
@@ -263,32 +328,33 @@ def _with_authority_stages(df: DataFrame, src: str) -> DataFrame:
     from wbx.textops import assert_staging_free
 
     assert_staging_free(df, tuple(_AUTH_TMP), "with_url_host/with_url_path")
-    return (
-        df.withColumn("_fsep", F.instr(F.col(src), "://"))
-        .withColumn(
-            "_fscheme_ok",
-            (F.col("_fsep") > 0)
-            & F.col(src)
-            .substr(F.lit(1), F.col("_fsep") - 1)
-            .rlike(r"^[a-z][a-z0-9+.-]*$"),
-        )
-        .withColumn("_fafter", F.col(src).substr(F.col("_fsep") + 3, F.lit(1 << 30)))
-        .withColumn("_fslash", F.locate("/", F.col("_fafter")))
-        .withColumn("_fqm", F.locate("?", F.col("_fafter")))
-        .withColumn(
-            "_fcut",
-            F.when(
-                (F.col("_fslash") > 0)
-                & ((F.col("_fqm") == 0) | (F.col("_fslash") < F.col("_fqm"))),
-                F.col("_fslash"),
-            )
-            .when(F.col("_fqm") > 0, F.col("_fqm"))
-            .otherwise(F.lit(0)),
-        )
-    )
+    for level in _memo_levels("auth", _auth_stage_levels, src):
+        df = df.withColumns(level)
+    return df
 
 
 _AUTH_TMP = ["_fsep", "_fscheme_ok", "_fafter", "_fslash", "_fqm", "_fcut"]
+
+
+def _host_tail_levels(src: str, out: str) -> tuple:
+    return (
+        {
+            "_fauth": F.when(
+                F.col("_fcut") > 0,
+                F.col("_fafter").substr(F.lit(1), F.col("_fcut") - 1),
+            ).otherwise(F.col("_fafter"))
+        },
+        {
+            out: F.when(F.col(src).isNull(), F.lit(None).cast("string"))
+            .when(
+                F.col("_fscheme_ok"),
+                F.regexp_replace(
+                    F.substring_index(F.col("_fauth"), "@", -1), r":[0-9]+$", ""
+                ),
+            )
+            .otherwise(F.lit(""))
+        },
+    )
 
 
 def with_url_host(
@@ -296,27 +362,31 @@ def with_url_host(
 ) -> DataFrame:
     """url_host as a staged multi-project pipeline (hot-path form; semantics
     identical to the url_host expression — equivalence pinned by tests)."""
+    df = _with_authority_stages(df, src)
+    for level in _memo_levels("host_tail", _host_tail_levels, src, out):
+        df = df.withColumns(level)
+    return df.drop(*_AUTH_TMP, "_fauth")
+
+
+def _path_tail_levels(src: str, out: str) -> tuple:
     return (
-        _with_authority_stages(df, src)
-        .withColumn(
-            "_fauth",
-            F.when(
+        {
+            "_frest": F.when(
                 F.col("_fcut") > 0,
-                F.col("_fafter").substr(F.lit(1), F.col("_fcut") - 1),
-            ).otherwise(F.col("_fafter")),
-        )
-        .withColumn(
-            out,
-            F.when(F.col(src).isNull(), F.lit(None).cast("string"))
-            .when(
-                F.col("_fscheme_ok"),
-                F.regexp_replace(
-                    F.substring_index(F.col("_fauth"), "@", -1), r":[0-9]+$", ""
-                ),
-            )
-            .otherwise(F.lit("")),
-        )
-        .drop(*_AUTH_TMP, "_fauth")
+                F.col("_fafter").substr(F.col("_fcut"), F.lit(1 << 30)),
+            ).otherwise(F.lit(""))
+        },
+        {
+            "_fp": F.when(
+                F.col("_fscheme_ok") & F.col("_frest").startswith("/"),
+                F.substring_index(F.col("_frest"), "?", 1),
+            ).otherwise(F.lit(""))
+        },
+        {
+            out: F.when(F.col(src).isNull(), F.lit(None).cast("string"))
+            .when(F.col("_fp") == "", F.lit("/"))
+            .otherwise(F.col("_fp"))
+        },
     )
 
 
@@ -325,30 +395,10 @@ def with_url_path(
 ) -> DataFrame:
     """url_path as a staged multi-project pipeline (hot-path form; semantics
     identical to the url_path expression — equivalence pinned by tests)."""
-    return (
-        _with_authority_stages(df, src)
-        .withColumn(
-            "_frest",
-            F.when(
-                F.col("_fcut") > 0,
-                F.col("_fafter").substr(F.col("_fcut"), F.lit(1 << 30)),
-            ).otherwise(F.lit("")),
-        )
-        .withColumn(
-            "_fp",
-            F.when(
-                F.col("_fscheme_ok") & F.col("_frest").startswith("/"),
-                F.substring_index(F.col("_frest"), "?", 1),
-            ).otherwise(F.lit("")),
-        )
-        .withColumn(
-            out,
-            F.when(F.col(src).isNull(), F.lit(None).cast("string"))
-            .when(F.col("_fp") == "", F.lit("/"))
-            .otherwise(F.col("_fp")),
-        )
-        .drop(*_AUTH_TMP, "_frest", "_fp")
-    )
+    df = _with_authority_stages(df, src)
+    for level in _memo_levels("path_tail", _path_tail_levels, src, out):
+        df = df.withColumns(level)
+    return df.drop(*_AUTH_TMP, "_frest", "_fp")
 
 
 def with_canonical(urls: DataFrame, url_col: str = "url") -> DataFrame:
@@ -906,6 +956,7 @@ def global_rank(
     rank_col: str = "fetch_order",
     sample_per_part: int = 100,
     max_buckets: int = 256,
+    boundary_cache: dict | None = None,
 ) -> DataFrame:
     """Scalable deterministic global rank over a total order.
 
@@ -959,6 +1010,19 @@ def global_rank(
     budgets), never the raw frontier, so per-reducer volume stays small at
     any corpus size. Raise it only alongside a cheaper per-row bucket
     lookup (e.g. two-level chunked boundaries).
+
+    ``boundary_cache``: caller-owned dict reusing sampled boundaries across
+    rounds. Because boundaries affect only partition balance — the rank is
+    offset + local position, both pure functions of the data — a round may
+    rank against the PREVIOUS round's boundaries with zero correctness
+    impact, and an iterative crawl's key distribution drifts slowly, so
+    balance stays good too. A cache hit removes BOTH driver-side pre-jobs
+    (the materializing count and the sample collect): the whole rank
+    becomes one action whose broadcast subtree (the bucket-counts
+    aggregate) populates the persisted input for the bucket shuffle that
+    follows. The caller controls staleness by clearing the dict (run_crawl
+    refreshes every few rounds; the bench shares one dict across reps,
+    which is exactly the steady-state crawl regime the metric targets).
     """
     from pyspark import StorageLevel
 
@@ -972,74 +1036,92 @@ def global_rank(
         for k, asc in keys
     ]
 
-    # --- boundary sample (driver-side, bounded by sample_per_part*n_part) --
-    n = df.count()  # materializes the cache; sizes the sample fraction
-    target = sample_per_part * n_part
-    if n > target:
-        keyed = df.select(*key_names).sample(False, target / n, seed=42)
+    cache_key = (tuple(keys), n_part, sample_per_part)
+    if boundary_cache is not None and cache_key in boundary_cache:
+        bvals = boundary_cache[cache_key]
     else:
-        keyed = df.select(*key_names)
-    rows = [tuple(r) for r in keyed.collect()]
+        # --- boundary sample (driver-side, ≤ sample_per_part*n_part rows) --
+        n = df.count()  # materializes the cache; sizes the sample fraction
+        target = sample_per_part * n_part
+        if n > target:
+            keyed = df.select(*key_names).sample(False, target / n, seed=42)
+        else:
+            keyed = df.select(*key_names)
+        rows = [tuple(r) for r in keyed.collect()]
 
-    def _cmp(a, b):
-        for i, (_, asc) in enumerate(keys):
-            x, y = a[i], b[i]
-            if x == y:
-                continue
-            if x is None:
-                return 1  # nulls last
-            if y is None:
-                return -1
-            if x < y:
-                return -1 if asc else 1
-            return 1 if asc else -1
-        return 0
+        def _cmp(a, b):
+            for i, (_, asc) in enumerate(keys):
+                x, y = a[i], b[i]
+                if x == y:
+                    continue
+                if x is None:
+                    return 1  # nulls last
+                if y is None:
+                    return -1
+                if x < y:
+                    return -1 if asc else 1
+                return 1 if asc else -1
+            return 0
 
-    import functools
+        import functools
 
-    rows.sort(key=functools.cmp_to_key(_cmp))
-    bvals: list[tuple] = []
-    m = len(rows)
-    for i in range(1, n_part):
-        if not m:
-            break
-        t = rows[(m * i) // n_part]
-        if not bvals or t != bvals[-1]:
-            bvals.append(t)
+        rows.sort(key=functools.cmp_to_key(_cmp))
+        bvals = []
+        m = len(rows)
+        for i in range(1, n_part):
+            if not m:
+                break
+            t = rows[(m * i) // n_part]
+            if not bvals or t != bvals[-1]:
+                bvals.append(t)
+        if boundary_cache is not None:
+            boundary_cache[cache_key] = bvals
 
     # --- monotone bucket column -------------------------------------------
-    if bvals:
-        fields = df.select(*key_names).schema.fields
-        barr = F.array(
-            *[
-                F.struct(
-                    *[
-                        F.lit(v).cast(f.dataType).alias(f.name)
-                        for v, f in zip(t, fields)
-                    ]
-                )
-                for t in bvals
-            ]
-        )
+    # the literal boundary array is ~n_part structs = thousands of py4j
+    # calls to rebuild (measured 0.4s/round warm) for a byte-identical
+    # expression, so the built Column memoizes alongside the boundaries,
+    # keyed by key datatypes + JVM identity (cross-context Columns are dead)
+    types = tuple(
+        f.dataType.simpleString() for f in df.select(*key_names).schema.fields
+    )
+    col_key = (cache_key, types, "bucket_col", _jvm_token())
+    bucket = boundary_cache.get(col_key) if boundary_cache is not None else None
+    if bucket is None:
+        if bvals:
+            fields = df.select(*key_names).schema.fields
+            barr = F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.lit(v).cast(f.dataType).alias(f.name)
+                            for v, f in zip(t, fields)
+                        ]
+                    )
+                    for t in bvals
+                ]
+            )
 
-        def row_after(b):
-            # row sorts strictly after boundary b (nulls last, both dirs)
-            cond = F.lit(False)
-            eqs = F.lit(True)
-            for kname, asc in keys:
-                c = F.col(kname)
-                bv = b[kname]
-                basic = (c > bv) if asc else (c < bv)
-                gt = (c.isNull() & bv.isNotNull()) | F.coalesce(
-                    basic, F.lit(False)
-                )
-                cond = cond | (eqs & gt)
-                eqs = eqs & c.eqNullSafe(bv)
-            return cond
+            def row_after(b):
+                # row sorts strictly after boundary b (nulls last, both dirs)
+                cond = F.lit(False)
+                eqs = F.lit(True)
+                for kname, asc in keys:
+                    c = F.col(kname)
+                    bv = b[kname]
+                    basic = (c > bv) if asc else (c < bv)
+                    gt = (c.isNull() & bv.isNotNull()) | F.coalesce(
+                        basic, F.lit(False)
+                    )
+                    cond = cond | (eqs & gt)
+                    eqs = eqs & c.eqNullSafe(bv)
+                return cond
 
-        bucket = F.size(F.filter(barr, row_after))
-    else:
-        bucket = F.lit(0)
+            bucket = F.size(F.filter(barr, row_after))
+        else:
+            bucket = F.lit(0)
+        if boundary_cache is not None:
+            boundary_cache[col_key] = bucket
 
     staged = df.withColumn("_rbucket", bucket)
     counts = staged.groupBy("_rbucket").agg(F.count("*").alias("_n"))
@@ -1063,6 +1145,7 @@ def schedule_fetch_batch(
     frontier: DataFrame,
     batch_size: int | None = None,
     salt_buckets: int = 16,
+    boundary_cache: dict | None = None,
 ) -> DataFrame:
     """Deterministic global fetch order: rank by (priority DESC, canon_url).
 
@@ -1071,7 +1154,10 @@ def schedule_fetch_batch(
     (priority, canon_url) — salt never affects it.
     """
     batch = global_rank(
-        frontier, [("priority", False), ("canon_url", True)], "fetch_order"
+        frontier,
+        [("priority", False), ("canon_url", True)],
+        "fetch_order",
+        boundary_cache=boundary_cache,
     )
     if batch_size is not None:
         batch = batch.filter(F.col("fetch_order") <= batch_size)
@@ -1095,6 +1181,7 @@ def crawl_round(
     bloom_mode: str = "auto",
     broadcast_small: bool | None = None,
     cuckoo: DataFrame | None = None,
+    rank_boundary_cache: dict | None = None,
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
@@ -1122,7 +1209,11 @@ def crawl_round(
     ``cuckoo``: the deletable seen-sketch alternative (wbx.cuckoo — pick it
     when the crawl retracts URLs: recrawl marks, blocklist reversals).
     Mutually exclusive with ``bloom``; shares the partition-count and
-    distribution-mode knobs."""
+    distribution-mode knobs.
+
+    ``rank_boundary_cache``: pass one dict across rounds to reuse the
+    scheduler's rank boundaries (see global_rank) — warm rounds then run
+    as a single Spark action with no driver-side pre-jobs."""
     if bloom is not None and cuckoo is not None:
         raise ValueError("pass at most one seen-sketch (bloom or cuckoo)")
     canon = with_canon_url(candidates.select("url", "priority")).select(
@@ -1147,9 +1238,9 @@ def crawl_round(
     if robots is not None:
         unseen = apply_robots(unseen, robots, broadcast_small)
     polite = apply_politeness(unseen, hosts, default_budget, broadcast_small)
-    return schedule_fetch_batch(polite, batch_size).select(
-        "canon_url", "url_hash", "host", "priority", "fetch_order"
-    )
+    return schedule_fetch_batch(
+        polite, batch_size, boundary_cache=rank_boundary_cache
+    ).select("canon_url", "url_hash", "host", "priority", "fetch_order")
 
 
 # ---------------------------------------------------------------------------
