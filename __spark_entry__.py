@@ -567,6 +567,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_unseen"] = unseen
 
+    def unseen_split(spark, sf):
+        """Compacted-store membership path (wbx/frontier.py
+        filter_unseen_split): the seen set arrives SPLIT as a compacted
+        base + recent deltas — the shape CheckpointStore.load_seen_split
+        yields after compact_seen(bucketed=True) — and the anti-join
+        chains base-then-recent without ever unioning the cumulative set.
+        Bit-identical to filter_unseen on the union (the anti-join
+        distributes over it), so the oracle is the plain set difference;
+        the no-shuffle-on-base plan shape is pinned in tests/test_plans.py."""
+        from wbx.frontier import filter_unseen_split, with_canonical
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        url = F.concat(
+            F.lit("http://h"), F.pmod("doc_id", F.lit(20)), F.lit(".com/d/"), F.col("doc_id")
+        )
+        cand = with_canonical(docs.select("doc_id", url.alias("url")))
+        seen = cand.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+            "url_hash", "canon_url"
+        )
+        base = seen.filter(F.pmod("url_hash", F.lit(2)) == 0)
+        recent = seen.filter(F.pmod("url_hash", F.lit(2)) != 0)
+        return filter_unseen_split(
+            cand, base, recent, broadcast_recent=True
+        ).select("doc_id", "canon_url")
+
+    q["frontier_unseen_split"] = unseen_split
+
     def unseen_cuckoo(spark, sf):
         """The cuckoo half of the north_rule's "bloom/cuckoo URL-seen set"
         (wbx/cuckoo.py): build the partitioned filter over the seen set,
@@ -1686,6 +1713,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "frontier_unseen": """
+        SELECT doc_id, 'http://h' || (doc_id % 20) || '.com/d/' || doc_id AS canon_url
+        FROM documents WHERE doc_id % 3 <> 0
+        """,
+        # split base/recent is a partition of the same seen set, so the
+        # oracle is the identical set difference
+        "frontier_unseen_split": """
         SELECT doc_id, 'http://h' || (doc_id % 20) || '.com/d/' || doc_id AS canon_url
         FROM documents WHERE doc_id % 3 <> 0
         """,

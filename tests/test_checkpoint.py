@@ -197,3 +197,105 @@ class TestCompaction:
         st.compact_seen(spark)
         # asking for an older round must NOT see the (newer) base
         assert sorted(map(tuple, st.load_seen(spark, 2).collect())) == want_r2
+
+
+class TestBucketedSeenBase:
+    """compact_seen(bucketed=True) + load_seen_split: the shuffle-free
+    membership path for the 10^10-URL seen set (frontier.filter_unseen_split).
+    Correctness here; the no-exchange plan shape is pinned in test_plans.py."""
+
+    def test_bucketed_compact_preserves_exact_seen_set(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "b1"))
+        run_crawl(spark, store, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=3)
+        before = sorted(map(tuple, store.load_seen(spark).collect()))
+        marker = store.compact_seen(spark, buckets=8, bucketed=True)
+        assert marker["compacted_through"] == 3 and marker["buckets"] == 8
+        base, recent, nb = store.load_seen_split(spark)
+        assert nb == 8 and recent.count() == 0
+        assert sorted(map(tuple, base.collect())) == before
+        # load_seen (the union reader) sees the same set through the base
+        assert sorted(map(tuple, store.load_seen(spark).collect())) == before
+
+    def test_split_load_covers_post_compaction_deltas(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "b2"))
+        run_crawl(spark, store, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=2)
+        store.compact_seen(spark, buckets=8, bucketed=True)
+        run_crawl(spark, store, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=4)
+        base, recent, nb = store.load_seen_split(spark)
+        got = sorted(map(tuple, base.unionByName(recent).collect()))
+        assert got == sorted(map(tuple, store.load_seen(spark).collect()))
+        assert recent.count() > 0  # rounds 3-4 deltas ride the recent side
+
+    def test_split_load_falls_back_without_bucketed_compaction(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "b3"))
+        run_crawl(spark, store, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=2)
+        base, recent, nb = store.load_seen_split(spark)
+        assert base is None and nb == 0
+        assert sorted(map(tuple, recent.collect())) == sorted(
+            map(tuple, store.load_seen(spark).collect())
+        )
+        # plain (non-bucketed) compaction must also use the fallback: its
+        # files carry no bucket metadata
+        store.compact_seen(spark, buckets=8)
+        base, recent, nb = store.load_seen_split(spark)
+        assert base is None and nb == 0
+
+    def test_split_load_history_read_predating_compaction(self, spark, tmp_path):
+        store = CheckpointStore(str(tmp_path / "b4"))
+        run_crawl(spark, store, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=3)
+        want_r2 = sorted(map(tuple, store.load_seen(spark, 2).collect()))
+        store.compact_seen(spark, buckets=8, bucketed=True)
+        # the round-2 view must NOT see the round-3 base (it holds future keys)
+        base, recent, nb = store.load_seen_split(spark, 2)
+        assert base is None and nb == 0
+        assert sorted(map(tuple, recent.collect())) == want_r2
+
+    def test_run_crawl_with_compact_every_is_bit_identical(self, spark, tmp_path):
+        ref = CheckpointStore(str(tmp_path / "ref"))
+        run_crawl(spark, ref, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=5)
+        st = CheckpointStore(str(tmp_path / "cmp"))
+        run_crawl(
+            spark, st, seeds_df(spark), make_expand(spark), hosts_df(spark),
+            rounds=5, compact_every=2,
+        )
+        assert st._compaction()["buckets"] > 0  # the bucketed path actually ran
+        a = sorted(map(tuple, ref.load_seen(spark).collect()))
+        b = sorted(map(tuple, st.load_seen(spark).collect()))
+        assert a == b
+        for rid in range(1, 6):
+            fa = sorted(map(tuple, ref.load(spark, "fetch_log", rid).collect()))
+            fb = sorted(map(tuple, st.load(spark, "fetch_log", rid).collect()))
+            assert fa == fb
+
+    def test_resume_after_bucketed_compaction_identical(self, spark, tmp_path):
+        ref = CheckpointStore(str(tmp_path / "ref2"))
+        run_crawl(spark, ref, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=5)
+        st = CheckpointStore(str(tmp_path / "cmp2"))
+        run_crawl(spark, st, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=3)
+        st.compact_seen(spark, buckets=8, bucketed=True)
+        # killed here; resume continues on the split membership path
+        run_crawl(
+            spark, st, seeds_df(spark), make_expand(spark), hosts_df(spark),
+            rounds=5, compact_every=2,
+        )
+        assert sorted(map(tuple, ref.load_seen(spark).collect())) == sorted(
+            map(tuple, st.load_seen(spark).collect())
+        )
+        fa = sorted(map(tuple, ref.load(spark, "fetch_log", 5).collect()))
+        fb = sorted(map(tuple, st.load(spark, "fetch_log", 5).collect()))
+        assert fa == fb
+
+    def test_run_crawl_compact_every_cuckoo_kind_identical(self, spark, tmp_path):
+        ref = CheckpointStore(str(tmp_path / "ref3"))
+        run_crawl(spark, ref, seeds_df(spark), make_expand(spark), hosts_df(spark), rounds=4)
+        st = CheckpointStore(str(tmp_path / "cmp3"))
+        run_crawl(
+            spark, st, seeds_df(spark), make_expand(spark), hosts_df(spark),
+            rounds=4, compact_every=1, sketch_kind="cuckoo",
+        )
+        assert sorted(map(tuple, ref.load_seen(spark).collect())) == sorted(
+            map(tuple, st.load_seen(spark).collect())
+        )
+        fa = sorted(map(tuple, ref.load(spark, "fetch_log", 4).collect()))
+        fb = sorted(map(tuple, st.load(spark, "fetch_log", 4).collect()))
+        assert fa == fb

@@ -1048,3 +1048,94 @@ class TestBlocklist:
         assert len(blocks) == 1, plan
         assert "canon_url" not in blocks[0], plan
         assert "host" in blocks[0], plan
+
+
+class TestFilterUnseenSplit:
+    """filter_unseen_split: anti-join distributes over the base/recent
+    union — every path must be bit-identical to filter_unseen on the
+    union. Plan shape (no exchange on the bucketed base) is pinned in
+    test_plans.py; this is pure-semantics parity on plain DataFrames."""
+
+    def make_split(self, spark, n=400):
+        cand = frontier.with_canonical(
+            urls_df(spark, [f"http://h{i % 23}.com/s{i}" for i in range(n)])
+        )
+        seen = cand.filter((F.col("url_hash") % 3) == 0).select(
+            "url_hash", "canon_url"
+        )
+        base = seen.filter((F.col("url_hash") % 2) == 0)
+        recent = seen.filter((F.col("url_hash") % 2) != 0)
+        return cand, seen, base, recent
+
+    def test_split_parity_with_union(self, spark):
+        cand, seen, base, recent = self.make_split(spark)
+        want = sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect()
+        )
+        for kwargs in ({}, {"base_buckets": 4}, {"broadcast_recent": True}):
+            got = sorted(
+                r["canon_url"]
+                for r in frontier.filter_unseen_split(
+                    cand, base, recent, **kwargs
+                ).collect()
+            )
+            assert got == want, kwargs
+
+    def test_none_base_falls_back_to_plain_filter(self, spark):
+        cand, seen, _, _ = self.make_split(spark)
+        got = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_split(cand, None, seen).collect()
+        )
+        want = sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect()
+        )
+        assert got == want
+
+    def test_empty_recent_and_empty_base(self, spark):
+        cand, seen, base, recent = self.make_split(spark)
+        empty = spark.createDataFrame([], "url_hash long, canon_url string")
+        via_base_only = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_split(cand, base, empty).collect()
+        )
+        assert via_base_only == sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, base).collect()
+        )
+        via_recent_only = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_split(cand, empty, recent).collect()
+        )
+        assert via_recent_only == sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, recent).collect()
+        )
+
+    def test_bloom_confirm_routes_through_split(self, spark):
+        cand, seen, base, recent = self.make_split(spark)
+        bloom = frontier.build_seen_bloom(seen, partitions=8)
+        got = sorted(
+            r["canon_url"]
+            for r in frontier.filter_unseen_with_bloom(
+                cand, recent, bloom, 8, seen_base=base
+            ).collect()
+        )
+        want = sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect()
+        )
+        assert got == want
+
+    def test_cuckoo_confirm_routes_through_split(self, spark):
+        from wbx import cuckoo as ck
+
+        cand, seen, base, recent = self.make_split(spark)
+        sk = ck.build_seen_cuckoo(seen, partitions=8, nbuckets=1 << 12)
+        got = sorted(
+            r["canon_url"]
+            for r in ck.filter_unseen_with_cuckoo(
+                cand, recent, sk, 8, seen_base=base
+            ).collect()
+        )
+        want = sorted(
+            r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect()
+        )
+        assert got == want

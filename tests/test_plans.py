@@ -314,3 +314,65 @@ class TestSessionizePlan:
         ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
         assert len(ex) == 1, plan
         assert "user_id#" in ex[0] and "session_idx" not in ex[0], ex
+
+
+class TestBucketedSeenBaseNoExchange:
+    """The 10^10-URL membership plan: a seen base compacted as a bucketed
+    table on BOTH join keys (CheckpointStore.compact_seen(bucketed=True))
+    must anti-join with NO exchange on the base side — zero bytes of the
+    cumulative seen set cross the wire — and the candidate side must reuse
+    its dedup groupBy exchange (same keys, same partition count), so the
+    whole dedup+membership pipeline is exactly ONE exchange of O(batch)
+    rows (frontier.filter_unseen_split)."""
+
+    def test_base_side_joins_without_exchange(self, spark, tmp_path):
+        from wbx import frontier
+        from wbx.checkpoint import CheckpointStore
+
+        seen = (
+            spark.range(0, 20000)
+            .selectExpr("concat('http://h', id % 40, '.com/p/', id) AS url")
+        )
+        seen = frontier.with_canonical(
+            seen.withColumn("priority", F.lit(1.0))
+        ).select("url_hash", "canon_url")
+        store = CheckpointStore(str(tmp_path / "cp"))
+        store.commit(1, {"seen_delta": seen})
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        marker = store.compact_seen(spark, buckets=buckets, bucketed=True)
+        assert marker["buckets"] == buckets
+        base, recent, nb = store.load_seen_split(spark)
+
+        cand = (
+            spark.range(0, 9000, 2)
+            .selectExpr(
+                "concat('http://h', id % 40, '.com/p/', id) AS url",
+                "1.0 AS priority",
+            )
+        )
+        # the crawl_round shape: canonicalize -> dedup groupBy on the join
+        # keys -> membership anti-join
+        deduped = (
+            frontier.with_canonical(cand)
+            .groupBy("url_hash", "canon_url")
+            .agg(F.max("priority").alias("priority"))
+        )
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = frontier.filter_unseen_split(
+                deduped, base, recent, broadcast_recent=True
+            )
+            out.count()
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        # the base scan participates via its bucketing, not a shuffle: a
+        # planner that had to shuffle it reports "Bucketed: false
+        # (disabled by query planner)" instead
+        assert "Bucketed: true" in plan
+        # exactly one real (hash) exchange in the whole pipeline — the
+        # candidate dedup shuffle, reused by the anti-join; recent rides a
+        # broadcast. A second hash exchange means either the base or the
+        # candidates were re-shuffled: the at-scale regression this pins.
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -109,7 +109,44 @@ class CheckpointStore:
         rid = round_id if round_id is not None else self.latest_round()
         return os.path.isdir(os.path.join(self.base, "rounds", f"r{rid:06d}", table))
 
-    def compact_seen(self, spark: SparkSession, buckets: int = 64) -> dict:
+    def _bucket_table_name(self) -> str:
+        """Catalog name for the bucketed seen base — stable per store (the
+        session catalog is in-memory by default, so the name must be
+        re-derivable after a restart)."""
+        import hashlib
+
+        digest = hashlib.md5(os.path.abspath(self.base).encode()).hexdigest()[:12]
+        return f"wbx_seen_base_{digest}"
+
+    def attach_seen_base(self, spark: SparkSession) -> DataFrame | None:
+        """The compacted seen base as a DataFrame whose scan reports its
+        bucketing (HashPartitioning on url_hash) — the co-located-join fast
+        path of filter_unseen_split. Returns None when no bucketed
+        compaction exists.
+
+        The default session catalog is in-memory, so after a restart the
+        table written by compact_seen(bucketed=True) is files-on-disk with
+        no catalog entry; this re-attaches it with the same bucket spec via
+        external-table DDL (drop+create is idempotent and never touches the
+        files — the table is external). This is exactly the Iceberg-manifest
+        re-read analogue: metadata lives with the store, the catalog is a
+        cache."""
+        comp = self._compaction()
+        if not comp or not comp.get("buckets") or not os.path.isdir(comp["path"]):
+            return None
+        tbl = self._bucket_table_name()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} (url_hash BIGINT, canon_url STRING) "
+            f"USING PARQUET CLUSTERED BY (url_hash, canon_url) "
+            f"SORTED BY (url_hash, canon_url) "
+            f"INTO {int(comp['buckets'])} BUCKETS LOCATION '{comp['path']}'"
+        )
+        return spark.table(tbl)
+
+    def compact_seen(
+        self, spark: SparkSession, buckets: int = 64, bucketed: bool = False
+    ) -> dict:
         """Maintenance job (the Iceberg bin-packing analogue): merge every
         round's append-only ``seen_delta`` directory into ONE bucketed
         ``seen_base`` table under the latest round, so a long crawl's
@@ -117,12 +154,21 @@ class CheckpointStore:
 
         Correctness: deltas are disjoint by construction (crawl_round's
         anti-join), so the merged set is an exact union — no distinct
-        needed; the base is written hash-partitioned by pmod(url_hash,
-        buckets) so future membership anti-joins can prune buckets.
-        load_seen reads base + any deltas newer than the compaction point.
-        Crash-safe: the base lands in the current round's directory tree
-        first, then COMPACTION.json is atomically replaced; a crash leaves
-        the old view intact."""
+        needed. With ``bucketed=False`` the base is written hash-partitioned
+        by pmod(url_hash, buckets) so future membership anti-joins can prune
+        buckets; with ``bucketed=True`` it is written as a true Spark
+        bucketed table on BOTH membership keys (bucketBy(url_hash,
+        canon_url) + sortBy — the Iceberg ``bucket(N, ...)`` partition
+        transform), whose scan carries HashPartitioning(url_hash, canon_url)
+        — exactly the anti-join's required distribution — so the per-round
+        membership check runs WITHOUT shuffling the cumulative set at all;
+        and since crawl_round's dedup groupBy uses the same keys, a bucket
+        count equal to spark.sql.shuffle.partitions makes the whole
+        dedup+membership pipeline a single exchange of O(batch) rows (see
+        frontier.filter_unseen_split). load_seen reads base + any deltas
+        newer than the compaction point. Crash-safe: the base lands in the
+        current round's directory tree first, then COMPACTION.json is
+        atomically replaced; a crash leaves the old view intact."""
         rid = self.latest_round()
         if rid == 0:
             return {"compacted_through": 0, "rows": 0}
@@ -133,18 +179,70 @@ class CheckpointStore:
             return prior
         seen = self.load_seen(spark)
         base_dir = os.path.join(self.base, "rounds", f"r{rid:06d}", "seen_base")
-        (
-            seen.repartition(buckets, F.pmod(F.col("url_hash"), F.lit(buckets)))
-            .write.mode("overwrite")
-            .parquet(base_dir)
-        )
-        n = spark.read.parquet(base_dir).count()
-        marker = {"compacted_through": rid, "path": base_dir, "rows": n}
+        if bucketed:
+            tbl = self._bucket_table_name()
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                # repartition by the bucket keys first so each write task
+                # holds exactly one bucket -> one file per bucket
+                seen.repartition(buckets, F.col("url_hash"), F.col("canon_url"))
+                .write.mode("overwrite")
+                .bucketBy(buckets, "url_hash", "canon_url")
+                .sortBy("url_hash", "canon_url")
+                .option("path", base_dir)
+                .saveAsTable(tbl)
+            )
+            n = spark.table(tbl).count()
+        else:
+            (
+                seen.repartition(buckets, F.pmod(F.col("url_hash"), F.lit(buckets)))
+                .write.mode("overwrite")
+                .parquet(base_dir)
+            )
+            n = spark.read.parquet(base_dir).count()
+        marker = {
+            "compacted_through": rid,
+            "path": base_dir,
+            "rows": n,
+            "buckets": buckets if bucketed else 0,
+        }
         tmp = os.path.join(self.base, "COMPACTION.json.tmp")
         with open(tmp, "w") as f:
             json.dump(marker, f)
         os.replace(tmp, os.path.join(self.base, "COMPACTION.json"))
         return marker
+
+    def load_seen_split(
+        self, spark: SparkSession, round_id: int | None = None
+    ) -> tuple[DataFrame | None, DataFrame, int]:
+        """(bucketed base | None, recent deltas, bucket count) as of
+        ``round_id`` — the input shape of frontier.filter_unseen_split.
+        Falls back to (None, full seen scan, 0) when no bucketed compaction
+        covers the requested round (including history reads at a round
+        BEFORE the compaction point, where the base would contain keys from
+        the future)."""
+        rid = round_id if round_id is not None else self.latest_round()
+        comp = self._compaction()
+        if (
+            not comp
+            or not comp.get("buckets")
+            or comp["compacted_through"] > rid
+            or not os.path.isdir(comp["path"])
+        ):
+            return None, self.load_seen(spark, rid), 0
+        base = self.attach_seen_base(spark)
+        paths = [
+            p
+            for r in range(comp["compacted_through"] + 1, rid + 1)
+            if os.path.isdir(
+                p := os.path.join(self.base, "rounds", f"r{r:06d}", "seen_delta")
+            )
+        ]
+        if paths:
+            recent = spark.read.parquet(*paths).select("url_hash", "canon_url")
+        else:
+            recent = spark.createDataFrame([], "url_hash long, canon_url string")
+        return base, recent, int(comp["buckets"])
 
     def _compaction(self) -> dict | None:
         try:
@@ -233,6 +331,7 @@ def run_crawl(
     sketch_kind: str = "bloom",
     cuckoo_nbuckets: int = 1 << 16,
     rank_refresh_every: int = 8,
+    compact_every: int | None = None,
 ) -> dict:
     """Batch-iterative crawl: each round schedules a fetch batch from the
     current frontier, marks it seen, expands it into next-round candidates,
@@ -270,6 +369,15 @@ def run_crawl(
     retracts URLs between rounds; its table commits as ``seen_cuckoo`` and
     is maintained with the same O(batch) incremental contract). Both are
     admit-only, so the fetch batches are bit-identical across kinds.
+
+    ``compact_every``: every K committed rounds, fold the accumulated
+    seen deltas into ONE bucketed base table
+    (compact_seen(bucketed=True)) and switch the loop to the split
+    membership path (load_seen_split → frontier.filter_unseen_split):
+    the cumulative seen set then joins co-located off its bucketed scan —
+    no exchange, no sort, zero bytes of crawl history on the wire per
+    round — while only the ≤K recent deltas shuffle. This is the
+    10^10-URL operating mode; results are bit-identical with it off.
     """
     from wbx import cuckoo as _cuckoo
     from wbx.frontier import (
@@ -286,22 +394,24 @@ def run_crawl(
     table = "seen_bloom" if is_bloom else "seen_cuckoo"
     start = store.latest_round()
     if start == 0:
+        seen_base, nbuckets = None, 0
         seen = spark.createDataFrame([], "url_hash long, canon_url string")
         frontier = seeds
         sketch = (
             empty_seen_bloom(spark) if is_bloom else _cuckoo.empty_seen_cuckoo(spark)
         )
     else:
-        seen = store.load_seen(spark)
+        seen_base, seen, nbuckets = store.load_seen_split(spark)
         frontier = store.load(spark, "frontier")
         if store.has_table(table):
             sketch = store.load(spark, table)
         elif is_bloom:
-            # checkpoint predates the sketch — one rebuild, then incremental
-            sketch = build_seen_bloom(seen, bloom_partitions)
+            # checkpoint predates the sketch — one rebuild (from the FULL
+            # seen set, not the split view), then incremental
+            sketch = build_seen_bloom(store.load_seen(spark), bloom_partitions)
         else:
             sketch = _cuckoo.build_seen_cuckoo(
-                seen, bloom_partitions, nbuckets=cuckoo_nbuckets
+                store.load_seen(spark), bloom_partitions, nbuckets=cuckoo_nbuckets
             )
 
     last = None
@@ -324,6 +434,12 @@ def run_crawl(
             bloom_partitions=bloom_partitions,
             cuckoo=sketch if (use_bloom and not is_bloom) else None,
             rank_boundary_cache=rank_cache,
+            # base_buckets stays None: the dedup/tagged side already
+            # arrives hash-partitioned on the join keys, so
+            # EnsureRequirements aligns it to the bucket count with at
+            # most one exchange — an explicit repartition here would add
+            # a second
+            seen_base=seen_base,
         ).persist()
         # the batch is already unseen (anti-joined) and unique per canon_url
         # (deduped), so it IS the round's exact seen-delta
@@ -349,9 +465,18 @@ def run_crawl(
                 ),
             },
         )
+        if compact_every and (rid - start) % compact_every == 0:
+            # bucket count = shuffle partitions -> the next round's
+            # candidate-side exchange (dedup groupBy, same keys) is
+            # directly compatible with the base's bucketing
+            store.compact_seen(
+                spark,
+                buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
+                bucketed=True,
+            )
         # reload from the snapshot so each round's lineage is rooted in
         # committed files, not an ever-deepening in-memory plan
-        seen = store.load_seen(spark, rid)
+        seen_base, seen, nbuckets = store.load_seen_split(spark, rid)
         frontier = store.load(spark, "frontier", rid)
         sketch = store.load(spark, table, rid)
         batch.unpersist()

@@ -374,10 +374,16 @@ def filter_unseen_with_cuckoo(
     cuckoo: DataFrame,
     partitions: int = 64,
     mode: str = "broadcast",
+    seen_base: DataFrame | None = None,
+    base_buckets: int | None = None,
 ) -> DataFrame:
     """Cuckoo fast path + exact anti-join confirm — bit-identical to
     frontier.filter_unseen (the sketch only admits, never drops; see
-    filter_unseen_with_bloom for the shared persist rationale)."""
+    filter_unseen_with_bloom for the shared persist rationale).
+
+    ``seen_base``/``base_buckets``: compacted bucketed base; ``seen`` is
+    then the recent deltas only and the confirm runs shuffle-free on the
+    cumulative set via frontier.filter_unseen_split."""
     from pyspark import StorageLevel
 
     from wbx import frontier as _frontier
@@ -388,4 +394,8 @@ def filter_unseen_with_cuckoo(
     _frontier._register_rank_cache(tagged)
     definite = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    if seen_base is not None:
+        return definite.unionByName(
+            _frontier.filter_unseen_split(maybe, seen_base, seen, base_buckets)
+        )
     return definite.unionByName(_frontier.filter_unseen(maybe, seen))

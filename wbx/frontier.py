@@ -639,9 +639,67 @@ def filter_unseen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
+def filter_unseen_split(
+    candidates: DataFrame,
+    seen_base: DataFrame | None,
+    seen_recent: DataFrame,
+    base_buckets: int | None = None,
+    broadcast_recent: bool | None = None,
+) -> DataFrame:
+    """Exact frontier ∖ seen against a COMPACTED seen-set: chained
+    anti-joins, base then recent. Identical results to
+    ``filter_unseen(candidates, base ∪ recent)`` — an anti-join distributes
+    over a union of the right side — pinned by tests.
+
+    Why the split exists (the 10^10-row design point): ``filter_unseen``
+    shuffles the ENTIRE cumulative seen table every round, and that table
+    grows with crawl age — at 10^10 keys the seen side alone is ~1 TB of
+    exchange per round, dwarfing the candidate batch. With the base stored
+    as a Spark bucketed table hash-bucketed by BOTH membership keys
+    (CheckpointStore.compact_seen(bucketed=True) — the Iceberg
+    ``bucket(N, ...)`` partition-transform analogue), its scan reports
+    HashPartitioning(url_hash, canon_url) — exactly the anti-join's
+    required ClusteredDistribution — so the base side joins WITH NO
+    EXCHANGE: zero bytes of the cumulative set cross the wire, ever. Only
+    the O(batch) candidate side shuffles, and when the bucket count equals
+    ``spark.sql.shuffle.partitions`` that shuffle is crawl_round's
+    existing dedup exchange (same keys), reused — one exchange for the
+    whole dedup+membership pipeline (plan-pinned in tests/test_plans.py).
+    The post-compaction deltas ("recent") are small by construction
+    (≤ compaction interval × batch size), so their anti-join broadcasts.
+    Per-round network cost becomes O(candidates), constant in crawl age.
+
+    ``base_buckets``: pass the table's bucket count to pre-partition the
+    candidate side ONCE on the bucket keys; its exchange then lines up
+    with the bucketed scan deterministically instead of trusting the
+    planner's side choice (leave None when the candidate side already
+    arrives hash-partitioned on these keys, e.g. out of crawl_round's
+    dedup). ``broadcast_recent``: True forces the hint, None lets AQE
+    decide from measured size (the conditional-broadcast policy used
+    across this module)."""
+    if seen_base is None:
+        return filter_unseen(candidates, seen_recent)
+    left = candidates
+    if base_buckets is not None:
+        left = left.repartition(
+            base_buckets, F.col("url_hash"), F.col("canon_url")
+        )
+    base_kept = left.join(
+        seen_base.select("url_hash", "canon_url"),
+        ["url_hash", "canon_url"],
+        "left_anti",
+    )
+    recent = seen_recent.select("url_hash", "canon_url")
+    if broadcast_recent:
+        recent = F.broadcast(recent)
+    return base_kept.join(recent, ["url_hash", "canon_url"], "left_anti")
+
+
 def filter_unseen_with_bloom(
     candidates: DataFrame, seen: DataFrame, bloom: DataFrame, partitions: int = 64,
     mode: str = "broadcast",
+    seen_base: DataFrame | None = None,
+    base_buckets: int | None = None,
 ) -> DataFrame:
     """Bloom fast path + exact anti-join confirm.
 
@@ -651,6 +709,12 @@ def filter_unseen_with_bloom(
     ADMITS candidates to the exact check, never drops them. `mode` picks the
     filter-distribution strategy (broadcast vs copartition vs auto), see
     :func:`bloom_might_contain`.
+
+    With ``seen_base`` (a compacted bucketed base from
+    CheckpointStore.attach_seen_base), ``seen`` is the RECENT post-
+    compaction deltas only, and the exact confirm runs via
+    :func:`filter_unseen_split` — sketch-pruned AND shuffle-free on the
+    cumulative set.
 
     The tagged set is persisted: the definite and maybe branches both
     consume it, and without a shared materialization each would recompute
@@ -668,6 +732,12 @@ def filter_unseen_with_bloom(
     _register_rank_cache(tagged)
     definite = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    if seen_base is not None:
+        # compacted store: the maybe-minority confirms against the bucketed
+        # base co-located + the small recent deltas (filter_unseen_split)
+        return definite.unionByName(
+            filter_unseen_split(maybe, seen_base, seen, base_buckets)
+        )
     return definite.unionByName(filter_unseen(maybe, seen))
 
 
@@ -1182,6 +1252,8 @@ def crawl_round(
     broadcast_small: bool | None = None,
     cuckoo: DataFrame | None = None,
     rank_boundary_cache: dict | None = None,
+    seen_base: DataFrame | None = None,
+    base_buckets: int | None = None,
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
@@ -1213,7 +1285,13 @@ def crawl_round(
 
     ``rank_boundary_cache``: pass one dict across rounds to reuse the
     scheduler's rank boundaries (see global_rank) — warm rounds then run
-    as a single Spark action with no driver-side pre-jobs."""
+    as a single Spark action with no driver-side pre-jobs.
+
+    ``seen_base`` / ``base_buckets``: a COMPACTED bucketed seen base
+    (CheckpointStore.attach_seen_base); ``seen`` is then only the recent
+    post-compaction deltas, and the exact membership check runs through
+    :func:`filter_unseen_split` — the cumulative set never shuffles.
+    Bit-identical to passing the full union as ``seen``."""
     if bloom is not None and cuckoo is not None:
         raise ValueError("pass at most one seen-sketch (bloom or cuckoo)")
     canon = with_canon_url(candidates.select("url", "priority")).select(
@@ -1224,14 +1302,18 @@ def crawl_round(
     )
     if bloom is not None:
         unseen = filter_unseen_with_bloom(
-            deduped, seen, bloom, bloom_partitions, bloom_mode
+            deduped, seen, bloom, bloom_partitions, bloom_mode,
+            seen_base=seen_base, base_buckets=base_buckets,
         )
     elif cuckoo is not None:
         from wbx.cuckoo import filter_unseen_with_cuckoo
 
         unseen = filter_unseen_with_cuckoo(
-            deduped, seen, cuckoo, bloom_partitions, bloom_mode
+            deduped, seen, cuckoo, bloom_partitions, bloom_mode,
+            seen_base=seen_base, base_buckets=base_buckets,
         )
+    elif seen_base is not None:
+        unseen = filter_unseen_split(deduped, seen_base, seen, base_buckets)
     else:
         unseen = filter_unseen(deduped, seen)
     unseen = with_url_host(unseen)
