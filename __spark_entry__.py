@@ -720,6 +720,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_extract_links"] = links
 
+    def dedup_canonical_q(spark, sf):
+        """rel=canonical snapshot dedup (wbx.frontier.dedup_by_canonical):
+        a third of the pages declare an absolute canonical target shared
+        across hosts (print/AMP variants of one article), a third declare a
+        ROOT-RELATIVE target in the href-before-rel attribute order, and a
+        third declare none (group = own URL). Winner per canonical target =
+        max (warc_ts, url); timestamps are strictly increasing in doc_id so
+        the oracle's winner is closed-form max(doc_id)."""
+        from wbx.frontier import dedup_by_canonical
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        k = F.pmod(d, F.lit(40))
+        html = F.when(
+            F.pmod(d, F.lit(3)) == 0,
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="https://canon.example/c/'),
+                k,
+                F.lit('"></head><body>x</body></html>'),
+            ),
+        ).when(
+            F.pmod(d, F.lit(3)) == 1,
+            F.concat(
+                F.lit("<html><head><link href='/c/"),
+                k,
+                F.lit("' rel=canonical></head><body>x</body></html>"),
+            ),
+        ).otherwise(F.lit("<html><head></head><body>no canonical</body></html>"))
+        pages = docs.select(
+            F.concat(
+                F.lit("https://h"), F.pmod(d, F.lit(13)), F.lit(".example.net/v/"), d
+            ).alias("url"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=d)
+            ).alias("warc_ts"),
+            F.encode(html, "utf-8").alias("html"),
+        )
+        return dedup_by_canonical(pages).select(
+            "canon_target",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+            "url",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+
+    q["dedup_canonical"] = dedup_canonical_q
+
+    def redirects_q(spark, sf):
+        """Redirect-chain resolution (wbx.frontier.resolve_redirects,
+        max_hops=3): chain length doc_id%5 exercises ok/capped, every 7th
+        doc's chain ends in a redirect to a URL absent from the table
+        (dangling), and every 9th doc is a 2-cycle (loop). All four
+        terminals and the hop arithmetic are closed-form in the oracle."""
+        from wbx.frontier import resolve_redirects
+
+        docs = _t(spark, sf, "documents").select(F.col("doc_id").alias("d"))
+        d = F.col("d")
+        is_loop = F.pmod(d, F.lit(9)) == 0
+        chain_len = F.pmod(d, F.lit(5))
+        last = F.when(is_loop, F.lit(1)).otherwise(chain_len)
+        nodes = docs.select(
+            d, F.explode(F.sequence(F.lit(0), last)).alias("j"), is_loop.alias("lp"),
+            chain_len.alias("ln"),
+        )
+
+        def node(j):
+            return F.concat(
+                F.lit("http://r"), F.pmod(d, F.lit(11)), F.lit(".example.org/c/"),
+                d, F.lit("/"), j,
+            )
+
+        j = F.col("j")
+        redirecting = F.col("lp") | (j < F.col("ln"))
+        location = (
+            F.when(F.col("lp"), node(F.lit(1) - j))
+            .when(
+                (F.pmod(d, F.lit(7)) == 0) & (j == F.col("ln") - 1), node(F.lit(99))
+            )
+            .when(j < F.col("ln"), node(j + 1))
+        )
+        resp = nodes.select(
+            node(j).alias("url"),
+            F.when(redirecting, F.lit(301)).otherwise(F.lit(200)).alias("status"),
+            location.alias("location"),
+        )
+        return resolve_redirects(resp, max_hops=3)
+
+    q["frontier_redirects"] = redirects_q
+
     def blocklist_q(spark, sf):
         """Host-suffix blocklist gate (wbx.frontier.apply_blocklist): hosts
         h<k>.example.net with k≡3 (mod 13) are blocked exactly, and a
@@ -2031,6 +2120,55 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 13) || '.example.net/d/uq/' || (doc_id % 6)
                  ]) AS link
           FROM documents)
+        """,
+        # canonical target per doc is closed-form; winner per target =
+        # max(doc_id) because warc_ts increases strictly with doc_id
+        "dedup_canonical": """
+        WITH p AS (
+          SELECT doc_id AS d,
+            'https://h' || (doc_id % 13) || '.example.net/v/' || doc_id AS url,
+            CASE WHEN doc_id % 3 = 0
+                   THEN 'https://canon.example/c/' || (doc_id % 40)
+                 WHEN doc_id % 3 = 1
+                   THEN 'https://h' || (doc_id % 13) || '.example.net/c/' || (doc_id % 40)
+                 ELSE 'https://h' || (doc_id % 13) || '.example.net/v/' || doc_id
+            END AS target
+          FROM documents)
+        SELECT target AS canon_target,
+               strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(max(d)),
+                        '%Y-%m-%d %H:%M:%S') AS warc_ts,
+               'https://h' || (max(d) % 13) || '.example.net/v/' || max(d) AS url,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM p GROUP BY target
+        """,
+        # chain arithmetic: rem = chain_len - j hops remain; max_hops=3
+        "frontier_redirects": """
+        WITH d AS (SELECT doc_id AS d, doc_id % 5 AS ln, doc_id % 9 = 0 AS lp,
+                          doc_id % 7 = 0 AS dang, doc_id % 11 AS r
+                   FROM documents),
+        nodes AS (
+          SELECT d.*, j
+          FROM d, UNNEST(generate_series(0, CASE WHEN lp THEN 1 ELSE ln END)) AS t(j))
+        SELECT
+          'http://r' || r || '.example.org/c/' || d || '/' || j AS url,
+          CASE
+            WHEN lp THEN 'http://r' || r || '.example.org/c/' || d || '/' || j
+            WHEN ln - j = 0 THEN 'http://r' || r || '.example.org/c/' || d || '/' || j
+            WHEN dang AND ln - j <= 3
+              THEN 'http://r' || r || '.example.org/c/' || d || '/99'
+            WHEN ln - j <= 3 THEN 'http://r' || r || '.example.org/c/' || d || '/' || ln
+            ELSE 'http://r' || r || '.example.org/c/' || d || '/' || (j + 3)
+          END AS final_url,
+          CAST(CASE WHEN lp THEN 2 WHEN ln - j <= 3 THEN ln - j ELSE 3 END
+               AS INTEGER) AS hops,
+          CASE
+            WHEN lp THEN 'loop'
+            WHEN ln - j = 0 THEN 'ok'
+            WHEN dang AND ln - j <= 3 THEN 'dangling'
+            WHEN ln - j <= 3 THEN 'ok'
+            ELSE 'capped'
+          END AS terminal
+        FROM nodes
         """,
         "warc_html_to_text": """
         WITH d AS (

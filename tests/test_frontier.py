@@ -1139,3 +1139,145 @@ class TestFilterUnseenSplit:
             r["canon_url"] for r in frontier.filter_unseen(cand, seen).collect()
         )
         assert got == want
+
+
+class TestCanonicalDedup:
+    def _mk(self, spark, rows):
+        import datetime
+
+        data = [
+            (
+                u,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+                h.encode("utf-8", "surrogateescape") if isinstance(h, str) else h,
+            )
+            for u, s, h in rows
+        ]
+        return spark.createDataFrame(
+            data, "url string, warc_ts timestamp, html binary"
+        )
+
+    def test_absolute_and_relative_targets_group(self, spark):
+        pages = self._mk(
+            spark,
+            [
+                # two variants declaring the same absolute canonical
+                ("https://a.ex/print/1", 1, '<link rel="canonical" href="https://a.ex/art/1">'),
+                ("https://a.ex/amp/1", 2, "<link rel='canonical' href='https://a.ex/art/1'>"),
+                # href-before-rel, root-relative
+                ("https://b.ex/x/y", 3, '<link href="/art/2" rel="canonical">'),
+                # no canonical -> own URL
+                ("https://c.ex/solo", 4, "<html><body>n</body></html>"),
+            ],
+        )
+        got = {
+            r["canon_target"]: (r["url"], r["n_members"])
+            for r in frontier.dedup_by_canonical(pages).collect()
+        }
+        assert got == {
+            "https://a.ex/art/1": ("https://a.ex/amp/1", 2),
+            "https://b.ex/art/2": ("https://b.ex/x/y", 1),
+            "https://c.ex/solo": ("https://c.ex/solo", 1),
+        }
+
+    def test_target_spelling_is_canonicalized(self, spark):
+        pages = self._mk(
+            spark,
+            [
+                ("https://a.ex/1", 1, '<link rel="canonical" href="HTTP://T.EX:80/p#f">'),
+                ("https://a.ex/2", 2, '<link rel="canonical" href="http://t.ex/p">'),
+            ],
+        )
+        rows = frontier.dedup_by_canonical(pages).collect()
+        assert len(rows) == 1 and rows[0]["n_members"] == 2
+
+    def test_malformed_utf8_and_bad_schemes_survive(self, spark):
+        pages = self._mk(
+            spark,
+            [
+                ("https://a.ex/1", 1, b'\xff\xfe<link rel="canonical" href="https://ok.ex/c">'),
+                ("https://a.ex/2", 2, '<link rel="canonical" href="javascript:void(0)">'),
+            ],
+        )
+        got = {r["canon_target"] for r in frontier.dedup_by_canonical(pages).collect()}
+        # malformed bytes don't abort; js: scheme falls back to own URL
+        assert got == {"https://ok.ex/c", "https://a.ex/2"}
+
+    def test_html_canonical_url_nulls(self, spark):
+        pages = self._mk(
+            spark,
+            [("https://a.ex/1", 1, "<html>no link</html>")],
+        )
+        rows = frontier.html_canonical_url(pages).collect()
+        assert rows[0]["canonical"] is None
+
+
+class TestResolveRedirects:
+    SCHEMA = "url string, status int, location string"
+
+    def _resolve(self, spark, rows, max_hops=3):
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        return {
+            r["url"]: (r["final_url"], r["hops"], r["terminal"])
+            for r in frontier.resolve_redirects(df, max_hops=max_hops).collect()
+        }
+
+    def test_chain_ok_and_hops(self, spark):
+        got = self._resolve(
+            spark,
+            [
+                ("http://a.ex/0", 301, "http://a.ex/1"),
+                ("http://a.ex/1", 302, "/2"),  # relative Location
+                ("http://a.ex/2", 200, None),
+            ],
+        )
+        assert got["http://a.ex/0"] == ("http://a.ex/2", 2, "ok")
+        assert got["http://a.ex/1"] == ("http://a.ex/2", 1, "ok")
+        assert got["http://a.ex/2"] == ("http://a.ex/2", 0, "ok")
+
+    def test_capped_at_max_hops(self, spark):
+        rows = [
+            (f"http://c.ex/{i}", 301, f"http://c.ex/{i + 1}") for i in range(5)
+        ] + [("http://c.ex/5", 200, None)]
+        got = self._resolve(spark, rows, max_hops=3)
+        assert got["http://c.ex/0"] == ("http://c.ex/3", 3, "capped")
+        assert got["http://c.ex/2"] == ("http://c.ex/5", 3, "ok")
+
+    def test_dangling_target(self, spark):
+        got = self._resolve(
+            spark,
+            [("http://d.ex/a", 308, "http://d.ex/missing")],
+        )
+        assert got["http://d.ex/a"] == ("http://d.ex/missing", 1, "dangling")
+
+    def test_loops(self, spark):
+        got = self._resolve(
+            spark,
+            [
+                ("http://l.ex/p", 301, "http://l.ex/q"),
+                ("http://l.ex/q", 301, "http://l.ex/p"),
+                ("http://l.ex/self", 301, "http://l.ex/self"),
+            ],
+        )
+        assert got["http://l.ex/p"] == ("http://l.ex/p", 2, "loop")
+        assert got["http://l.ex/q"] == ("http://l.ex/q", 2, "loop")
+        assert got["http://l.ex/self"] == ("http://l.ex/self", 1, "loop")
+
+    def test_non_3xx_location_ignored(self, spark):
+        got = self._resolve(
+            spark,
+            [("http://n.ex/a", 200, "http://n.ex/b"), ("http://n.ex/b", 200, None)],
+        )
+        assert got["http://n.ex/a"] == ("http://n.ex/a", 0, "ok")
+
+    def test_messy_url_spellings_match(self, spark):
+        # redirect declared with messy source/target spellings still chains:
+        # all matching is on canonical forms
+        got = self._resolve(
+            spark,
+            [
+                ("HTTP://M.EX:80/a#frag", 301, "HTTP://M.EX:80/b#x"),
+                ("http://m.ex/b", 200, None),
+            ],
+        )
+        assert got["HTTP://M.EX:80/a#frag"] == ("http://m.ex/b", 1, "ok")

@@ -351,3 +351,56 @@ class TestStreamCrawl:
             expected = "seen_cuckoo" if kind == "cuckoo" else "seen_bloom"
             assert store.has_table(expected, 2)
         assert logs["bloom"] == logs["cuckoo"]
+
+
+class TestStreamCrawlCompaction:
+    """compact_every in the streaming scheduler: rounds after a bucketed
+    compaction confirm membership through the split (shuffle-free) path and
+    must stay bit-identical to the uncompacted scheduler."""
+
+    CAND_SCHEMA = "url string, priority double"
+
+    def _hosts(self, spark):
+        return spark.createDataFrame(
+            [(f"h{i}.com", 100) for i in range(5)], "host string, budget int"
+        )
+
+    def test_compacting_processor_matches_plain(self, spark, tmp_path):
+        from wbx.checkpoint import CheckpointStore
+        from wbx.streaming import crawl_batch_processor
+
+        plain = CheckpointStore(str(tmp_path / "plain"))
+        comp = CheckpointStore(str(tmp_path / "comp"))
+        p_plain = crawl_batch_processor(plain, self._hosts(spark))
+        p_comp = crawl_batch_processor(comp, self._hosts(spark), compact_every=1)
+        for epoch, (lo, hi) in enumerate([(0, 10), (5, 15), (12, 22)]):
+            batch = spark.createDataFrame(
+                [(f"http://h{i % 5}.com/p/{i}", float(i % 7)) for i in range(lo, hi)],
+                self.CAND_SCHEMA,
+            )
+            p_plain(batch, epoch)
+            p_comp(batch, epoch)
+        assert comp._compaction()["buckets"] > 0  # bucketed path actually ran
+        for rid in range(1, 4):
+            a = sorted(map(tuple, plain.load(spark, "fetch_log", rid).collect()))
+            b = sorted(map(tuple, comp.load(spark, "fetch_log", rid).collect()))
+            assert a == b, rid
+        assert sorted(map(tuple, plain.load_seen(spark).collect())) == sorted(
+            map(tuple, comp.load_seen(spark).collect())
+        )
+
+    def test_replay_guard_survives_compaction(self, spark, tmp_path):
+        from wbx.checkpoint import CheckpointStore
+        from wbx.streaming import crawl_batch_processor
+
+        store = CheckpointStore(str(tmp_path / "rg"))
+        proc = crawl_batch_processor(store, self._hosts(spark), compact_every=1)
+        batch = spark.createDataFrame(
+            [("http://h1.com/a", 1.0), ("http://h2.com/b", 2.0)], self.CAND_SCHEMA
+        )
+        proc(batch, 3)
+        assert store.latest_round() == 1
+        n1 = store.load(spark, "fetch_log", 1).count()
+        proc(batch, 3)  # replay after the round AND its compaction committed
+        assert store.latest_round() == 1
+        assert store.load(spark, "fetch_log", 1).count() == n1

@@ -1432,7 +1432,22 @@ def extract_links(
     )
     exploded = staged.select("url", F.explode(hrefs).alias("_href"))
     href = F.col("_href")
-    base = F.col("url")
+    resolved = resolve_href(F.col("url"), href)
+    keep = (
+        (F.length(href) > 0)
+        & ~F.lower(href).startswith("javascript:")
+        & ~F.lower(href).startswith("mailto:")
+        & ~F.lower(href).startswith("data:")
+    )
+    return exploded.filter(keep).select("url", resolved.alias("link"))
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve ``href`` against the page URL ``base`` — the string algebra
+    shared by :func:`extract_links`, :func:`html_canonical_url` and
+    :func:`resolve_redirects` (see extract_links for the form inventory:
+    absolute / protocol-relative / root-relative / path-relative; dot
+    segments deliberately NOT normalized)."""
     scheme = F.substring_index(base, "://", 1)
     host_part = F.concat(
         scheme, F.lit("://"), F.substring_index(F.substring_index(base, "://", -1), "/", 1)
@@ -1445,19 +1460,256 @@ def extract_links(
         raw_dir == F.concat(scheme, F.lit("://")),
         F.concat(host_part, F.lit("/")),
     ).otherwise(raw_dir)
-    resolved = (
-        F.when(href.startswith("http://") | href.startswith("https://"), href)
+    lhref = F.lower(href)
+    return (
+        # scheme match is case-insensitive (HTTP://X is absolute; RFC 3986
+        # schemes compare case-insensitively and canonicalize_url lowercases
+        # them downstream)
+        F.when(lhref.startswith("http://") | lhref.startswith("https://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(host_part, href))
         .otherwise(F.concat(base_dir, href))
     )
-    keep = (
-        (F.length(href) > 0)
+
+
+# rel=canonical discovery: both attribute orders occur in real HTML; the
+# patterns are RE2-safe (no lookaround/backreferences) so the DuckDB oracle
+# can chain them verbatim, and [^>] bounds keep each match inside one tag.
+CANONICAL_REL_FIRST_RE = (
+    r"""(?is)<link[^>]*?rel\s*=\s*["']?canonical[^>]*?href\s*=\s*["']?([^"'\s<>]+)"""
+)
+CANONICAL_HREF_FIRST_RE = (
+    r"""(?is)<link[^>]*?href\s*=\s*["']?([^"'\s<>]+)["']?[^>]*?rel\s*=\s*["']?canonical"""
+)
+
+
+def html_canonical_url(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, canonical) — the page's declared ``<link rel="canonical">``
+    target resolved against the page URL; NULL when the page declares none
+    (or declares a non-fetchable scheme). Permissive decode as in
+    :func:`extract_links`; rel-before-href is preferred when both attribute
+    orders somehow match. Pure per-row string algebra — no shuffle, html
+    never exchanged."""
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    href = F.coalesce(
+        nn(F.regexp_extract(decoded, CANONICAL_REL_FIRST_RE, 1)),
+        nn(F.regexp_extract(decoded, CANONICAL_HREF_FIRST_RE, 1)),
+    )
+    ok = (
+        href.isNotNull()
         & ~F.lower(href).startswith("javascript:")
         & ~F.lower(href).startswith("mailto:")
         & ~F.lower(href).startswith("data:")
     )
-    return exploded.filter(keep).select("url", resolved.alias("link"))
+    resolved = F.when(ok, resolve_href(F.col(url_col), href))
+    return pages.select(F.col(url_col).alias("url"), resolved.alias("canonical"))
+
+
+def dedup_by_canonical(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Snapshot dedup by the page's DECLARED canonical target: print/AMP/
+    tracking-parameter variants that all declare the same
+    ``<link rel="canonical">`` collapse to one capture — the curation-side
+    complement of :func:`dedup_url_latest` (which only collapses URL
+    spellings of the same address). Group key =
+    ``canonicalize_url(declared target, else the page's own URL)``; winner
+    per group = max (warc_ts, url), the same deterministic total order as
+    dedup_url_latest.
+
+    Scale shape: the group key derives MAP-SIDE (regex over the html, then
+    the staged canonicalize kernel), so the winner aggregation's exchange
+    carries only (canon_target, warc_ts, url) — html never shuffles — and
+    the aggregate is map-side combinable. Returns
+    (canon_target, warc_ts, url, n_members)."""
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    href = F.coalesce(
+        nn(F.regexp_extract(decoded, CANONICAL_REL_FIRST_RE, 1)),
+        nn(F.regexp_extract(decoded, CANONICAL_HREF_FIRST_RE, 1)),
+    )
+    ok = (
+        href.isNotNull()
+        & ~F.lower(href).startswith("javascript:")
+        & ~F.lower(href).startswith("mailto:")
+        & ~F.lower(href).startswith("data:")
+    )
+    target = F.when(ok, resolve_href(F.col(url_col), href)).otherwise(
+        F.col(url_col)
+    )
+    staged = with_canon_url(
+        pages.select(
+            F.col(url_col).alias("_page_url"), "warc_ts", target.alias("_target")
+        ),
+        "_target",
+    )
+    return (
+        staged.groupBy(F.col("canon_url").alias("canon_target"))
+        .agg(
+            F.max(F.struct("warc_ts", F.col("_page_url").alias("u"))).alias("_w"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "canon_target",
+            F.col("_w")["warc_ts"].alias("warc_ts"),
+            F.col("_w")["u"].alias("url"),
+            "n_members",
+        )
+    )
+
+
+def resolve_redirects(
+    responses: DataFrame,
+    max_hops: int = 5,
+    url_col: str = "url",
+    status_col: str = "status",
+    location_col: str = "location",
+) -> DataFrame:
+    """(url, final_url, hops, terminal) — follow HTTP 3xx ``Location``
+    chains through the response table until a terminal condition, for every
+    row. ``terminal``:
+
+    - ``ok``        reached a non-redirect response (``hops`` follows);
+    - ``dangling``  a redirect points at a URL absent from the table
+      (``final_url`` is the unresolved target — the crawl frontier's
+      natural re-seed);
+    - ``loop``      the next target was already visited (``final_url`` is
+      the revisited URL — for a pure cycle that is the starting row);
+    - ``capped``    still on a redirect after ``max_hops`` advances.
+
+    Expects one row per canonicalized URL (collapse captures with
+    dedup_url_latest first); relative/protocol-relative Locations resolve
+    via :func:`resolve_href`, and all matching is on the canonical form +
+    64-bit hash (exact under collision: the join checks both).
+
+    Scale shape: bounded unrolled iteration — ``max_hops`` co-partitioned
+    equi-joins on (hash, canon_url), each carrying only (start url, cursor
+    key, hop count, visited array of ≤max_hops+1 hashes); html/bodies are
+    never involved and every join key is uniform by construction. No
+    driver-side loop state, no collect — the whole resolution is one
+    declarative plan."""
+    sel = responses.select(
+        F.col(url_col).alias("url"),
+        F.col(status_col).cast("int").alias("_status"),
+        F.col(location_col).alias("_loc"),
+    )
+    canon = with_canon_url(sel, "url").withColumn(
+        "url_hash", url_hash(F.col("canon_url"))
+    )
+    is_r = (
+        (F.col("_status") >= 300) & (F.col("_status") < 400) & F.col("_loc").isNotNull()
+    )
+    canon = canon.withColumn("_is_r", is_r).withColumn(
+        "_tgt_raw", F.when(is_r, resolve_href(F.col("canon_url"), F.col("_loc")))
+    )
+    meta = (
+        with_canon_url(
+            canon.withColumnRenamed("canon_url", "_self_canon"), "_tgt_raw", "_dst_canon"
+        )
+        .withColumn("_dst_hash", url_hash(F.col("_dst_canon")))
+        .select(
+            F.col("url_hash").alias("m_hash"),
+            F.col("_self_canon").alias("m_canon"),
+            F.col("_is_r").alias("m_is_r"),
+            "_dst_hash",
+            "_dst_canon",
+        )
+        # duplicate captures of one canonical URL collapse deterministically
+        # (precondition says they shouldn't exist; min keeps this total)
+        .groupBy("m_hash", "m_canon")
+        .agg(
+            F.min(F.struct("m_is_r", "_dst_hash", "_dst_canon")).alias("_m")
+        )
+        .select(
+            "m_hash",
+            "m_canon",
+            F.col("_m")["m_is_r"].alias("m_is_r"),
+            F.col("_m")["_dst_hash"].alias("m_dst_hash"),
+            F.col("_m")["_dst_canon"].alias("m_dst_canon"),
+        )
+    )
+    state = (
+        with_canon_url(sel.select("url"), "url")
+        .withColumn("_cur_hash", url_hash(F.col("canon_url")))
+        .withColumnRenamed("canon_url", "_cur_canon")
+        .join(
+            meta,
+            (F.col("_cur_hash") == F.col("m_hash"))
+            & (F.col("_cur_canon") == F.col("m_canon")),
+            "inner",
+        )
+        .select(
+            "url",
+            "_cur_hash",
+            "_cur_canon",
+            F.lit(0).alias("hops"),
+            F.when(~F.col("m_is_r"), F.lit("ok")).alias("terminal"),
+            F.col("_cur_canon").alias("final_url"),
+            F.array(F.col("_cur_hash")).alias("_visited"),
+            F.col("m_dst_hash").alias("_dst_hash"),
+            F.col("m_dst_canon").alias("_dst_canon"),
+        )
+    )
+    for _ in range(max_hops):
+        live = F.col("terminal").isNull()
+        st = state.join(
+            meta,
+            (F.col("_dst_hash") == F.col("m_hash"))
+            & (F.col("_dst_canon") == F.col("m_canon")),
+            "left",
+        )
+        missing = F.col("m_canon").isNull()
+        revisit = F.array_contains(F.col("_visited"), F.col("_dst_hash"))
+        state = st.select(
+            "url",
+            F.when(live & ~missing, F.col("m_hash"))
+            .otherwise(F.col("_cur_hash"))
+            .alias("_cur_hash_n"),
+            F.when(live & ~missing, F.col("m_canon"))
+            .otherwise(F.col("_cur_canon"))
+            .alias("_cur_canon_n"),
+            F.when(live, F.col("hops") + 1).otherwise(F.col("hops")).alias("hops"),
+            F.when(~live, F.col("terminal"))
+            .when(missing, F.lit("dangling"))
+            .when(revisit, F.lit("loop"))
+            .when(~F.col("m_is_r"), F.lit("ok"))
+            .alias("terminal"),
+            F.when(~live, F.col("final_url"))
+            .otherwise(F.col("_dst_canon"))
+            .alias("final_url"),
+            F.when(
+                live & ~missing & ~revisit,
+                F.array_append(F.col("_visited"), F.col("_dst_hash")),
+            )
+            .otherwise(F.col("_visited"))
+            .alias("_visited"),
+            F.when(live & ~missing, F.col("m_dst_hash"))
+            .otherwise(F.col("_dst_hash"))
+            .alias("_dst_hash_n"),
+            F.when(live & ~missing, F.col("m_dst_canon"))
+            .otherwise(F.col("_dst_canon"))
+            .alias("_dst_canon_n"),
+        ).withColumnsRenamed(
+            {
+                "_cur_hash_n": "_cur_hash",
+                "_cur_canon_n": "_cur_canon",
+                "_dst_hash_n": "_dst_hash",
+                "_dst_canon_n": "_dst_canon",
+            }
+        )
+    return state.select(
+        "url",
+        "final_url",
+        "hops",
+        F.coalesce(F.col("terminal"), F.lit("capped")).alias("terminal"),
+    )
 
 
 def expand_from_html(

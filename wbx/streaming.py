@@ -233,6 +233,7 @@ def crawl_batch_processor(
     bloom_bits: int = 1 << 20,
     sketch_kind: str = "bloom",
     cuckoo_nbuckets: int = 1 << 16,
+    compact_every: int | None = None,
 ):
     """foreachBatch processor for :func:`stream_crawl` (factored out so the
     exactly-once replay contract is unit-testable without a running query).
@@ -253,7 +254,14 @@ def crawl_batch_processor(
     the replay re-runs cleanly).
 
     ``sketch_kind``: "bloom" (default) or "cuckoo" — same sketch families
-    and O(batch) incremental maintenance as batch run_crawl."""
+    and O(batch) incremental maintenance as batch run_crawl.
+
+    ``compact_every``: every K committed rounds, fold the seen deltas into
+    a bucketed base (compact_seen(bucketed=True)) and confirm membership
+    through the shuffle-free split path — same contract and bit-identical
+    results as batch run_crawl(compact_every=K). Compaction runs AFTER the
+    round commits, so a crash between commit and compaction just retries
+    the compaction next round; the replay guard is unaffected."""
     from wbx import cuckoo as _cuckoo
     from wbx.checkpoint import round_metrics
     from wbx.frontier import (
@@ -283,6 +291,7 @@ def crawl_batch_processor(
             if marker is not None and marker["batch_id"] == batch_id:
                 return  # replay of the already-committed epoch
         if prev == 0:
+            seen_base, nbuckets = None, 0
             seen = spark.createDataFrame([], "url_hash long, canon_url string")
             sketch = (
                 empty_seen_bloom(spark)
@@ -290,14 +299,14 @@ def crawl_batch_processor(
                 else _cuckoo.empty_seen_cuckoo(spark)
             )
         else:
-            seen = store.load_seen(spark)
+            seen_base, seen, nbuckets = store.load_seen_split(spark)
             if store.has_table(table, prev):
                 sketch = store.load(spark, table, prev)
             elif is_bloom:
-                sketch = build_seen_bloom(seen, bloom_partitions)
+                sketch = build_seen_bloom(store.load_seen(spark), bloom_partitions)
             else:
                 sketch = _cuckoo.build_seen_cuckoo(
-                    seen, bloom_partitions, nbuckets=cuckoo_nbuckets
+                    store.load_seen(spark), bloom_partitions, nbuckets=cuckoo_nbuckets
                 )
         rid = prev + 1
         batch = crawl_round(
@@ -310,6 +319,7 @@ def crawl_batch_processor(
             bloom=sketch if (use_bloom and is_bloom) else None,
             bloom_partitions=bloom_partitions,
             cuckoo=sketch if (use_bloom and not is_bloom) else None,
+            seen_base=seen_base,
         ).persist()
         seen_delta = batch.select("url_hash", "canon_url")
         fetch_log = batch.select(
@@ -338,6 +348,12 @@ def crawl_batch_processor(
                 ),
             },
         )
+        if compact_every and rid % compact_every == 0:
+            store.compact_seen(
+                spark,
+                buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
+                bucketed=True,
+            )
         batch.unpersist()
         release_rank_caches()
 
