@@ -147,7 +147,14 @@ def materialize_frontier_inputs(spark) -> str:
     # bucketed base (CheckpointStore.compact_seen(bucketed=True) output
     # shape) — the steady-state store layout of a long crawl. Like the
     # Bloom build, compaction is background maintenance paid once per K
-    # rounds, so it sits outside the timed round.
+    # rounds, so it sits outside the timed round. Default OFF for the
+    # headline: at bench scale (3M seen keys, single node) the exchange it
+    # removes is a page-cache memcpy while the bucketed join surrenders
+    # AQE's runtime re-planning — measured fastest-ever at 4 cores but
+    # ~40% slower at 16+ (BENCH/BASELINE.md session P). Its regime is the
+    # network-bound cluster at 10^10 seen keys, where the avoided exchange
+    # is ~1 TB/round; that property is pinned structurally by the
+    # no-exchange plan guard instead.
     if os.environ.get("SPARK_GRAFT_SEEN_BASE", "0") == "1":
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         spark.sql("DROP TABLE IF EXISTS wbx_bench_seen_base")

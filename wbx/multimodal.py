@@ -2,14 +2,16 @@
 
 Image/audio/video payloads are plain ``binary`` columns with a typed
 metadata struct alongside — the Spark-side plumbing (schemas, batch shapes,
-partition sizing, UDF signatures) is real and tested; the actual
-decode/resample kernels are STUBBED (Pillow/ffmpeg are not in this
-container) behind clearly-marked seams:
+partition sizing, UDF signatures) is real and tested:
 
 - :func:`sniff_media` — magic-byte container detection (real, pure bytes);
 - :func:`media_features` — deterministic fake featurizer standing in for a
   decode→embed kernel, same signature/batching a real one would have;
-- :func:`decode_image` — raises NotImplementedError by design.
+- :func:`decode_image` — REAL for PNG (system libpng via ctypes, the
+  wbx.codecs binding pattern; Pillow is used instead when importable);
+  other formats raise NotImplementedError from the clearly-marked seam
+  (libjpeg's classic API needs setjmp error hooks ctypes cannot provide —
+  see the _PngImage comment).
 
 Scale notes: media rows are fat (100 KB–10 MB). The operators below use
 ``mapInPandas`` with small Arrow batches (set
