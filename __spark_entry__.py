@@ -1194,10 +1194,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
 
     def mm_meta(spark, sf):
-        """Container sniffing + resize geometry as one per-media suite row
-        (both are per-media scalar kernels over the same payload):
-        sniff_media's (kind, container, n_bytes) joined with
-        resize_images' (width, height, n_pixels)."""
+        """Multimodal suite (driver 50-query cap: union-tagged; members were
+        separate queries through r4-mid): part='meta' is container sniffing
+        + resize geometry as one per-media row (sniff_media's (kind,
+        container, n_bytes) joined with resize_images' (width, height,
+        n_pixels)); part='frame_plan' is the video frame-sampling fan-out
+        plan (media_id, frame_index) with the other columns NULL. Every
+        underlying value stays individually oracle-pinned."""
         from wbx import multimodal
 
         media = _media(spark, sf)
@@ -1208,16 +1211,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("height").cast("long").alias("height"),
             F.length("pixels").cast("long").alias("n_pixels"),
         )
-        return sniffed.join(resized, "media_id")
+        meta = sniffed.join(resized, "media_id").select(
+            "media_id",
+            F.lit("meta").alias("part"),
+            "kind",
+            "container",
+            "n_bytes",
+            "width",
+            "height",
+            "n_pixels",
+            F.lit(None).cast("long").alias("frame_index"),
+        )
+        frames = multimodal.frame_sample_plan(media, every_n=30).select(
+            "media_id",
+            F.lit("frame_plan").alias("part"),
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(None).cast("string").alias("container"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.lit(None).cast("long").alias("n_pixels"),
+            F.col("frame_index").cast("long").alias("frame_index"),
+        )
+        return meta.unionByName(frames)
 
     q["multimodal_meta"] = mm_meta
-
-    def mm_frames(spark, sf):
-        from wbx import multimodal
-
-        return multimodal.frame_sample_plan(_media(spark, sf), every_n=30)
-
-    q["multimodal_frame_plan"] = mm_frames
 
     def mm_features(spark, sf):
         """Byte-histogram featurizer, VALUE-checked (r4 upgrade from
@@ -1523,13 +1541,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang",
         )
         return dedup_url_latest(pages).select(
-            "canon_url",
-            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
-            F.col("n_snapshots").cast("long").alias("n_snapshots"),
+            F.lit("url_latest").alias("part"),
+            F.col("canon_url").alias("key"),
+            F.col("n_snapshots").cast("long").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("long").alias("n_c"),
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_a"),
+            F.lit(None).cast("string").alias("ts_b"),
             F.md5("text").alias("text_md5"),
         )
-
-    q["dedup_url_latest"] = url_latest
 
     def host_rep(spark, sf):
         """Per-host crawl report (wbx.analytics.host_report) over a pages
@@ -1552,15 +1572,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang",
         )
         return analytics.host_report(pages).select(
-            "host",
-            "n_pages",
-            "text_chars",
-            F.col("n_langs").cast("long").alias("n_langs"),
-            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
-            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.lit("host_report").alias("part"),
+            F.col("host").alias("key"),
+            F.col("n_pages").cast("long").alias("n_a"),
+            F.col("text_chars").cast("long").alias("n_b"),
+            F.col("n_langs").cast("long").alias("n_c"),
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_a"),
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_b"),
+            F.lit(None).cast("string").alias("text_md5"),
         )
 
-    q["a_host_report"] = host_rep
+    def pages_reports(spark, sf):
+        """Pages-table report suite (driver 50-query cap: union-tagged;
+        members were separate queries through r4-mid): part='url_latest' is
+        snapshot dedup keeping the latest capture per canonical URL
+        (wbx.frontier.dedup_url_latest — key=canon_url, n_a=n_snapshots,
+        ts_a=warc_ts, text_md5=payload hash); part='host_report' is the
+        per-host crawl report (wbx.analytics.host_report — key=host,
+        n_a=n_pages, n_b=text_chars, n_c=n_langs, ts_a/ts_b=first/last
+        capture). Same generic schema, every value still oracle-pinned."""
+        return url_latest(spark, sf).unionByName(host_rep(spark, sf))
+
+    q["a_pages_reports"] = pages_reports
 
     return q
 
@@ -1898,7 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         FROM b
         """,
         "multimodal_meta": """
-        SELECT doc_id AS media_id,
+        SELECT doc_id AS media_id, 'meta' AS part,
                CASE WHEN doc_id % 4 <= 2 THEN 'image' ELSE 'audio' END AS kind,
                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                                WHEN 2 THEN 'gif' ELSE 'mp3' END AS container,
@@ -1907,13 +1940,17 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 2 THEN 6 ELSE 3 END) AS n_bytes,
                CAST(8 AS BIGINT) AS width,
                CAST(8 AS BIGINT) AS height,
-               CAST(64 AS BIGINT) AS n_pixels
+               CAST(64 AS BIGINT) AS n_pixels,
+               CAST(NULL AS BIGINT) AS frame_index
         FROM documents
-        """,
-        "multimodal_frame_plan": """
-        SELECT doc_id AS media_id, unnest(range(0, n, 30)) AS frame_index
+        UNION ALL
+        SELECT media_id, 'frame_plan' AS part,
+               CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS container,
+               CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS BIGINT) AS width,
+               CAST(NULL AS BIGINT) AS height, CAST(NULL AS BIGINT) AS n_pixels,
+               unnest(range(0, n, 30)) AS frame_index
         FROM (
-          SELECT doc_id,
+          SELECT doc_id AS media_id,
                  greatest(CAST(floor((octet_length(encode(coalesce(text, '')))
                    + (CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 3
                                       WHEN 2 THEN 6 ELSE 3 END)) / 1000.0) AS BIGINT),
@@ -2289,27 +2326,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM s GROUP BY user_id, session_idx
         """,
-        "dedup_url_latest": """
+        "a_pages_reports": """
         WITH p AS (SELECT doc_id, doc_id % 50 AS k, text FROM documents),
         w AS (SELECT k, max(doc_id) AS doc_id, count(*) AS n_snapshots
               FROM p GROUP BY k)
-        SELECT 'http://site' || (w.k % 7) || '.example/p/' || w.k AS canon_url,
+        SELECT 'url_latest' AS part,
+               'http://site' || (w.k % 7) || '.example/p/' || w.k AS key,
+               CAST(w.n_snapshots AS BIGINT) AS n_a,
+               CAST(NULL AS BIGINT) AS n_b,
+               CAST(NULL AS BIGINT) AS n_c,
                strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(w.doc_id),
-                        '%Y-%m-%d %H:%M:%S') AS warc_ts,
-               CAST(w.n_snapshots AS BIGINT) AS n_snapshots,
+                        '%Y-%m-%d %H:%M:%S') AS ts_a,
+               CAST(NULL AS VARCHAR) AS ts_b,
                md5(p.text) AS text_md5
         FROM w JOIN p ON p.doc_id = w.doc_id
-        """,
-        "a_host_report": """
-        SELECT 'h' || (doc_id % 13) || '.example.net' AS host,
-               count(*) AS n_pages,
-               CAST(sum(length(text)) AS BIGINT) AS text_chars,
-               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        UNION ALL
+        SELECT 'host_report' AS part,
+               'h' || (doc_id % 13) || '.example.net' AS key,
+               count(*) AS n_a,
+               CAST(sum(length(text)) AS BIGINT) AS n_b,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_c,
                strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)),
-                        '%Y-%m-%d %H:%M:%S') AS first_ts,
+                        '%Y-%m-%d %H:%M:%S') AS ts_a,
                strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(max(doc_id)),
-                        '%Y-%m-%d %H:%M:%S') AS last_ts
-        FROM documents GROUP BY 1
+                        '%Y-%m-%d %H:%M:%S') AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM documents GROUP BY 1, 2
         """,
     }
 
