@@ -1582,6 +1582,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("text_md5"),
         )
 
+    def host_rank_part(spark, sf):
+        """Link-authority ranking (wbx.graph.host_rank — PageRank power
+        iteration as DataFrame joins, one shuffle per iteration) over a
+        deterministic 13-host graph: src=doc_id%13 with residue 12 excluded
+        (h12 is a pure sink, exercising dangling-mass redistribution),
+        dst=(doc_id*3+1)%17%13 (independent residues), doc_id<60 so the
+        adjacency is sparse/uneven — out-degrees and ranks genuinely
+        differ per host. key=host, n_a=round(rank*1e6), n_b=out_degree,
+        n_c=in_degree; the oracle unrolls the same 10 iterations as CTEs
+        with double-literal arithmetic (0.85e0 — bare 0.85 is DECIMAL in
+        DuckDB and diverges in the last bits)."""
+        from wbx import graph
+
+        docs = _t(spark, sf, "documents")
+        edges = docs.select(
+            F.concat(F.lit("h"), F.pmod("doc_id", F.lit(13))).alias("src_host"),
+            F.concat(
+                F.lit("h"),
+                F.pmod(F.pmod(F.col("doc_id") * 3 + 1, F.lit(17)), F.lit(13)),
+            ).alias("dst_host"),
+        ).where((F.pmod("doc_id", F.lit(13)) != 12) & (F.col("doc_id") < 60))
+        return graph.host_rank(edges, iterations=10).select(
+            F.lit("host_rank").alias("part"),
+            F.col("host").alias("key"),
+            F.round(F.col("rank") * F.lit(1000000.0)).cast("long").alias("n_a"),
+            F.col("out_degree").alias("n_b"),
+            F.col("in_degree").alias("n_c"),
+            F.lit(None).cast("string").alias("ts_a"),
+            F.lit(None).cast("string").alias("ts_b"),
+            F.lit(None).cast("string").alias("text_md5"),
+        )
+
     def pages_reports(spark, sf):
         """Pages-table report suite (driver 50-query cap: union-tagged;
         members were separate queries through r4-mid): part='url_latest' is
@@ -1590,12 +1622,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts_a=warc_ts, text_md5=payload hash); part='host_report' is the
         per-host crawl report (wbx.analytics.host_report — key=host,
         n_a=n_pages, n_b=text_chars, n_c=n_langs, ts_a/ts_b=first/last
-        capture). Same generic schema, every value still oracle-pinned."""
-        return url_latest(spark, sf).unionByName(host_rep(spark, sf))
+        capture); part='host_rank' is PageRank link authority over a
+        deterministic host graph (wbx.graph.host_rank — see
+        host_rank_part). Same generic schema, every value oracle-pinned."""
+        return (
+            url_latest(spark, sf)
+            .unionByName(host_rep(spark, sf))
+            .unionByName(host_rank_part(spark, sf))
+        )
 
     q["a_pages_reports"] = pages_reports
 
     return q
+
+
+def _host_rank_union(iterations: int = 10) -> str:
+    """The part='host_rank' UNION ALL arm of the a_pages_reports oracle:
+    wbx.graph.host_rank's PageRank power iteration unrolled into one CTE
+    pair per iteration (DuckDB has no iterative evaluation). All FP
+    literals are doubles (e0 suffix — a bare 0.85 parses as DECIMAL(3,2)
+    in DuckDB and its conversion to double differs from the IEEE result of
+    1.0-0.85 by one ulp), so every scalar op matches Spark bit-for-bit;
+    only sum reassociation differs, which round(rank*1e6) absorbs.
+
+    Every hr_r{i} is referenced three times by iteration i+1 (dangling
+    mass, contributions, and transitively), so the CTEs MUST be
+    MATERIALIZED — default inlining duplicates the subplan per reference
+    and the unrolled query plans in 2^iterations time."""
+    ctes = [
+        """hr_edges AS MATERIALIZED (
+          SELECT DISTINCT 'h' || (doc_id % 13) AS src,
+                 'h' || ((doc_id * 3 + 1) % 17 % 13) AS dst
+          FROM documents WHERE doc_id % 13 <> 12 AND doc_id < 60
+        ),
+        hr_hosts AS (SELECT src AS host FROM hr_edges
+                     UNION SELECT dst FROM hr_edges),
+        hr_out AS (SELECT src, count(*) AS od FROM hr_edges GROUP BY 1),
+        hr_in AS (SELECT dst, count(*) AS ind FROM hr_edges GROUP BY 1),
+        hr_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hr_hosts),
+        hr_r0 AS MATERIALIZED (SELECT host, 1e0 / (SELECT n FROM hr_n) AS rank
+                  FROM hr_hosts)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""hr_d{i} AS MATERIALIZED (
+          SELECT coalesce(sum(r.rank), 0e0) AS dmass
+          FROM hr_r{p} r LEFT JOIN hr_out o ON r.host = o.src
+          WHERE o.src IS NULL
+        ),
+        hr_r{i} AS MATERIALIZED (
+          SELECT h.host,
+                 (1e0 - 0.85e0) / (SELECT n FROM hr_n)
+                 + 0.85e0 * (coalesce(c.contrib, 0e0)
+                   + (SELECT dmass FROM hr_d{i}) / (SELECT n FROM hr_n)) AS rank
+          FROM hr_hosts h LEFT JOIN (
+            SELECT e.dst, sum(r.rank / o.od) AS contrib
+            FROM hr_edges e
+            JOIN hr_r{p} r ON e.src = r.host
+            JOIN hr_out o ON o.src = e.src
+            GROUP BY 1) c ON h.host = c.dst
+        )"""
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        UNION ALL
+        SELECT * FROM (
+        WITH {joined}
+        SELECT 'host_rank' AS part, r.host AS key,
+               CAST(round(r.rank * 1000000e0) AS BIGINT) AS n_a,
+               CAST(coalesce(o.od, 0) AS BIGINT) AS n_b,
+               CAST(coalesce(i.ind, 0) AS BIGINT) AS n_c,
+               CAST(NULL AS VARCHAR) AS ts_a, CAST(NULL AS VARCHAR) AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM hr_r{iterations} r
+        LEFT JOIN hr_out o ON r.host = o.src
+        LEFT JOIN hr_in i ON r.host = i.dst
+        )
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2352,7 +2456,8 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%d %H:%M:%S') AS ts_b,
                CAST(NULL AS VARCHAR) AS text_md5
         FROM documents GROUP BY 1, 2
-        """,
+        """
+        + _host_rank_union(10),
     }
 
 

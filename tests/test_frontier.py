@@ -29,6 +29,10 @@ CANON_CASES = [
     ("http://user@EXAMPLE.com/x", "http://user@example.com/x"),
     ("https://example.com:443", "https://example.com/"),
     ("http://example.com/a?b=1#c=2", "http://example.com/a?b=1"),
+    # whitespace between path and fragment: defrag must run before trim or
+    # the output keeps a trailing space and is not a canonical fixed point
+    ("http://example.com/a #frag", "http://example.com/a"),
+    ("  spaced out #frag  ", "://spaced out"),
 ]
 
 

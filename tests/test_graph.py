@@ -1,0 +1,157 @@
+"""Link-graph tests: host_rank pinned against a numpy power-iteration
+oracle (same dangling/teleport formulation), structural invariants
+(mass conservation, uniform rank on a cycle), host_edges built from real
+HTML through the crawl loop's extract_links kernels, and the
+authority-priority join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wbx import graph
+
+
+def numpy_pagerank(edges, n_iter=10, d=0.85):
+    """Reference power iteration, identical formulation to graph.host_rank:
+    distinct unweighted edges, uniform teleport, uniform dangling mass."""
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    dedup = sorted(set(edges))
+    out = np.zeros(n)
+    for s, _ in dedup:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for s, t in dedup:
+            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {h: r[idx[h]] for h in hosts}
+
+
+def arith_edges():
+    """Deterministic graph with a hub, a dangling host, and a cycle."""
+    edges = []
+    for k in range(40):
+        edges.append((f"h{k % 7}", f"h{(3 * k + 1) % 7}"))
+        edges.append((f"h{k % 7}", "hub"))
+    edges.append(("hub", "h0"))
+    # hd is a pure sink (dangling): appears only as a target
+    edges.append(("h1", "hd"))
+    return edges
+
+
+class TestHostRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        edges = arith_edges()
+        df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+        got = {
+            r["host"]: (r["rank"], r["out_degree"], r["in_degree"])
+            for r in graph.host_rank(df, iterations=10).collect()
+        }
+        want = numpy_pagerank(edges, n_iter=10)
+        assert set(got) == set(want)
+        for h, w in want.items():
+            assert got[h][0] == pytest.approx(w, abs=1e-12), h
+        dedup = set(edges)
+        for h in got:
+            assert got[h][1] == sum(1 for s, _ in dedup if s == h)
+            assert got[h][2] == sum(1 for _, t in dedup if t == h)
+
+    def test_rank_mass_conserved(self, spark):
+        df = spark.createDataFrame(arith_edges(), ["src_host", "dst_host"])
+        total = (
+            graph.host_rank(df, iterations=5)
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+    def test_cycle_is_uniform(self, spark):
+        cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+        df = spark.createDataFrame(cyc, ["src_host", "dst_host"])
+        ranks = [r["rank"] for r in graph.host_rank(df, iterations=7).collect()]
+        for r in ranks:
+            assert r == pytest.approx(1.0 / 3, abs=1e-12)
+
+    def test_duplicate_edges_collapse(self, spark):
+        """Weighted duplicates must not change the unweighted formulation."""
+        base = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")]
+        df1 = spark.createDataFrame(base, ["src_host", "dst_host"])
+        df2 = spark.createDataFrame(base * 3, ["src_host", "dst_host"])
+        r1 = {r["host"]: r["rank"] for r in graph.host_rank(df1, 6).collect()}
+        r2 = {r["host"]: r["rank"] for r in graph.host_rank(df2, 6).collect()}
+        assert r1 == r2
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src_host string, dst_host string")
+        assert graph.host_rank(df, iterations=3).count() == 0
+
+
+class TestHostEdges:
+    def test_from_html_via_extract_links(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (
+                    "http://A.example/page/one",
+                    b'<a href="http://b.example/x">b</a>'
+                    b"<a href='/local'>self</a>"
+                    b'<a href="HTTPS://C.example:443/y#frag">c</a>',
+                ),
+                ("http://b.example/", b'<a href="http://a.example/z">back</a>'),
+            ],
+            "url string, html binary",
+        )
+        got = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in graph.host_edges(pages).collect()
+        }
+        assert got == {
+            ("a.example", "b.example"): 1,
+            ("a.example", "a.example"): 1,  # root-relative /local
+            ("a.example", "c.example"): 1,
+            ("b.example", "a.example"): 1,
+        }
+
+    def test_malformed_utf8_does_not_crash(self, spark):
+        pages = spark.createDataFrame(
+            [("http://x.example/", b'\xff\xfe<a href="http://y.example/">y</a>')],
+            "url string, html binary",
+        )
+        rows = graph.host_edges(pages).collect()
+        assert {(r["src_host"], r["dst_host"]) for r in rows} == {
+            ("x.example", "y.example")
+        }
+
+
+class TestAuthorityPriority:
+    def test_broadcast_join_sets_priority(self, spark):
+        ranks = graph.host_rank(
+            spark.createDataFrame(arith_edges(), ["src_host", "dst_host"]),
+            iterations=4,
+        )
+        frontier = spark.createDataFrame(
+            [("http://hub/a",), ("http://h1/b",), ("http://unknown.example/",)],
+            "canon_url string",
+        )
+        got = {
+            r["canon_url"]: r["priority"]
+            for r in graph.with_authority_priority(frontier, ranks).collect()
+        }
+        want = numpy_pagerank(arith_edges(), n_iter=4)
+        assert got["http://hub/a"] == pytest.approx(want["hub"], abs=1e-12)
+        assert got["http://h1/b"] == pytest.approx(want["h1"], abs=1e-12)
+        assert got["http://unknown.example/"] == 0.0
+
+    def test_no_python_udf_in_plan(self, spark):
+        ranks = graph.host_rank(
+            spark.createDataFrame([("a", "b")], ["src_host", "dst_host"]), 2
+        )
+        frontier = spark.createDataFrame([("http://a/x",)], "canon_url string")
+        plan = graph.with_authority_priority(frontier, ranks)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan

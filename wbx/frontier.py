@@ -66,7 +66,10 @@ def canonicalize_url(url: Column) -> Column:
     attribute; CollapseProject will not re-inline multi-referenced
     non-cheap expressions.
     """
-    u0 = F.substring_index(F.trim(url), "#", 1)  # defrag ('' stays '')
+    # defrag BEFORE trim ('' stays ''): a fragment preceded by whitespace
+    # ("u #frag") would otherwise leave a trailing space the second pass
+    # trims — breaking the idempotence fixed point (hypothesis-found)
+    u0 = F.trim(F.substring_index(url, "#", 1))
     sep = F.instr(u0, "://")
     scheme_raw = F.substring(u0, 1, sep - 1)
     scheme_ok = (sep > 0) & scheme_raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$")
@@ -194,7 +197,8 @@ def _canon_stage_levels(url_col: str, out_col: str) -> tuple:
         F.concat(F.col("_scheme"), F.lit("://"), F.col("_auth"), F.col("_rest"))
     )
     return (
-        {"_u0": F.substring_index(F.trim(F.col(url_col)), "#", 1)},
+        # defrag-then-trim, same order as canonicalize_url (idempotence)
+        {"_u0": F.trim(F.substring_index(F.col(url_col), "#", 1))},
         {"_sep": F.instr(F.col("_u0"), "://")},
         {
             "_scheme_raw": F.col("_u0").substr(F.lit(1), F.col("_sep") - 1),
