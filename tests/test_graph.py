@@ -147,6 +147,41 @@ class TestAuthorityPriority:
         assert got["http://h1/b"] == pytest.approx(want["h1"], abs=1e-12)
         assert got["http://unknown.example/"] == 0.0
 
+    def test_run_crawl_reprioritize_by_authority(self, spark, tmp_path):
+        """The run_crawl(reprioritize=) hook: frontier priorities become
+        host PageRank, so the authority hub's URLs schedule first; the
+        loop stays deterministic (two runs → identical fetch logs)."""
+        from tests.test_checkpoint import hosts_df, make_expand, seeds_df
+        from wbx.checkpoint import CheckpointStore, run_crawl
+
+        # h4.com is the hub (4 in-links); everything else trails it
+        edges = [(f"h{i}.com", "h4.com") for i in range(4)] + [
+            ("h4.com", "h0.com")
+        ]
+        ranks = graph.host_rank(
+            spark.createDataFrame(edges, ["src_host", "dst_host"]), iterations=5
+        )
+
+        def repri(df):
+            return graph.with_authority_priority(df, ranks, url_col="url")
+
+        logs = []
+        for name in ("a", "b"):
+            st = CheckpointStore(str(tmp_path / name))
+            run_crawl(
+                spark, st, seeds_df(spark), make_expand(spark),
+                hosts_df(spark), rounds=2, reprioritize=repri,
+            )
+            logs.append(
+                sorted(map(tuple, st.load(spark, "fetch_log", 2).collect()))
+            )
+        assert logs[0] == logs[1]
+        by_host = {}
+        for row in logs[0]:
+            # fetch_log: (round, fetch_order, canon_url, url_hash, host, ...)
+            by_host.setdefault(row[4], []).append(row[1])
+        assert min(by_host["h4.com"]) == min(o for os in by_host.values() for o in os)
+
     def test_no_python_udf_in_plan(self, spark):
         ranks = graph.host_rank(
             spark.createDataFrame([("a", "b")], ["src_host", "dst_host"]), 2

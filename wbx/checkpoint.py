@@ -332,6 +332,7 @@ def run_crawl(
     cuckoo_nbuckets: int = 1 << 16,
     rank_refresh_every: int = 8,
     compact_every: int | None = None,
+    reprioritize=None,
 ) -> dict:
     """Batch-iterative crawl: each round schedules a fetch batch from the
     current frontier, marks it seen, expands it into next-round candidates,
@@ -378,6 +379,15 @@ def run_crawl(
     no exchange, no sort, zero bytes of crawl history on the wire per
     round — while only the ≤K recent deltas shuffle. This is the
     10^10-URL operating mode; results are bit-identical with it off.
+
+    ``reprioritize(frontier_df) -> DataFrame(url, priority)``: optional
+    deterministic hook applied to each round's expanded frontier before it
+    is committed — the integration point for authority-driven scheduling
+    (pass e.g. ``lambda df: wbx.graph.with_authority_priority(df, ranks,
+    url_col="url")`` to order fetches by host PageRank instead of the
+    expander's raw priorities). Like ``expand`` it must be deterministic;
+    it changes crawl ORDER by design, so leave it unset when reproducing
+    the reference's priority semantics.
     """
     from wbx import cuckoo as _cuckoo
     from wbx.frontier import (
@@ -445,6 +455,8 @@ def run_crawl(
         # (deduped), so it IS the round's exact seen-delta
         seen_delta = batch.select("url_hash", "canon_url")
         next_frontier = expand(batch)
+        if reprioritize is not None:
+            next_frontier = reprioritize(next_frontier)
         fetch_log = batch.select(
             F.lit(rid).alias("round"), "fetch_order", "canon_url", "url_hash", "host", "priority"
         )
