@@ -329,3 +329,34 @@ class TestGzStyleMember:
         )
         assert by_member == by_file
         assert by_member["record_count"] == 5
+
+
+class TestWetCommand:
+    def test_wet_export_manifest_and_roundtrip(self, tmp_path, spark, capsys):
+        import glob
+
+        from wbx import warcio
+
+        pages_dir = str(tmp_path / "pages_pq")
+        spark.createDataFrame(
+            [(f"http://w{i % 2}.example/p/{i}", f"2024-01-01 00:00:{i:02d}", f"doc {i}")
+             for i in range(5)],
+            "url string, ts string, text string",
+        ).selectExpr(
+            "url", "CAST(ts AS TIMESTAMP) AS warc_ts", "text"
+        ).write.parquet(pages_dir)
+        out_dir = str(tmp_path / "wet_out")
+        out = json.loads(
+            run_cli(capsys, ["wet", "--input", pages_dir,
+                             "--output-dir", out_dir, "--files", "2"])
+        )
+        assert sum(r["n_records"] for r in out["wet"]) == 5
+        files = spark.createDataFrame(
+            [(os.path.basename(p), bytearray(open(p, "rb").read()))
+             for p in sorted(glob.glob(out_dir + "/*.warc.gz"))],
+            "source_file string, content binary",
+        )
+        rows = warcio.scan_files_to_records(files).collect()
+        assert sorted(bytes(r["content_block"]).decode() for r in rows) == [
+            f"doc {i}" for i in range(5)
+        ]

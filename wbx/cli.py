@@ -348,6 +348,19 @@ def cmd_inspect(args) -> None:
     _emit({"records": [r.asDict() for r in rows]}, args.format)
 
 
+def cmd_wet(args) -> None:
+    """WET export: Common-Crawl-style conversion-record sidecars from a
+    pages parquet table (input_hint shape: url, warc_ts, text); prints the
+    manifest (one row per .warc.gz written)."""
+    from wbx.sinks import export_wet
+
+    spark = _spark("wet")
+    pages = spark.read.parquet(args.input)
+    manifest = export_wet(pages, args.output_dir, files=args.files)
+    rows = manifest.orderBy("path").collect()
+    _emit({"wet": [r.asDict() for r in rows]}, args.format)
+
+
 def cmd_crawl(args) -> None:
     from wbx.checkpoint import CheckpointStore, run_crawl
 
@@ -462,6 +475,15 @@ def main(argv=None) -> int:
     s.add_argument("--no-record-http-headers", action="store_true")
     s.add_argument("--limit", type=int, default=1000)
     s.set_defaults(fn=cmd_inspect)
+
+    s = sub.add_parser("wet")
+    s.add_argument("--input", required=True,
+                   help="pages parquet (url, warc_ts, text)")
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--files", type=int, default=None,
+                   help="repartition to N deterministic output files")
+    s.add_argument("--format", choices=["json", "text"], default="json")
+    s.set_defaults(fn=cmd_wet)
 
     s = sub.add_parser("crawl")
     s.add_argument("--seeds", required=True)
