@@ -1614,6 +1614,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("text_md5"),
         )
 
+    def components_part(spark, sf):
+        """Near-dup clustering (wbx.graph.connected_components — min-label
+        propagation run to convergence, one join+groupBy shuffle per
+        round) over deterministic variable-length chain segments: edges
+        (n{doc_id}, n{doc_id+1}) except across %5/%7 boundaries, so
+        component sizes differ and convergence needs multiple rounds
+        (diameter up to 4). key=node (zero-padded so lexicographic min ==
+        numeric min), ts_a=component label, n_a=component size; the
+        oracle unrolls 6 iterations of the identical recurrence (≥
+        convergence depth) as MATERIALIZED CTEs."""
+        from wbx import graph
+
+        docs = _t(spark, sf, "documents")
+        node = F.format_string("n%03d", F.col("doc_id"))
+        nxt = F.format_string("n%03d", F.col("doc_id") + 1)
+        edges = docs.where(
+            (F.col("doc_id") < 49)
+            & (F.pmod("doc_id", F.lit(5)) != 4)
+            & (F.pmod("doc_id", F.lit(7)) != 6)
+        ).select(node.alias("id_a"), nxt.alias("id_b"))
+        comp = graph.connected_components(edges)
+        sizes = comp.groupBy("component").agg(F.count("*").alias("n"))
+        return comp.join(sizes, "component").select(
+            F.lit("components").alias("part"),
+            F.col("id").alias("key"),
+            F.col("n").cast("long").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("long").alias("n_c"),
+            F.col("component").alias("ts_a"),
+            F.lit(None).cast("string").alias("ts_b"),
+            F.lit(None).cast("string").alias("text_md5"),
+        )
+
     def pages_reports(spark, sf):
         """Pages-table report suite (driver 50-query cap: union-tagged;
         members were separate queries through r4-mid): part='url_latest' is
@@ -1624,11 +1657,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_a=n_pages, n_b=text_chars, n_c=n_langs, ts_a/ts_b=first/last
         capture); part='host_rank' is PageRank link authority over a
         deterministic host graph (wbx.graph.host_rank — see
-        host_rank_part). Same generic schema, every value oracle-pinned."""
+        host_rank_part); part='components' is near-dup cluster labeling
+        (wbx.graph.connected_components — see components_part). Same
+        generic schema, every value oracle-pinned."""
         return (
             url_latest(spark, sf)
             .unionByName(host_rep(spark, sf))
             .unionByName(host_rank_part(spark, sf))
+            .unionByName(components_part(spark, sf))
         )
 
     q["a_pages_reports"] = pages_reports
@@ -1698,6 +1734,57 @@ def _host_rank_union(iterations: int = 10) -> str:
         FROM hr_r{iterations} r
         LEFT JOIN hr_out o ON r.host = o.src
         LEFT JOIN hr_in i ON r.host = i.dst
+        )
+        """
+
+
+def _components_union(iterations: int = 6) -> str:
+    """The part='components' UNION ALL arm of the a_pages_reports oracle:
+    connected_components' min-label recurrence unrolled to a fixed depth ≥
+    the fixture's convergence depth (chain diameter ≤ 4 → labels are a
+    fixpoint from round 5 on, so 6 fixed rounds equal Spark's
+    run-to-convergence labels). MATERIALIZED for the same reason as the
+    host_rank CTEs (each round references its predecessor twice)."""
+    ctes = [
+        """cc_edges AS MATERIALIZED (
+          SELECT DISTINCT printf('n%03d', doc_id) AS a,
+                 printf('n%03d', doc_id + 1) AS b
+          FROM documents
+          WHERE doc_id < 49 AND doc_id % 5 <> 4 AND doc_id % 7 <> 6
+        ),
+        cc_sym AS MATERIALIZED (
+          SELECT a, b FROM cc_edges UNION SELECT b, a FROM cc_edges
+        ),
+        cc_l0 AS MATERIALIZED (
+          SELECT id, id AS component FROM (
+            SELECT a AS id FROM cc_edges UNION SELECT b FROM cc_edges)
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""cc_l{i} AS MATERIALIZED (
+          SELECT l.id,
+                 least(l.component, coalesce(m.nmin, l.component)) AS component
+          FROM cc_l{p} l LEFT JOIN (
+            SELECT s.a AS nid, min(lb.component) AS nmin
+            FROM cc_sym s JOIN cc_l{p} lb ON s.b = lb.id
+            GROUP BY 1) m ON l.id = m.nid
+        )"""
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        UNION ALL
+        SELECT * FROM (
+        WITH {joined}
+        SELECT 'components' AS part, l.id AS key,
+               CAST(cnt.n AS BIGINT) AS n_a,
+               CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS n_c,
+               l.component AS ts_a, CAST(NULL AS VARCHAR) AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM cc_l{iterations} l
+        JOIN (SELECT component, count(*) AS n FROM cc_l{iterations}
+              GROUP BY 1) cnt ON l.component = cnt.component
         )
         """
 
@@ -2457,7 +2544,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR) AS text_md5
         FROM documents GROUP BY 1, 2
         """
-        + _host_rank_union(10),
+        + _host_rank_union(10)
+        + _components_union(6),
     }
 
 

@@ -190,3 +190,87 @@ class TestAuthorityPriority:
         plan = graph.with_authority_priority(frontier, ranks)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+def union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self, spark):
+        # two multi-edge clusters, a chain, and an isolated pair
+        pairs = (
+            [(1, 2), (2, 3), (1, 3), (3, 4)]
+            + [(10, 11), (11, 12)]
+            + [(20, 21), (21, 22), (22, 23), (23, 24)]  # chain, diameter 4
+            + [(40, 41)]
+        )
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in graph.connected_components(df).collect()
+        }
+        want = union_find(pairs)
+        # canonicalize union-find roots to min member per component
+        comp_min = {}
+        for x, r in want.items():
+            comp_min.setdefault(r, x)
+            comp_min[r] = min(comp_min[r], x)
+        assert got == {x: comp_min[r] for x, r in want.items()}
+
+    def test_reversed_and_duplicate_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(2, 1), (1, 2), (3, 2), (3, 2)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["component"] for r in graph.connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_max_iter_caps_rounds(self, spark):
+        # chain 0-1-2-...-6: full convergence needs >2 rounds; capped run
+        # must still return a valid (partial) labeling without hanging
+        chain = [(i, i + 1) for i in range(6)]
+        df = spark.createDataFrame(chain, "id_a long, id_b long")
+        capped = {
+            r["id"]: r["component"]
+            for r in graph.connected_components(df, max_iter=1).collect()
+        }
+        assert capped[6] != 0  # one round can't reach the far end
+        full = {
+            r["id"]: r["component"]
+            for r in graph.connected_components(df).collect()
+        }
+        assert set(full.values()) == {0}
+
+    def test_keep_representatives(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 5), (6, 7)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in graph.components_keep_representatives(docs, pairs).collect()
+        )
+        # {1,2,5} -> keep 1; {6,7} -> keep 6; 0,3,4 untouched
+        assert kept == [0, 1, 3, 4, 6]
+
+    def test_empty_pairs_keeps_all_docs(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(3)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert graph.components_keep_representatives(docs, pairs).count() == 3

@@ -158,6 +158,105 @@ def host_rank(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """Connected components by min-label propagation → (id, component).
+
+    The missing half of every pairwise dedup operator: MinHash/SimHash/
+    embedding near-dup emit PAIRS, but "keep one copy" needs the
+    transitive closure — A~B and B~C must collapse to one cluster even
+    though (A, C) was never emitted. ``component`` is the minimum member
+    id of each cluster (a deterministic representative).
+
+    Algorithm: every node starts labeled with itself; each round every
+    node takes the min label in its closed neighborhood (undirected);
+    converged when a round changes nothing — O(diameter) rounds, and
+    near-dup clusters are short-diameter by construction (they exist
+    because members mutually collide in sketch buckets). Works on any id
+    type with a total order (the dedup operators emit longs).
+
+    Scale shape per round: one labels→edges equi-join + one groupBy(node)
+    min — label rows are (id, label) pairs only, payloads never
+    participate. The convergence test is a distributed count aggregate
+    (no row data reaches the driver); each round's labels materialize via
+    localCheckpoint, which both truncates the growing self-join lineage
+    and keeps round N+1 scanning a small cached table rather than
+    re-deriving round N. (Star-contraction variants converge in fewer
+    rounds on pathological long-chain graphs; min-label is chosen because
+    its per-round algebra is plain relational — the DuckDB oracle runs
+    the identical recurrence.)
+
+    ``max_iter``: safety cap (None = run to convergence).
+    """
+    e = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # undirected closed neighborhood: both directions + self
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    while max_iter is None or rounds < max_iter:
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("nid"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["nid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        rounds += 1
+        if changed == 0:
+            break
+    return labels
+
+
+def components_keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup finisher: cluster the pairs, keep each component's
+    minimum-id member, and pass through every doc that appears in no pair.
+    The anti-join/semi-join pair touches only id columns — doc payloads
+    are never shuffled (same late-fetch discipline as dedup_exact)."""
+    comp = connected_components(pairs, src_col, dst_col)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def with_authority_priority(
     frontier: DataFrame,
     ranks: DataFrame,
