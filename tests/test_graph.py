@@ -154,10 +154,10 @@ class TestAuthorityPriority:
         from tests.test_checkpoint import hosts_df, make_expand, seeds_df
         from wbx.checkpoint import CheckpointStore, run_crawl
 
-        # h4.com is the hub (4 in-links); everything else trails it
-        edges = [(f"h{i}.com", "h4.com") for i in range(4)] + [
-            ("h4.com", "h0.com")
-        ]
+        # h4.com is the hub — a pure sink so its rank lead is monotone in
+        # the iteration count (a back-edge would form a 2-cycle whose rank
+        # oscillates with parity)
+        edges = [(f"h{i}.com", "h4.com") for i in range(4)]
         ranks = graph.host_rank(
             spark.createDataFrame(edges, ["src_host", "dst_host"]), iterations=5
         )

@@ -255,6 +255,54 @@ class TestStreamCrawl:
         seen = store.load_seen(spark)
         assert seen.count() == 15
 
+    def test_authority_priority_on_stream(self, spark, tmp_path):
+        """graph.with_authority_priority composes with a streaming
+        candidates frame (stateless broadcast join): the scheduled batch
+        orders the authority hub's URLs first, and the seen/dedup
+        machinery is unaffected."""
+        from wbx import graph
+        from wbx.checkpoint import CheckpointStore
+
+        # h3.com is the hub — a pure sink, so its rank lead is monotone
+        # in the iteration count (a hub WITH a back-edge forms a 2-cycle
+        # whose rank oscillates with iteration parity)
+        ranks = graph.host_rank(
+            spark.createDataFrame(
+                [(f"h{i}.com", "h3.com") for i in (0, 1, 2, 4)],
+                ["src_host", "dst_host"],
+            ),
+            iterations=4,
+        )
+        src = str(tmp_path / "cands_auth")
+        ckpt = str(tmp_path / "ckpt_auth")
+        store = CheckpointStore(str(tmp_path / "store_auth"))
+        self._write_batch(spark, src, 0, 10)
+
+        from wbx.streaming import stream_crawl
+
+        cand = graph.with_authority_priority(
+            spark.readStream.schema(self.CAND_SCHEMA).parquet(src),
+            ranks,
+            url_col="url",
+            priority_col="priority",
+        )
+        q = (
+            stream_crawl(cand, store, self._hosts(spark), checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        log = store.load(spark, "fetch_log").collect()
+        assert {r["canon_url"] for r in log} == {
+            f"http://h{i % 5}.com/p/{i}" for i in range(10)
+        }
+        by_host = {}
+        for r in log:
+            by_host.setdefault(r["host"], []).append(r["fetch_order"])
+        assert min(by_host["h3.com"]) == min(
+            o for os in by_host.values() for o in os
+        )
+
     def test_replayed_epoch_is_skipped(self, spark, tmp_path):
         from wbx.checkpoint import CheckpointStore
         from wbx.streaming import crawl_batch_processor

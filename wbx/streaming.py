@@ -376,7 +376,14 @@ def stream_crawl(
 
     The frontier state machine is the same as batch run_crawl minus the
     ``expand`` step: in streaming mode link discovery IS the input stream,
-    so rounds contain exactly the new candidates that arrived."""
+    so rounds contain exactly the new candidates that arrived.
+
+    Authority scheduling (batch run_crawl's ``reprioritize=`` twin): apply
+    the hook to the input stream itself —
+    ``stream_crawl(wbx.graph.with_authority_priority(cand, ranks,
+    url_col="url"), ...)``. The rank join is a stateless broadcast, so it
+    composes with a streaming frame (pinned by
+    tests/test_streaming.py::test_authority_priority_on_stream)."""
     writer = candidates.writeStream.foreachBatch(
         crawl_batch_processor(store, hosts, robots, **round_opts)
     ).outputMode("update")
