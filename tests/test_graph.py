@@ -274,3 +274,33 @@ class TestConnectedComponents:
         )
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert graph.components_keep_representatives(docs, pairs).count() == 3
+
+
+class TestDedupComposition:
+    def test_minhash_pairs_to_representatives_end_to_end(self, spark):
+        """The full near-dup pipeline: MinHash-LSH pairs →
+        connected_components → one representative per cluster. Family B's
+        A~B and B~C pairs must transitively collapse even if LSH never
+        emitted (A, C) directly."""
+        from wbx import textops
+
+        base_a = "the quick brown fox jumps over the lazy dog " * 12
+        base_b = "pack my box with five dozen liquor jugs today " * 12
+        rows = [
+            (0, base_a),
+            (1, base_a + " tail zero"),
+            (2, base_a + " tail zero one"),
+            (10, base_b),
+            (11, base_b + " extra"),
+            (20, "completely unrelated text about spark shuffles " * 10),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = textops.dedup_minhash(docs, threshold=0.7)
+        got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got_pairs  # families were detected at all
+        kept = sorted(
+            r["doc_id"]
+            for r in graph.components_keep_representatives(docs, pairs).collect()
+        )
+        # family A {0,1,2} -> 0; family B {10,11} -> 10; 20 untouched
+        assert kept == [0, 10, 20]
