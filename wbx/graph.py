@@ -114,15 +114,20 @@ def host_rank(
             F.lit(0).cast("long").alias("out_degree"),
             F.lit(0).cast("long").alias("in_degree"),
         )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
     indeg = e.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    # edges+degree joined and cached ONCE, pre-partitioned on src: the
+    # per-iteration contribution join then reads a cached scan already
+    # hashed on its key (or broadcasts the tiny rank vector) instead of
+    # re-deriving and re-exchanging the edge table every round
+    ew = e.join(outdeg, "src").repartition(F.col("src")).persist()
+    ew.count()
 
     ranks = hosts.select("host", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["src"] == ranks["host"])
-            .join(outdeg, "src")
+            ew.join(ranks, ew["src"] == ranks["host"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
@@ -146,7 +151,7 @@ def host_rank(
             )
             .localCheckpoint(eager=True)
         )
-    return (
+    out = (
         ranks.join(outdeg, ranks["host"] == outdeg["src"], "left")
         .join(indeg, ranks["host"] == indeg["dst"], "left")
         .select(
@@ -155,7 +160,11 @@ def host_rank(
             F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_degree"),
             F.coalesce(F.col("in_deg"), F.lit(0)).cast("long").alias("in_degree"),
         )
+        .localCheckpoint(eager=True)
     )
+    ew.unpersist()
+    outdeg.unpersist()
+    return out
 
 
 def connected_components(
@@ -198,10 +207,21 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # undirected closed neighborhood: both directions + self
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Undirected closed neighborhood, cached ONCE pre-partitioned on the
+    # join key: without this every round re-runs the union+distinct and
+    # re-exchanges the (large) edge table. persist (not localCheckpoint —
+    # LogicalRDD drops the partitioning info) keeps the repartition(b)
+    # inside the InMemoryRelation, so each round's join reads a cached
+    # scan that already satisfies its distribution; only the (small)
+    # label vector moves per round, and AQE broadcasts the cached side
+    # outright when it fits (verified via .explain).
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition(F.col("b"))
+        .persist()
+    )
+    sym.count()  # materialize before the loop
     labels = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
@@ -236,6 +256,7 @@ def connected_components(
         rounds += 1
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 
