@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wbx import analytics, filters, simsearch, textops
+from wbx import analytics, filters, sampling, simsearch, textops
 from wbx.extract import extract_text_udf
 from wbx.frontier import (
     build_seen_bloom,
@@ -480,6 +480,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(textops.rolling_hashes(F.col("text"), window=8))
             .cast("long")
             .alias("n_hashes"),
+            # deterministic sampling surface (wbx.sampling), oracled via
+            # the portable md5 hasher (winnow trick; production default is
+            # xxhash64): the bucket VALUE, the train/holdout tag, and a
+            # per-source stratified-mix keep decision
+            sampling.sample_bucket(
+                F.col("doc_id"), seed=7, hasher=sampling.md5_seeded
+            ).alias("sample_bucket"),
+            F.when(
+                sampling.keep_fraction(
+                    F.col("doc_id"), 0.1, seed=7, hasher=sampling.md5_seeded
+                ),
+                F.lit("holdout"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            sampling.keep_fraction(
+                F.col("doc_id"), 0.25, seed=11, hasher=sampling.md5_seeded
+            ).alias("mix_keep"),
         )
 
     q["text_doc_metrics"] = text_doc_metrics
@@ -1916,7 +1934,14 @@ def oracle_sql() -> dict[str, str]:
                      '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+)'),
                    x -> regexp_matches(x, '\S'))) AS BIGINT) AS n_bpe_tokens,
                CAST(CASE WHEN len(toks) < 8 THEN 0
-                         ELSE len(toks) - 7 END AS BIGINT) AS n_hashes
+                         ELSE len(toks) - 7 END AS BIGINT) AS n_hashes,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15))
+                    AS BIGINT) % 1000000 AS sample_bucket,
+               CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15))
+                         AS BIGINT) % 1000000 < 100000
+                    THEN 'holdout' ELSE 'train' END AS split,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15))
+                    AS BIGINT) % 1000000 < 250000 AS mix_keep
         FROM s
         """,
         # winnow over md5_hash60 rolling hashes: window=8 tokens, guarantee=16
