@@ -1665,6 +1665,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("text_md5"),
         )
 
+    def revisit_part(spark, sf):
+        """Recrawl scheduling (wbx.frontier.revisit_priority) over a
+        synthetic fetch history: 40 URLs revisited ~every 40 ticks; even
+        keys change content every fetch (digest = doc_id), odd keys never
+        change (constant digest), so change_rate/priority separate
+        cleanly. Doubles are pinned as scaled longs (rate*1e9,
+        priority*1e6) rendered into the suite's string slots."""
+        from wbx.frontier import revisit_priority
+
+        docs = _t(spark, sf, "documents")
+        k = F.pmod("doc_id", F.lit(40))
+        hist = docs.select(
+            F.concat(
+                F.lit("http://r"), F.pmod(k, F.lit(5)), F.lit(".example/p/"), k
+            ).alias("canon_url"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id"))
+            ).alias("warc_ts"),
+            F.when(F.pmod(k, F.lit(2)) == 0, F.col("doc_id").cast("string"))
+            .otherwise(F.lit("const"))
+            .alias("digest"),
+        )
+        out = revisit_priority(hist, "2024-02-01 00:00:00")
+        return out.select(
+            F.lit("revisit").alias("part"),
+            F.col("canon_url").alias("key"),
+            F.col("n_obs").alias("n_a"),
+            F.col("n_changes").alias("n_b"),
+            F.col("age_secs").alias("n_c"),
+            F.round(F.col("change_rate") * F.lit(1e9))
+            .cast("long")
+            .cast("string")
+            .alias("ts_a"),
+            F.round(F.col("revisit_priority") * F.lit(1e6))
+            .cast("long")
+            .cast("string")
+            .alias("ts_b"),
+            F.lit(None).cast("string").alias("text_md5"),
+        )
+
+    def traps_part(spark, sf):
+        """Spider-trap mining (wbx.frontier.detect_url_traps): 3 hosts
+        with a digit-exploding '/x/N?s=N' URL space (40 distinct URLs
+        each, emitted twice to exercise the distinct) plus a small
+        static host below the threshold."""
+        from wbx.frontier import detect_url_traps
+
+        docs = _t(spark, sf, "documents")
+        big = docs.where(F.col("doc_id") < 120).select(
+            F.concat(
+                F.lit("http://t"),
+                F.pmod("doc_id", F.lit(3)),
+                F.lit(".example/x/"),
+                F.floor(F.col("doc_id") / 3),
+                F.lit("?s="),
+                F.col("doc_id") * 3,
+            ).alias("canon_url")
+        )
+        small = docs.where(F.col("doc_id") < 5).select(
+            F.concat(F.lit("http://ok.example/about/"), "doc_id").alias("canon_url")
+        )
+        pages = big.unionByName(big).unionByName(small)
+        return detect_url_traps(pages, min_urls=30).select(
+            F.lit("traps").alias("part"),
+            F.col("host").alias("key"),
+            F.col("n_urls").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("long").alias("n_c"),
+            F.col("template").alias("ts_a"),
+            F.lit(None).cast("string").alias("ts_b"),
+            F.lit(None).cast("string").alias("text_md5"),
+        )
+
     def pages_reports(spark, sf):
         """Pages-table report suite (driver 50-query cap: union-tagged;
         members were separate queries through r4-mid): part='url_latest' is
@@ -1676,13 +1750,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         capture); part='host_rank' is PageRank link authority over a
         deterministic host graph (wbx.graph.host_rank — see
         host_rank_part); part='components' is near-dup cluster labeling
-        (wbx.graph.connected_components — see components_part). Same
+        (wbx.graph.connected_components — see components_part);
+        part='revisit' is change-rate recrawl priority
+        (wbx.frontier.revisit_priority); part='traps' is spider-trap
+        URL-template mining (wbx.frontier.detect_url_traps). Same
         generic schema, every value oracle-pinned."""
         return (
             url_latest(spark, sf)
             .unionByName(host_rep(spark, sf))
             .unionByName(host_rank_part(spark, sf))
             .unionByName(components_part(spark, sf))
+            .unionByName(revisit_part(spark, sf))
+            .unionByName(traps_part(spark, sf))
         )
 
     q["a_pages_reports"] = pages_reports
@@ -1803,6 +1882,76 @@ def _components_union(iterations: int = 6) -> str:
         FROM cc_l{iterations} l
         JOIN (SELECT component, count(*) AS n FROM cc_l{iterations}
               GROUP BY 1) cnt ON l.component = cnt.component
+        )
+        """
+
+
+_REVISIT_UNION = """
+        UNION ALL
+        SELECT * FROM (
+        WITH rv AS MATERIALIZED (
+          SELECT 'http://r' || ((doc_id % 40) % 5) || '.example/p/'
+                   || (doc_id % 40) AS url,
+                 TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS ts,
+                 CASE WHEN (doc_id % 40) % 2 = 0 THEN CAST(doc_id AS VARCHAR)
+                      ELSE 'const' END AS dg
+          FROM documents
+        ), rv_l AS (
+          SELECT url, ts, dg,
+                 lag(dg) OVER (PARTITION BY url ORDER BY ts, dg) AS prev
+          FROM rv
+        ), rv_a AS (
+          SELECT url, count(*) AS n_obs,
+                 sum(CASE WHEN prev IS NOT NULL AND dg <> prev
+                          THEN 1 ELSE 0 END) AS n_changes,
+                 CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span,
+                 CAST(epoch(TIMESTAMP '2024-02-01 00:00:00')
+                      - epoch(max(ts)) AS BIGINT) AS age
+          FROM rv_l GROUP BY 1
+        ), rv_r AS (
+          SELECT url, n_obs, n_changes, age,
+                 CASE WHEN span > 0 THEN CAST(n_changes AS DOUBLE) / span
+                      ELSE 0e0 END AS rate
+          FROM rv_a
+        )
+        SELECT 'revisit' AS part, url AS key,
+               CAST(n_obs AS BIGINT) AS n_a,
+               CAST(n_changes AS BIGINT) AS n_b,
+               age AS n_c,
+               CAST(CAST(round(rate * 1000000000e0) AS BIGINT) AS VARCHAR) AS ts_a,
+               CAST(CAST(round(rate * age * 1000000e0) AS BIGINT) AS VARCHAR) AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM rv_r
+        )
+        """
+
+_TRAPS_UNION = """
+        UNION ALL
+        SELECT * FROM (
+        WITH tp_urls AS MATERIALIZED (
+          SELECT 'http://t' || (doc_id % 3) || '.example/x/' || (doc_id // 3)
+                   || '?s=' || (doc_id * 3) AS url
+          FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT 'http://t' || (doc_id % 3) || '.example/x/' || (doc_id // 3)
+                   || '?s=' || (doc_id * 3)
+          FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT 'http://ok.example/about/' || doc_id
+          FROM documents WHERE doc_id < 5
+        ), tp_k AS (
+          SELECT DISTINCT split_part(rest, '/', 1) AS host,
+                 regexp_replace(substr(rest, strpos(rest, '/')),
+                                '[0-9]+', 'N', 'g') AS template,
+                 url
+          FROM (SELECT url, split_part(url, '://', 2) AS rest FROM tp_urls)
+        )
+        SELECT 'traps' AS part, host AS key,
+               CAST(count(*) AS BIGINT) AS n_a,
+               CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS BIGINT) AS n_c,
+               template AS ts_a, CAST(NULL AS VARCHAR) AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM tp_k GROUP BY 1, 2, 6 HAVING count(*) >= 30
         )
         """
 
@@ -2570,7 +2719,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1, 2
         """
         + _host_rank_union(10)
-        + _components_union(6),
+        + _components_union(6)
+        + _REVISIT_UNION
+        + _TRAPS_UNION,
     }
 
 

@@ -1285,3 +1285,94 @@ class TestResolveRedirects:
             ],
         )
         assert got["HTTP://M.EX:80/a#frag"] == ("http://m.ex/b", 1, "ok")
+
+
+class TestRevisitPriority:
+    def _history(self, spark):
+        from datetime import datetime
+
+        rows = []
+        # fast.example/p: changes every fetch (4 obs over 3000s -> 3 changes)
+        for i in range(4):
+            rows.append(("http://fast.example/p", datetime(2024, 1, 1, 0, i * 16, 40), f"d{i}"))
+        # slow.example/p: 4 fetches, same digest -> 0 changes
+        for i in range(4):
+            rows.append(("http://slow.example/p", datetime(2024, 1, 1, 0, i * 16, 40), "same"))
+        # once.example/p: single observation -> rate 0
+        rows.append(("http://once.example/p", datetime(2024, 1, 1, 0, 0, 0), "x"))
+        return spark.createDataFrame(
+            rows, "canon_url string, warc_ts timestamp, digest string"
+        )
+
+    def test_change_rate_and_priority(self, spark):
+        from wbx.frontier import revisit_priority
+
+        got = {
+            r["canon_url"]: r
+            for r in revisit_priority(
+                self._history(spark), "2024-01-01 01:00:00"
+            ).collect()
+        }
+        fast = got["http://fast.example/p"]
+        assert (fast["n_obs"], fast["n_changes"]) == (4, 3)
+        span = 3 * 16 * 60  # 2880 s between first and last fetch
+        age = 3600 - 3 * 16 * 60 - 40  # now minus last fetch
+        assert fast["change_rate"] == pytest.approx(3 / span)
+        assert fast["age_secs"] == age
+        assert fast["revisit_priority"] == pytest.approx(3 / span * age)
+        slow = got["http://slow.example/p"]
+        assert slow["n_changes"] == 0 and slow["revisit_priority"] == 0.0
+        once = got["http://once.example/p"]
+        assert once["n_obs"] == 1 and once["revisit_priority"] == 0.0
+
+    def test_partition_independent(self, spark):
+        from wbx.frontier import revisit_priority
+
+        a = sorted(
+            map(tuple, revisit_priority(self._history(spark), "2024-01-02 00:00:00").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                revisit_priority(
+                    self._history(spark).repartition(7), "2024-01-02 00:00:00"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+
+class TestUrlTraps:
+    def test_calendar_trap_detected_static_ignored(self, spark):
+        from wbx.frontier import detect_url_traps
+
+        rows = [(f"http://trap.example/cal/{2000 + i}/{i % 12}/{i % 28}",) for i in range(50)]
+        rows += [(f"http://ok.example/article/{name}",) for name in ("a", "b", "c")]
+        rows += [("not a url",), (None,)]
+        pages = spark.createDataFrame(rows, "canon_url string")
+        got = {
+            (r["host"], r["template"]): r["n_urls"]
+            for r in detect_url_traps(pages, min_urls=10).collect()
+        }
+        assert got == {("trap.example", "/cal/N/N/N"): 50}
+
+    def test_query_string_values_collapse(self, spark):
+        from wbx.frontier import detect_url_traps, url_template
+
+        pages = spark.createDataFrame(
+            [(f"http://s.example/search?page={i}&sid={i * 7}",) for i in range(20)],
+            "canon_url string",
+        )
+        got = detect_url_traps(pages, min_urls=5).collect()
+        assert [(r["host"], r["template"], r["n_urls"]) for r in got] == [
+            ("s.example", "/search?page=N&sid=N", 20)
+        ]
+
+    def test_duplicate_urls_count_once(self, spark):
+        from wbx.frontier import detect_url_traps
+
+        pages = spark.createDataFrame(
+            [("http://d.example/p/1",)] * 30 + [("http://d.example/p/2",)],
+            "canon_url string",
+        )
+        assert detect_url_traps(pages, min_urls=3).count() == 0

@@ -1783,3 +1783,123 @@ def apply_blocklist(
     return frontier.join(
         blocked.withColumnRenamed("host", host_col), [host_col], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling + spider-trap detection (crawl-ops layer; no reference
+# counterpart — warcbench reads archives post-hoc, it never schedules)
+# ---------------------------------------------------------------------------
+
+
+def revisit_priority(
+    history: DataFrame,
+    now,
+    url_col: str = "canon_url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Freshness-driven recrawl priority from fetch history — the classic
+    change-rate formulation (Cho & Garcia-Molina's uniform/proportional
+    revisit analysis): a URL's priority is its estimated change rate times
+    its staleness, so fast-changing pages revisit often and static pages
+    decay to the back of the queue.
+
+    ``history``: one row per past fetch (url, fetch timestamp, content
+    digest — e.g. the md5/xxhash of extracted text the fetch pipeline
+    already logs). Per URL:
+
+    - ``n_changes`` = fetches whose digest differs from the PREVIOUS
+      fetch's digest (lag over (url, ts) — detects actual content change,
+      not mere refetches);
+    - ``change_rate`` = n_changes / observed span seconds (0 when a
+      single observation or zero span — no evidence of change);
+    - ``age_secs`` = seconds since the last fetch at ``now``;
+    - ``revisit_priority`` = change_rate * age_secs (expected number of
+      missed changes — dimensionless, comparable across URLs).
+
+    Deterministic: the lag window orders by (ts, digest), a total order
+    per URL even if two captures share a timestamp. One shuffle on
+    url_col (window + groupBy share the key). Feed the output's
+    (url, revisit_priority) straight into crawl_round as candidates."""
+    w = Window.partitionBy(url_col).orderBy("_ts", "_dg")
+    staged = history.select(
+        url_col,
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(digest_col).alias("_dg"),
+    ).withColumn("_prev", F.lag("_dg").over(w))
+    agg = staged.groupBy(url_col).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull() & (F.col("_dg") != F.col("_prev")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changes"),
+        F.min("_ts").alias("_first"),
+        F.max("_ts").alias("_last"),
+    )
+    span = F.unix_timestamp("_last") - F.unix_timestamp("_first")
+    age = F.unix_timestamp(F.lit(now).cast("timestamp")) - F.unix_timestamp("_last")
+    rate = F.when(span > 0, F.col("n_changes") / span).otherwise(F.lit(0.0))
+    return agg.select(
+        url_col,
+        "n_obs",
+        "n_changes",
+        rate.alias("change_rate"),
+        age.cast("long").alias("age_secs"),
+        (rate * age).alias("revisit_priority"),
+    )
+
+
+def url_template(canon_url: Column) -> Column:
+    """Collapse every digit run in the path+query to 'N' — the URL-shape
+    key for trap mining ('/cal/2024/01/03' and '/cal/2031/12/99' are the
+    same template; '?page=123&sid=9' → '?page=N&sid=N'). Host and scheme
+    are dropped. RE2-safe (no lookaround), so oracles chain the identical
+    regex."""
+    scheme_ok, _, rest = _split_authority(canon_url)
+    pathq = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(
+        scheme_ok, F.regexp_replace(pathq, "[0-9]+", "N")
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def detect_url_traps(
+    pages: DataFrame,
+    min_urls: int = 1000,
+    url_col: str = "canon_url",
+) -> DataFrame:
+    """Spider-trap / infinite-URL-space mining: templates (host, digit-
+    collapsed path shape) matched by ≥ ``min_urls`` DISTINCT URLs are
+    suspect crawler traps (calendars, session ids, faceted search,
+    pagination explosions) — feed the output to apply_blocklist or a
+    budget override before the frontier drowns in one site's URL space.
+
+    Returns (host, template, n_urls) sorted nowhere (caller orders).
+    Scale shape: distinct on (host, template, url) then a count per
+    (host, template) — both shuffles carry three short strings; at
+    10^10 URLs the distinct pre-aggregates map-side on the same keys."""
+    # null-host rows are excluded on the RAW url BEFORE the staged
+    # canonicalization pipeline — a .where on the staged `host` output
+    # triggers the predicate-pushdown alias-substitution blowup (see
+    # wbx/graph.py host_edges); a scheme-valid URL always canonicalizes
+    # to a non-null host, so this prefilter is equivalent
+    raw = pages.select(url_col)
+    sep = F.instr(F.col(url_col), "://")
+    raw = raw.where(
+        (sep > 0)
+        & F.substring(F.col(url_col), 1, sep - 1).rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$")
+    )
+    staged = with_url_host(with_canon_url(raw, url_col, "_c"), "_c")
+    keyed = staged.select(
+        "host",
+        url_template(F.col("_c")).alias("template"),
+        F.col(url_col),
+    )
+    return (
+        keyed.distinct()
+        .groupBy("host", "template")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .where(F.col("n_urls") >= min_urls)
+    )
