@@ -189,3 +189,68 @@ class TestResize:
         assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
             map(tuple, b), key=lambda t: t[0]
         )
+
+
+class TestAudioDecode:
+    def _wav(self, freq=440.0, rate=8000, n=800, channels=1, width=2):
+        import io
+        import math
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            frames = bytearray()
+            for i in range(n):
+                v = int(20000 * math.sin(2 * math.pi * freq * i / rate))
+                for _ in range(channels):
+                    if width == 2:
+                        frames += struct.pack("<h", v)
+                    else:
+                        frames.append((v // 256) + 128 & 0xFF)
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    def test_decode_audio_roundtrip(self):
+        from wbx.multimodal import decode_audio
+
+        nch, rate, nfr, pcm = decode_audio(self._wav())
+        assert (nch, rate, nfr) == (1, 8000, 800)
+        assert len(pcm) == 800 * 2
+
+    def test_decode_audios_features(self, spark):
+        import numpy as np
+
+        from wbx.multimodal import decode_audios
+
+        media = spark.createDataFrame(
+            [
+                (0, bytearray(self._wav())),
+                (1, bytearray(self._wav(freq=880.0, channels=2))),
+                (2, bytearray(b"ID3 not a wav")),
+                (3, None),
+            ],
+            "media_id long, payload binary",
+        )
+        got = {r["media_id"]: r for r in decode_audios(media).collect()}
+        r0 = got[0]
+        assert (r0["n_channels"], r0["sample_rate"], r0["n_frames"]) == (1, 8000, 800)
+        assert r0["duration_ms"] == 100
+        # sine RMS ~ amplitude/sqrt(2)
+        assert r0["rms"] == pytest.approx(20000 / np.sqrt(2), rel=0.01)
+        assert r0["peak"] <= 20000 and r0["peak"] >= 19000
+        assert got[1]["n_channels"] == 2 and got[1]["error"] is None
+        assert got[2]["error"] is not None and got[2]["rms"] is None
+        assert got[3]["error"] is not None
+
+    def test_8bit_wav(self, spark):
+        from wbx.multimodal import decode_audios
+
+        media = spark.createDataFrame(
+            [(0, bytearray(self._wav(width=1)))], "media_id long, payload binary"
+        )
+        r = decode_audios(media).collect()[0]
+        assert r["error"] is None and r["n_frames"] == 800 and r["rms"] > 0

@@ -11,7 +11,10 @@ partition sizing, UDF signatures) is real and tested:
   wbx.codecs binding pattern; Pillow is used instead when importable);
   other formats raise NotImplementedError from the clearly-marked seam
   (libjpeg's classic API needs setjmp error hooks ctypes cannot provide —
-  see the _PngImage comment).
+  see the _PngImage comment);
+- :func:`decode_audio` / :func:`decode_audios` — REAL for WAV (stdlib
+  RIFF parse; PCM reduced to rate/duration/RMS/peak features inside the
+  Arrow batch, raw audio never leaves the task).
 
 Scale notes: media rows are fat (100 KB–10 MB). The operators below use
 ``mapInPandas`` with small Arrow batches (set
@@ -363,3 +366,103 @@ def frame_sample_plan(
             )
         ).alias("frame_index"),
     )
+
+
+# --- real WAV audio decode (pure stdlib RIFF parse; no external deps) ------
+
+
+class AudioDecodeError(Exception):
+    pass
+
+
+def decode_audio(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a WAV payload → (n_channels, sample_rate, n_frames,
+    PCM bytes). Stdlib ``wave`` does the RIFF parsing — WAV is the one
+    audio container decodable with zero native dependencies, which makes
+    this stage REAL in this container (the compressed-codec step for
+    mp3/ogg would sit behind the same seam as decode_image's Pillow
+    probe). Raises AudioDecodeError on anything malformed."""
+    import io
+    import wave
+
+    if data is None or len(data) == 0:
+        raise AudioDecodeError("empty payload")
+    try:
+        with wave.open(io.BytesIO(bytes(data))) as w:
+            return (
+                w.getnchannels(),
+                w.getframerate(),
+                w.getnframes(),
+                w.readframes(w.getnframes()),
+            )
+    except AudioDecodeError:
+        raise
+    except Exception as e:
+        raise AudioDecodeError(str(e))
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_audios(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Real audio decode + featurize as a pipeline stage: WAV payload →
+    (channels, rate, frames, duration, RMS amplitude, peak) via
+    :func:`decode_audio`; PCM samples are reduced to features INSIDE the
+    Arrow batch (numpy over int16/int8 frames) so raw audio never leaves
+    the task. Undecodable payloads degrade to (NULLs, error) rows — same
+    malformed-input-is-output contract as decode_images."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "n_channels", "sample_rate", "n_frames",
+            "duration_ms", "rms", "peak", "error",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                try:
+                    nch, rate, nfr, pcm = decode_audio(
+                        bytes(data) if data is not None else b""
+                    )
+                    width = len(pcm) // (nch * nfr) if nch * nfr else 0
+                    if width == 2:
+                        samples = np.frombuffer(pcm, dtype="<i2")
+                    elif width == 1:
+                        # 8-bit WAV is unsigned, centered at 128
+                        samples = np.frombuffer(pcm, dtype="u1").astype(
+                            np.int16
+                        ) - 128
+                    else:
+                        raise AudioDecodeError(
+                            f"unsupported sample width {width}"
+                        )
+                    f = samples.astype(np.float64)
+                    row.update(
+                        n_channels=nch,
+                        sample_rate=rate,
+                        n_frames=nfr,
+                        duration_ms=int(nfr * 1000 // rate) if rate else 0,
+                        rms=float(np.sqrt(np.mean(f * f))) if len(f) else 0.0,
+                        peak=int(np.max(np.abs(samples))) if len(samples) else 0,
+                    )
+                except AudioDecodeError as e:
+                    row["error"] = str(e)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
