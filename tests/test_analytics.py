@@ -449,3 +449,64 @@ class TestSessionize:
         a = sorted(map(tuple, analytics.sessionize(events).collect()))
         b = sorted(map(tuple, analytics.sessionize(events.repartition(13)).collect()))
         assert a == b
+
+
+class TestCdxIndex:
+    def test_surt_cases(self, spark):
+        from wbx.frontier import surt_key, with_canon_url
+
+        cases = {
+            "http://www.Example.COM:80/A/b?Q=1": "com,example)/a/b?q=1",
+            "https://sub.site.org/": "org,site,sub)/",
+            "http://host": "host)/",
+            "no scheme": None,
+        }
+        df = with_canon_url(
+            spark.createDataFrame([(u,) for u in cases], "url string"), "url"
+        )
+        got = {
+            r["url"]: r["k"]
+            for r in df.select(
+                "url", surt_key(F.col("canon_url")).alias("k")
+            ).collect()
+        }
+        assert got == cases
+
+    def test_cdx_from_scanned_warc(self, spark):
+        import hashlib
+
+        from wbx import warcio
+        from wbx.analytics import cdx_index
+
+        def rec(uri, body, wtype=b"response"):
+            header = (
+                b"WARC/1.1\r\nWARC-Type: " + wtype + b"\r\n"
+                b"WARC-Target-URI: " + uri + b"\r\n"
+                b"WARC-Date: 2024-03-04T05:06:07Z\r\n"
+                b"Content-Type: application/http\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            )
+            return header + b"\r\n" + body
+
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<x>"
+        recs = [
+            rec(b"https://www.ex.com/p/2", body),
+            rec(b"https://www.ex.com/p/1", body),
+            rec(b"https://www.ex.com/p/1", b"GET / HTTP/1.1\r\n\r\n", b"request"),
+        ]
+        gz = warcio.write_warc_gz(recs)
+        files = spark.createDataFrame(
+            [("a.warc.gz", bytearray(gz))], "source_file string, content binary"
+        )
+        rows = cdx_index(warcio.scan_files_to_records(files)).collect()
+        # requests excluded; sorted by urlkey so p/1 before p/2
+        assert [r["urlkey"] for r in rows] == ["com,ex)/p/1", "com,ex)/p/2"]
+        r = rows[0]
+        assert r["timestamp"] == "20240304050607"
+        assert r["url"] == "https://www.ex.com/p/1"
+        assert r["mime"] == "text/html"
+        assert r["status"] == 200
+        assert r["filename"] == "a.warc.gz"
+        assert r["length"] > 0 and r["offset"] >= 0
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<x>"
+        assert r["digest"] == hashlib.sha1(body).hexdigest()

@@ -360,3 +360,14 @@ class TestWetCommand:
         assert sorted(bytes(r["content_block"]).decode() for r in rows) == [
             f"doc {i}" for i in range(5)
         ]
+
+
+class TestCdxCommand:
+    def test_cdx_lines_sorted_by_urlkey(self, warc_dir, capsys):
+        out = json.loads(run_cli(capsys, ["cdx", "--input", warc_dir]))
+        rows = out["cdx"]
+        assert len(rows) == 6
+        keys = [(r["urlkey"], r["timestamp"]) for r in rows]
+        assert keys == sorted(keys)
+        assert {r["filename"] for r in rows} == {"a.warc", "b.warc"}
+        assert all(r["urlkey"].startswith("example,") for r in rows)

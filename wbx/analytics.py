@@ -562,3 +562,55 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX capture index from a records DataFrame — the web-archive
+    replay-index sidecar (pywb / OpenWayback / Common Crawl convention):
+    one row per response/revisit capture with the SURT urlkey, 14-digit
+    timestamp, mime, HTTP status, content digest, compressed offsets, and
+    the source archive, sorted by (urlkey, timestamp) so one URL's
+    captures are contiguous — exactly the ordering replay servers
+    binary-search.
+
+    Deviations from pywb, chosen for engine determinism (documented, not
+    accidental): digest is hex sha1 of the stored content block (pywb
+    emits base32 of the decoded payload), and offsets fall back to record
+    offsets for uncompressed archives (member_start/length are the
+    .warc.gz convention).
+
+    Scale shape: per-row projections (the SURT/timestamp/digest algebra is
+    pure Column work over materialized canonical URLs) plus ONE global
+    sort — rangepartitioned by Spark, which is the distributed analogue of
+    the sorted .cdx file; write partition-wise for a sharded index."""
+    from wbx.frontier import surt_key, with_canon_url
+
+    picked = records.where(
+        F.col("warc_type").isin("response", "revisit")
+        & F.col("target_uri").isNotNull()
+    )
+    staged = with_canon_url(picked, "target_uri", out_col="_cdx_canon")
+    ts14 = F.regexp_replace(
+        F.substring(F.col("warc_date"), 1, 19), "[^0-9]", ""
+    )
+    offset = F.coalesce(F.col("member_start"), F.col("record_start"))
+    length = F.coalesce(
+        F.col("member_end") - F.col("member_start"),
+        F.col("record_end") - F.col("record_start"),
+    )
+    return (
+        staged.select(
+            surt_key(F.col("_cdx_canon")).alias("urlkey"),
+            ts14.alias("timestamp"),
+            F.col("target_uri").alias("url"),
+            F.coalesce(F.col("http_content_type"), F.lit("unk")).alias("mime"),
+            F.col("http_status").alias("status"),
+            F.sha1(F.col("content_block")).alias("digest"),
+            length.cast("long").alias("length"),
+            offset.cast("long").alias("offset"),
+            # CDX convention stores the archive's FILENAME (replay servers
+            # resolve it against their collection root), not the scan URI
+            F.substring_index(F.col("source_file"), "/", -1).alias("filename"),
+        )
+        .orderBy("urlkey", "timestamp", "offset")
+    )

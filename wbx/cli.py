@@ -348,6 +348,20 @@ def cmd_inspect(args) -> None:
     _emit({"records": [r.asDict() for r in rows]}, args.format)
 
 
+def cmd_cdx(args) -> None:
+    """CDX capture index (pywb/OpenWayback-style replay sidecar): one row
+    per response/revisit capture, sorted by (SURT urlkey, timestamp)."""
+    from wbx.analytics import cdx_index
+
+    spark = _spark("cdx")
+    records = load_records(
+        spark, args.input, args.input_format, args.style,
+        gz_style=args.gz_style, split_target_bytes=_split_bytes(args),
+    )
+    rows = cdx_index(records).collect()
+    _emit({"cdx": [r.asDict() for r in rows]}, args.format)
+
+
 def cmd_wet(args) -> None:
     """WET export: Common-Crawl-style conversion-record sidecars from a
     pages parquet table (input_hint shape: url, warc_ts, text); prints the
@@ -475,6 +489,10 @@ def main(argv=None) -> int:
     s.add_argument("--no-record-http-headers", action="store_true")
     s.add_argument("--limit", type=int, default=1000)
     s.set_defaults(fn=cmd_inspect)
+
+    s = sub.add_parser("cdx")
+    common(s)
+    s.set_defaults(fn=cmd_cdx)
 
     s = sub.add_parser("wet")
     s.add_argument("--input", required=True,

@@ -1903,3 +1903,31 @@ def detect_url_traps(
         .agg(F.count("*").cast("long").alias("n_urls"))
         .where(F.col("n_urls") >= min_urls)
     )
+
+
+def surt_key(canon_url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key for a CANONICAL
+    URL — 'http://www.example.com/A/b?Q=1' → 'com,example)/a/b?q=1'. The
+    web-archive world's canonical index key (pywb/OpenWayback CDX
+    convention): host segments reversed and comma-joined so one domain's
+    captures sort contiguously, scheme/port dropped, leading 'www.'
+    stripped, everything lowercased. NULL for scheme-less input.
+
+    Input contract: pass a MATERIALIZED canonical column (with_canon_url
+    output), same as url_host/url_path — composing canonicalize_url
+    inline here would multiply its expression tree through
+    _split_authority's references (see the canonicalize_url planning
+    note)."""
+    canon = F.lower(canon_url)
+    scheme_ok, auth, rest = _split_authority(canon)
+    host = F.regexp_replace(
+        F.substring_index(auth, "@", -1), r":[0-9]+$", ""
+    )
+    host = F.when(host.startswith("www."), F.substring(host, 5, 1 << 30)).otherwise(
+        host
+    )
+    reversed_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(scheme_ok, F.concat(reversed_host, F.lit(")"), pathq)).otherwise(
+        F.lit(None).cast("string")
+    )
