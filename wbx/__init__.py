@@ -23,10 +23,15 @@ Modules:
   checkpoint  snapshot commit/resume (parquet-manifest backend; Iceberg in prod)
   textops     dedup (exact/minhash/simhash/jaccard), langid, quality, tokens
   simsearch   embedding similarity: brute-force cosine top-k + LSH-bucketed ANN
-  multimodal  opaque binary columns + decode/feature/resize plumbing (decoders stubbed)
+  multimodal  opaque binary columns + real PNG/WAV decode + feature/resize stages
   streaming   Structured Streaming variants (windowed aggs, stateful pairing)
   codecs      brotli/zstd decompression via ctypes over system shared libraries
-  sinks       file-extraction sink (S9) + inspect projection
+  sinks       file-extraction sink (S9) + inspect projection + WET export
+  graph       link-graph layer: PageRank authority, connected-component dedup
+  sampling    deterministic hash sampling / stratified mixing / holdout splits
+  cuckoo      deletable seen-set sketch (cuckoo filter) alternative to Bloom
+  replay      HTTP replay server over reassembled captures (S10)
+  cli         `wbx` command line (summarize/filter/compare/extract/crawl/wet/cdx)
   fixtures    deterministic derived test fixtures (pages/records from documents)
 """
 
