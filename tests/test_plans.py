@@ -376,3 +376,57 @@ class TestBucketedSeenBaseNoExchange:
         # broadcast. A second hash exchange means either the base or the
         # candidates were re-shuffled: the at-scale regression this pins.
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRound4Plans:
+    def test_cdx_index_single_range_sort(self, spark):
+        """cdx_index's only exchange is the final range partitioning (the
+        distributed sorted-.cdx); the SURT/timestamp/digest algebra must
+        stay per-row."""
+        from wbx import warcio
+        from wbx.analytics import cdx_index
+        from wbx.fixtures import synth_warc_files_rich
+
+        files = synth_warc_files_rich(_docs(spark).limit(20), n_files=2)
+        plan = plan_str(
+            cdx_index(warcio.scan_files_to_records(files)), "simple"
+        )
+        # global sort on the index key; AQE materializes its range exchange
+        # at runtime, so the guard is: no HASH shuffle anywhere (the
+        # SURT/digest algebra is per-row) and no Python in the projection
+        assert "Sort [urlkey" in plan and ", true, " in plan
+        assert "hashpartitioning" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_trap_detection_plan_stays_small(self, spark):
+        """Regression guard for the staged-kernel predicate-pushdown
+        blowup (wbx/graph.py host_edges note): a filter on a staged
+        canonicalization OUTPUT multiplies the expression through every
+        staging level (observed 6.8 MB plan on 2 rows). The raw-column
+        prefilter keeps the whole plan small."""
+        from wbx.frontier import detect_url_traps
+
+        pages = spark.createDataFrame(
+            [("http://a.example/x/1?p=2",), ("junk",)], "canon_url string"
+        )
+        plan = plan_str(detect_url_traps(pages, min_urls=1), "simple")
+        assert len(plan) < 100_000
+
+    def test_host_edges_plan_stays_small(self, spark):
+        from wbx import graph
+
+        pages = spark.createDataFrame(
+            [("http://a.example/", b'<a href="http://b.example/">x</a>')],
+            "url string, html binary",
+        )
+        plan = plan_str(graph.host_edges(pages), "simple")
+        assert len(plan) < 100_000
+
+    def test_sampling_is_zero_exchange_scan_filter(self, spark):
+        from wbx import sampling
+
+        df = _docs(spark).select("doc_id")
+        plan = plan_str(
+            sampling.hash_sample(df, 0.5, key_col="doc_id"), "simple"
+        )
+        assert "Exchange" not in plan and "xxhash64" in plan
