@@ -1376,3 +1376,74 @@ class TestUrlTraps:
             "canon_url string",
         )
         assert detect_url_traps(pages, min_urls=3).count() == 0
+
+
+class TestRobotsWildcard:
+    def _frontier(self, spark, paths, host="h.com"):
+        return spark.createDataFrame(
+            [(f"http://{host}{p}", host, 1.0) for p in paths],
+            "canon_url string, host string, priority double",
+        )
+
+    def _rules(self, spark, rules, host="h.com"):
+        return spark.createDataFrame(
+            [(host, t, p) for t, p in rules],
+            "host string, rule_type string, path_prefix string",
+        )
+
+    def _kept(self, spark, paths, rules):
+        from wbx.frontier import apply_robots_wildcard
+
+        out = apply_robots_wildcard(
+            self._frontier(spark, paths), self._rules(spark, rules)
+        )
+        return {r["canon_url"].split("h.com")[1] for r in out.collect()}
+
+    def test_star_wildcard(self, spark):
+        kept = self._kept(
+            spark,
+            ["/fish", "/fish.html", "/fishheads/yummy.html", "/catfish", "/peces"],
+            [("deny", "/fish*")],
+        )
+        # Google example: /fish* blocks anything STARTING with /fish
+        assert kept == {"/catfish", "/peces"}
+
+    def test_dollar_anchor(self, spark):
+        kept = self._kept(
+            spark,
+            ["/a.php", "/a.php5", "/x/a.php", "/a.php/z"],
+            [("deny", "/*.php$")],
+        )
+        # google example semantics: any path ENDING in .php is blocked
+        # (including nested /x/a.php); .php5 and .php/z survive
+        assert kept == {"/a.php5", "/a.php/z"}
+
+    def test_most_specific_wins_allow_over_shorter_deny(self, spark):
+        kept = self._kept(
+            spark,
+            ["/p/page", "/p/other", "/q"],
+            [("deny", "/p/"), ("allow", "/p/page")],
+        )
+        assert kept == {"/p/page", "/q"}
+
+    def test_tie_prefers_allow(self, spark):
+        kept = self._kept(
+            spark, ["/page"], [("deny", "/page"), ("allow", "/page")]
+        )
+        assert kept == {"/page"}
+
+    def test_regex_specials_are_literal(self, spark):
+        kept = self._kept(
+            spark,
+            ["/a.b/c", "/aXb/c"],
+            [("deny", "/a.b/")],
+        )
+        # '.' must be literal: /aXb must NOT be blocked
+        assert kept == {"/aXb/c"}
+
+    def test_no_rules_host_allowed(self, spark):
+        from wbx.frontier import apply_robots_wildcard
+
+        f = self._frontier(spark, ["/x"], host="other.com")
+        out = apply_robots_wildcard(f, self._rules(spark, [("deny", "/")]))
+        assert out.count() == 1

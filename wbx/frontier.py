@@ -930,6 +930,71 @@ def apply_robots(
     return f.filter(allowed).drop("_path", "_rules")
 
 
+def robots_pattern_regex(pattern: Column) -> Column:
+    """Google-robots pattern → anchored RE2 regex, as pure Column algebra
+    evaluated ONCE per rule row (never per candidate): '*' matches any
+    span, a trailing '$' anchors the end, everything else is literal
+    (specials escaped). '^' is prepended — robots patterns always match
+    from the path start."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, 1, F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.\\+?\[\]^$(){}|])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def apply_robots_wildcard(
+    frontier: DataFrame, robots: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
+    """Google-spec robots matching (REP draft / google webmasters rules):
+    patterns may contain '*' wildcards and a trailing '$' anchor; the
+    MOST SPECIFIC (longest pattern string) match wins, allow beats deny
+    on ties, no match → allowed.
+
+    Additive companion to :func:`apply_robots` (which keeps the
+    longest-PREFIX semantics the reference-parity suite pins): same
+    grouped-per-host rules aggregate, same single host equi-join, but the
+    per-rule match is a regex compiled once per rule row
+    (:func:`robots_pattern_regex`) and evaluated via regexp_like inside
+    the array filter. Plan shape is identical — no window, no
+    nested-loop, rules broadcast under the same policy."""
+    prepped = robots.select(
+        "host",
+        F.col("rule_type"),
+        F.col("path_prefix").alias("pattern"),
+        robots_pattern_regex(F.col("path_prefix")).alias("_re"),
+    )
+    rules = prepped.groupBy("host").agg(
+        F.collect_list(F.struct("pattern", "rule_type", "_re")).alias("_rules")
+    )
+    if broadcast:
+        rules = F.broadcast(rules)
+    f = with_url_path(frontier, out="_path").join(rules, "host", "left")
+    matching = F.filter(
+        F.col("_rules"), lambda r: F.regexp_like(F.col("_path"), r["_re"])
+    )
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["pattern"]).alias("l"),
+                F.when(r["rule_type"] == "allow", 1).otherwise(0).alias("pref"),
+                r["rule_type"].alias("rule_type"),
+            ),
+        )
+    )
+    allowed = (
+        F.col("_rules").isNull()
+        | (F.size(matching) == 0)
+        | (best["rule_type"] == "allow")
+    )
+    return f.filter(allowed).drop("_path", "_rules")
+
+
 # ---------------------------------------------------------------------------
 # politeness + deterministic priority scheduling
 # ---------------------------------------------------------------------------
