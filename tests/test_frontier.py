@@ -1447,3 +1447,18 @@ class TestRobotsWildcard:
         f = self._frontier(spark, ["/x"], host="other.com")
         out = apply_robots_wildcard(f, self._rules(spark, [("deny", "/")]))
         assert out.count() == 1
+
+    def test_crawl_round_wildcard_style(self, spark):
+        from wbx.frontier import crawl_round
+
+        cand = spark.createDataFrame(
+            [("http://h.com/fish/1", 1.0), ("http://h.com/ok/1", 1.0)],
+            "url string, priority double",
+        )
+        seen = spark.createDataFrame([], "url_hash long, canon_url string")
+        hosts = spark.createDataFrame([("h.com", 5)], "host string, budget int")
+        robots = self._rules(spark, [("deny", "/fish*")])
+        out = crawl_round(cand, seen, hosts, robots, robots_style="wildcard")
+        assert [r["canon_url"] for r in out.collect()] == ["http://h.com/ok/1"]
+        with pytest.raises(ValueError):
+            crawl_round(cand, seen, hosts, robots, robots_style="nope")

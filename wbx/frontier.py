@@ -1323,6 +1323,7 @@ def crawl_round(
     rank_boundary_cache: dict | None = None,
     seen_base: DataFrame | None = None,
     base_buckets: int | None = None,
+    robots_style: str = "prefix",
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
@@ -1330,6 +1331,10 @@ def crawl_round(
     seen anti-join (Bloom-prefiltered when a sketch is supplied) → robots →
     politeness → deterministic priority order.
     Returns (canon_url, url_hash, host, priority, fetch_order).
+
+    ``robots_style``: 'prefix' (default — the reference-parity
+    longest-prefix semantics the oracle pins) or 'wildcard' (Google-REP
+    '*'/'$' patterns via apply_robots_wildcard; same join plan).
 
     Shuffle plan (scale-critical): the dedup groupBy keys are exactly the
     anti-join keys IN THE SAME ORDER (url_hash, canon_url), so the groupBy's
@@ -1387,7 +1392,12 @@ def crawl_round(
         unseen = filter_unseen(deduped, seen)
     unseen = with_url_host(unseen)
     if robots is not None:
-        unseen = apply_robots(unseen, robots, broadcast_small)
+        if robots_style == "wildcard":
+            unseen = apply_robots_wildcard(unseen, robots, broadcast_small)
+        elif robots_style == "prefix":
+            unseen = apply_robots(unseen, robots, broadcast_small)
+        else:
+            raise ValueError("robots_style must be prefix | wildcard")
     polite = apply_politeness(unseen, hosts, default_budget, broadcast_small)
     return schedule_fetch_batch(
         polite, batch_size, boundary_cache=rank_boundary_cache
