@@ -333,6 +333,7 @@ def run_crawl(
     rank_refresh_every: int = 8,
     compact_every: int | None = None,
     reprioritize=None,
+    robots_style: str = "prefix",
 ) -> dict:
     """Batch-iterative crawl: each round schedules a fetch batch from the
     current frontier, marks it seen, expands it into next-round candidates,
@@ -444,6 +445,7 @@ def run_crawl(
             bloom_partitions=bloom_partitions,
             cuckoo=sketch if (use_bloom and not is_bloom) else None,
             rank_boundary_cache=rank_cache,
+            robots_style=robots_style,
             # base_buckets stays None: the dedup/tagged side already
             # arrives hash-partitioned on the join keys, so
             # EnsureRequirements aligns it to the bucket count with at

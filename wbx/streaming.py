@@ -234,6 +234,7 @@ def crawl_batch_processor(
     sketch_kind: str = "bloom",
     cuckoo_nbuckets: int = 1 << 16,
     compact_every: int | None = None,
+    robots_style: str = "prefix",
 ):
     """foreachBatch processor for :func:`stream_crawl` (factored out so the
     exactly-once replay contract is unit-testable without a running query).
@@ -320,6 +321,7 @@ def crawl_batch_processor(
             bloom_partitions=bloom_partitions,
             cuckoo=sketch if (use_bloom and not is_bloom) else None,
             seen_base=seen_base,
+            robots_style=robots_style,
         ).persist()
         seen_delta = batch.select("url_hash", "canon_url")
         fetch_log = batch.select(
