@@ -510,3 +510,56 @@ class TestCdxIndex:
         assert r["length"] > 0 and r["offset"] >= 0
         body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<x>"
         assert r["digest"] == hashlib.sha1(body).hexdigest()
+
+
+class TestMarkRevisits:
+    def test_first_capture_wins_later_marked(self, spark):
+        rows = [
+            # same payload captured three times across two files
+            ("a.warc", 0, "response", b"PAYLOAD-X"),
+            ("a.warc", 100, "response", b"PAYLOAD-X"),
+            ("b.warc", 0, "response", b"PAYLOAD-X"),
+            # unique payload
+            ("b.warc", 100, "response", b"PAYLOAD-Y"),
+            # non-response passes through unmarked
+            ("a.warc", 200, "request", b"PAYLOAD-X"),
+        ]
+        df = spark.createDataFrame(
+            [(f, s, t, bytearray(b)) for f, s, t, b in rows],
+            "source_file string, record_start long, warc_type string, content_block binary",
+        )
+        from wbx.analytics import mark_revisits
+
+        got = {
+            (r["source_file"], r["record_start"]): r
+            for r in mark_revisits(df).collect()
+        }
+        assert not got[("a.warc", 0)]["is_revisit"]
+        for key in (("a.warc", 100), ("b.warc", 0)):
+            r = got[key]
+            assert r["is_revisit"]
+            assert (r["refers_to_file"], r["refers_to_start"]) == ("a.warc", 0)
+        assert not got[("b.warc", 100)]["is_revisit"]
+        assert not got[("a.warc", 200)]["is_revisit"]
+        assert got[("a.warc", 200)]["digest"] is None
+
+    def test_partition_independent(self, spark):
+        import random
+
+        rows = [
+            (f"f{i % 3}.warc", i * 10, "response", bytearray(b"P%d" % (i % 4)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "source_file string, record_start long, warc_type string, content_block binary",
+        )
+        from wbx.analytics import mark_revisits
+
+        a = sorted(map(tuple, mark_revisits(df).drop("content_block").collect()))
+        b = sorted(
+            map(tuple, mark_revisits(df.repartition(11)).drop("content_block").collect())
+        )
+        assert a == b
+        n_rev = sum(1 for r in a if r[-3])
+        assert n_rev == 36  # 4 distinct payloads, 40 captures

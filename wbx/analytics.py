@@ -614,3 +614,45 @@ def cdx_index(records: DataFrame) -> DataFrame:
         )
         .orderBy("urlkey", "timestamp", "offset")
     )
+
+
+def mark_revisits(records: DataFrame) -> DataFrame:
+    """Digest-based duplicate marking for archive dedup — the WARC
+    'revisit' convention (Heritrix/wget url-agnostic dedup): among
+    response records sharing an identical content digest, the FIRST
+    capture in deterministic file order stays the payload holder; every
+    later capture is marked a revisit pointing at it (the writer then
+    stores a slim revisit record with WARC-Refers-To instead of the
+    payload — at Common-Crawl duplication rates that is a large fraction
+    of archive bytes).
+
+    Adds (digest, is_revisit, refers_to_file, refers_to_start) to every
+    row; non-response records pass through unmarked (digest NULL). The
+    window and its self-annotation shuffle ONLY (digest, file, start) —
+    payload columns stay with their rows and never ride the exchange
+    twice: the digest is computed map-side, the winner lookup is a
+    first() window on the digest key."""
+    is_resp = F.col("warc_type") == "response"
+    staged = records.withColumn(
+        "digest", F.when(is_resp, F.sha1(F.col("content_block")))
+    )
+    w = Window.partitionBy("digest").orderBy(*FILE_ORDER)
+    first_file = F.first("source_file").over(w)
+    first_start = F.first("record_start").over(w)
+    not_first = (F.col("source_file") != first_file) | (
+        F.col("record_start") != first_start
+    )
+    return (
+        staged.withColumn(
+            "is_revisit",
+            F.when(F.col("digest").isNotNull() & not_first, F.lit(True)).otherwise(
+                F.lit(False)
+            ),
+        )
+        .withColumn(
+            "refers_to_file", F.when(F.col("is_revisit"), first_file)
+        )
+        .withColumn(
+            "refers_to_start", F.when(F.col("is_revisit"), first_start)
+        )
+    )
