@@ -697,13 +697,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frontier_robots_rules"] = robots_rules
 
     def links(spark, sf):
-        """Link discovery (wbx.frontier.extract_links): synthesized HTML
-        exercises every resolution form — absolute, protocol-relative,
-        root-relative, path-relative — in all three quoting styles
-        (double-quoted, single-quoted, unquoted), plus the dropped schemes
-        (javascript/mailto) and fragment-only hrefs; the oracle pins the
-        resolved URLs closed-form."""
-        from wbx.frontier import extract_links
+        """Link-discovery suite, union-tagged (see the 50-query cap note):
+        dim='doc' — wbx.frontier.extract_links over synthesized HTML
+        exercising every resolution form (absolute, protocol-relative,
+        root-relative, path-relative) in all three quoting styles plus the
+        dropped schemes (javascript/mailto) and fragment-only hrefs;
+        dim='anchor' — wbx.frontier.extract_anchor_links honoring
+        per-anchor rel=nofollow (both attribute orders, multi-token rel,
+        unquoted caps) and the page-level <meta name=robots>
+        nofollow/none gate; dim='meta' — wbx.frontier.
+        page_robots_directives flattened to one row per asserted
+        directive. Every row pinned closed-form by the oracle."""
+        from wbx.frontier import (
+            extract_anchor_links,
+            extract_links,
+            page_robots_directives,
+        )
 
         docs = _t(spark, sf, "documents")
         html = F.concat(
@@ -734,7 +743,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"),
             F.encode(html, "utf-8").alias("html"),
         )
-        return extract_links(pages)
+        doc_rows = extract_links(pages).select(
+            F.lit("doc").alias("dim"), "url", "link"
+        )
+        # anchor fixture: meta directive by doc_id%5 (0 → nofollow,
+        # 1 → NoIndex, 2 → none, else no meta), one always-followable
+        # double-quoted anchor, two rel=nofollow anchors (both attribute
+        # orders), one unquoted-href anchor with an unrelated rel
+        m5 = F.pmod("doc_id", F.lit(5))
+        meta_tag = (
+            F.when(m5 == 0, F.lit('<meta name="robots" content="nofollow">'))
+            .when(m5 == 1, F.lit("<meta content='NoIndex' name=robots>"))
+            .when(m5 == 2, F.lit("<meta name=robots content=none/>"))
+            .otherwise(F.lit(""))
+        )
+        html2 = F.concat(
+            F.lit("<html><head>"),
+            meta_tag,
+            F.lit('</head><body><a href="/f1/'),
+            F.pmod("doc_id", F.lit(7)),
+            F.lit('">a</a><a rel="nofollow" href="/dropped1">b</a>'),
+            F.lit("<a href='r/"),
+            F.pmod("doc_id", F.lit(3)),
+            F.lit("' rel='external nofollow'>c</a><a href=//cdn"),
+            F.pmod("doc_id", F.lit(4)),
+            F.lit(".example/z rel=me>d</a></body></html>"),
+        )
+        pages2 = docs.select(
+            F.concat(
+                F.lit("https://a"),
+                F.pmod("doc_id", F.lit(11)),
+                F.lit(".example.org/s/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.encode(html2, "utf-8").alias("html"),
+        )
+        anchor_rows = extract_anchor_links(pages2).select(
+            F.lit("anchor").alias("dim"), "url", "link"
+        )
+        meta_rows = (
+            page_robots_directives(pages2)
+            .select(
+                "url",
+                F.explode(
+                    F.concat(
+                        F.when(
+                            F.col("noindex"), F.array(F.lit("noindex"))
+                        ).otherwise(F.array().cast("array<string>")),
+                        F.when(
+                            F.col("nofollow"), F.array(F.lit("nofollow"))
+                        ).otherwise(F.array().cast("array<string>")),
+                    )
+                ).alias("link"),
+            )
+            .select(F.lit("meta").alias("dim"), "url", "link")
+        )
+        return doc_rows.unionByName(anchor_rows).unionByName(meta_rows)
 
     q["frontier_extract_links"] = links
 
@@ -2511,8 +2575,9 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY para_hash ORDER BY doc_id, para_idx) = 1
         """,
         "frontier_extract_links": """
-        SELECT url, link FROM (
-          SELECT 'https://h' || (doc_id % 13) || '.example.net/d/' || doc_id AS url,
+        WITH doc_rows AS (
+          SELECT 'doc' AS dim,
+                 'https://h' || (doc_id % 13) || '.example.net/d/' || doc_id AS url,
                  unnest([
                    'https://abs' || (doc_id % 7) || '.example/x',
                    'https://proto.example/p/' || doc_id,
@@ -2521,7 +2586,30 @@ def oracle_sql() -> dict[str, str]:
                    'https://sq' || (doc_id % 4) || '.example/s',
                    'https://h' || (doc_id % 13) || '.example.net/d/uq/' || (doc_id % 6)
                  ]) AS link
-          FROM documents)
+          FROM documents),
+        a AS (
+          SELECT doc_id AS d, doc_id % 5 AS m,
+                 'https://a' || (doc_id % 11) || '.example.org/s/' || doc_id AS url
+          FROM documents),
+        -- meta nofollow (m=0) / none (m=2) pages contribute no anchors;
+        -- the two rel=nofollow anchors are dropped everywhere
+        anchor_rows AS (
+          SELECT 'anchor' AS dim, url,
+                 unnest([
+                   'https://a' || (d % 11) || '.example.org/f1/' || (d % 7),
+                   'https://cdn' || (d % 4) || '.example/z'
+                 ]) AS link
+          FROM a WHERE m NOT IN (0, 2)),
+        meta_rows AS (
+          SELECT 'meta' AS dim, url,
+                 unnest(CASE WHEN m = 0 THEN ['nofollow']
+                             WHEN m = 1 THEN ['noindex']
+                             WHEN m = 2 THEN ['noindex', 'nofollow']
+                             ELSE CAST([] AS VARCHAR[]) END) AS link
+          FROM a)
+        SELECT dim, url, link FROM doc_rows
+        UNION ALL SELECT dim, url, link FROM anchor_rows
+        UNION ALL SELECT dim, url, link FROM meta_rows
         """,
         # canonical target per doc is closed-form; winner per target =
         # max(doc_id) because warc_ts increases strictly with doc_id

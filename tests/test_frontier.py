@@ -1462,3 +1462,123 @@ class TestRobotsWildcard:
         assert [r["canon_url"] for r in out.collect()] == ["http://h.com/ok/1"]
         with pytest.raises(ValueError):
             crawl_round(cand, seen, hosts, robots, robots_style="nope")
+
+
+class TestAnchorLinks:
+    """extract_anchor_links: anchor-scoped discovery honoring rel=nofollow
+    and the page-level <meta name=robots> nofollow/none directives."""
+
+    def _pages(self, spark, *rows):
+        return spark.createDataFrame(
+            [(u, h if isinstance(h, (bytes, bytearray)) else h.encode()) for u, h in rows],
+            "url string, html binary",
+        )
+
+    def _links(self, df, **kw):
+        return sorted(
+            (r["url"], r["link"])
+            for r in frontier.extract_anchor_links(df, **kw).collect()
+        )
+
+    def test_rel_nofollow_dropped_all_forms(self, spark):
+        html = (
+            '<a rel="nofollow" href="/no1">rel-first</a>'
+            '<a href="/no2" rel="nofollow">href-first</a>'
+            "<a href='/no3' rel='external nofollow noopener'>multi-token</a>"
+            "<A HREF=/no4 REL=NOFOLLOW>caps-unquoted</A>"
+            '<a href="/yes1" rel="me external">other-rel</a>'
+            '<a href="/yes2">no-rel</a>'
+        )
+        out = self._links(self._pages(spark, ("http://ex.com/d/p", html)))
+        assert out == [
+            ("http://ex.com/d/p", "http://ex.com/yes1"),
+            ("http://ex.com/d/p", "http://ex.com/yes2"),
+        ]
+
+    def test_nofollow_token_not_substring(self, spark):
+        # "nofollowish" is NOT the nofollow token (\b boundary)
+        html = '<a href="/kept" rel="nofollowish">x</a>'
+        out = self._links(self._pages(spark, ("http://ex.com/", html)))
+        assert out == [("http://ex.com/", "http://ex.com/kept")]
+
+    def test_meta_robots_gates_whole_page(self, spark):
+        pages = self._pages(
+            spark,
+            ("http://nf.com/", '<meta name="robots" content="nofollow"><a href="/x">1</a>'),
+            ("http://none.com/", "<meta content='NONE' name=robots><a href='/x'>1</a>"),
+            ("http://ni.com/", "<meta name=robots content=noindex><a href=/kept>1</a>"),
+            ("http://plain.com/", '<a href="/kept">1</a>'),
+        )
+        out = self._links(pages)
+        assert out == [
+            ("http://ni.com/", "http://ni.com/kept"),
+            ("http://plain.com/", "http://plain.com/kept"),
+        ]
+        # knobs off: everything comes back
+        out_all = self._links(pages, respect_nofollow=False, respect_meta=False)
+        assert len(out_all) == 4
+
+    def test_anchor_scoped_not_link_tags(self, spark):
+        html = (
+            '<link rel="stylesheet" href="/style.css">'
+            '<area href="/map">'
+            '<a href="/real">1</a>'
+        )
+        out = self._links(self._pages(spark, ("http://ex.com/", html)))
+        assert out == [("http://ex.com/", "http://ex.com/real")]
+
+    def test_resolution_and_drops_match_extract_links(self, spark):
+        html = (
+            '<a href="https://abs.com/x">1</a>'
+            '<a href="//cdn.com/p">2</a>'
+            '<a href="/rooted">3</a>'
+            '<a href="sib.html">4</a>'
+            '<a href="javascript:void(0)">5</a>'
+            '<a href="MAILTO:x@y.z">6</a>'
+            '<a href="#frag">7</a>'
+        )
+        pages = self._pages(spark, ("https://ex.com/dir/page.html", html))
+        assert {l for _, l in self._links(pages)} == {
+            r["link"] for r in frontier.extract_links(pages).collect()
+        }
+
+    def test_malformed_utf8_does_not_crash(self, spark):
+        raw = b'<html>\xff\xfe<meta name="robots" content="all"><a href="/ok">x</a></html>'
+        pages = self._pages(spark, ("http://ex.com/", raw))
+        assert self._links(pages) == [("http://ex.com/", "http://ex.com/ok")]
+
+
+class TestPageRobotsDirectives:
+    def _one(self, spark, html):
+        df = spark.createDataFrame(
+            [("u", html.encode())], "url string, html binary"
+        )
+        r = frontier.page_robots_directives(df).first()
+        return (r["noindex"], r["nofollow"])
+
+    def test_token_matrix(self, spark):
+        cases = {
+            '<meta name="robots" content="noindex, nofollow">': (True, True),
+            '<meta name="robots" content="noindex">': (True, False),
+            '<meta name="robots" content="nofollow">': (False, True),
+            '<meta name="robots" content="none">': (True, True),
+            '<meta name="robots" content="all">': (False, False),
+            '<meta name="robots" content="index, follow">': (False, False),
+            "no meta at all": (False, False),
+            # content-first attribute order, mixed case
+            "<meta content='NoIndex' name=robots>": (True, False),
+            # self-closing, unquoted
+            "<meta name=robots content=nofollow/>": (False, True),
+            # a DIFFERENT meta must not trigger (name != robots)
+            '<meta name="description" content="noindex nofollow">': (False, False),
+        }
+        for html, want in cases.items():
+            assert self._one(spark, html) == want, html
+
+    def test_malformed_utf8(self, spark):
+        df = spark.createDataFrame(
+            [("u", bytearray(b'\xff<meta name="robots" content="none">'))],
+            "url string, html binary",
+        )
+        r = frontier.page_robots_directives(df).first()
+        assert (r["noindex"], r["nofollow"]) == (True, True)

@@ -1551,6 +1551,126 @@ def resolve_href(base: Column, href: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# robots directives inside HTML: <meta name="robots"> + rel="nofollow"
+# (REP's page-level half; the reference engine reads archives post-hoc and
+# has no counterpart — this is crawl-loop-native semantics every production
+# crawler honors. All patterns RE2-safe: no lookaround, no backreferences,
+# so the DuckDB oracle can run them verbatim.)
+# ---------------------------------------------------------------------------
+
+# both attribute orders occur in real HTML, as with rel=canonical above
+META_ROBOTS_NAME_FIRST_RE = (
+    r"""(?is)<meta[^>]*?name\s*=\s*["']?robots["'\s/>][^>]*?"""
+    r"""content\s*=\s*["']?([^"'>]*)"""
+)
+META_ROBOTS_CONTENT_FIRST_RE = (
+    r"""(?is)<meta[^>]*?content\s*=\s*["']?([^"'>]*?)["']?\s[^>]*?"""
+    r"""name\s*=\s*["']?robots["'\s/>]"""
+)
+# the open tag of every anchor; group 1 is the tag text the per-anchor
+# href/rel extraction below runs on ([^>]* keeps each match inside one tag)
+ANCHOR_TAG_RE = r"(?is)(<a[\s][^>]*)"
+# token match inside a rel attribute value: "nofollow", "external nofollow",
+# rel=nofollow (unquoted). [^"'>]* bounds the scan to the attribute value.
+REL_NOFOLLOW_RE = r"""(?is)rel\s*=\s*["']?[^"'>]*?\bnofollow\b"""
+
+
+def _meta_robots_content(decoded: Column) -> Column:
+    """The <meta name=robots> content value ('' when the page declares
+    none); name-first preferred when both attribute orders match."""
+    nf = F.regexp_extract(decoded, META_ROBOTS_NAME_FIRST_RE, 1)
+    cf = F.regexp_extract(decoded, META_ROBOTS_CONTENT_FIRST_RE, 1)
+    return F.when(nf != "", nf).otherwise(cf)
+
+
+def page_robots_directives(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, noindex boolean, nofollow boolean) — the page-level robots
+    meta directives (REP HTML half: ``<meta name="robots"
+    content="noindex, nofollow">``). ``none`` means both, per the spec;
+    token matching is case-insensitive and delimiter-agnostic (comma or
+    space separated). Pages with no robots meta (or an empty/``all``
+    content) report false/false.
+
+    Use noindex to gate corpus/index inclusion and nofollow to gate link
+    expansion (extract_anchor_links honors it when ``respect_meta``).
+    Permissive decode as in :func:`extract_links`. Pure per-row
+    expressions — no shuffle, html never exchanged."""
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+    content = _meta_robots_content(decoded)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        content.rlike(r"(?i)\b(noindex|none)\b").alias("noindex"),
+        content.rlike(r"(?i)\b(nofollow|none)\b").alias("nofollow"),
+    )
+
+
+def extract_anchor_links(
+    pages: DataFrame,
+    base_col: str = "url",
+    html_col: str = "html",
+    respect_nofollow: bool = True,
+    respect_meta: bool = True,
+) -> DataFrame:
+    """(url, link) — one row per FOLLOWABLE anchor: like
+    :func:`extract_links` but anchor-scoped, so per-link ``rel="nofollow"``
+    and the page-level ``<meta name="robots" content="nofollow">`` /
+    ``none`` directives are honored (``respect_nofollow`` /
+    ``respect_meta``; both default on — the production-crawler contract.
+    With both off this differs from extract_links only in scoping hrefs to
+    ``<a>`` tags, i.e. ``<link>``/``<area>`` hrefs are not expansion
+    candidates).
+
+    Shape: the page html is decoded once (permissively — see
+    extract_links), anchors come out of ONE regexp_extract_all, and the
+    explode carries only (url, page_nofollow, tag-text) — never the html
+    column. Per-tag href extraction coalesces the three quoting forms
+    (double-, single-, unquoted) in specificity order; resolution and the
+    javascript:/mailto:/data: drops are shared with extract_links via
+    :func:`resolve_href`. All regexes RE2-safe for oracle parity."""
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+    page_nf = (
+        _meta_robots_content(decoded).rlike(r"(?i)\b(nofollow|none)\b")
+        if respect_meta
+        else F.lit(False)
+    )
+    staged = pages.select(
+        F.col(base_col).alias("url"),
+        page_nf.alias("_page_nf"),
+        F.regexp_extract_all(decoded, F.lit(ANCHOR_TAG_RE), F.lit(1)).alias(
+            "_tags"
+        ),
+    )
+    tags = staged.filter(~F.col("_page_nf")) if respect_meta else staged
+    tags = tags.select("url", F.explode("_tags").alias("_tag"))
+    if respect_nofollow:
+        tags = tags.filter(~F.col("_tag").rlike(REL_NOFOLLOW_RE))
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    tag = F.col("_tag")
+    href = F.coalesce(
+        nn(F.regexp_extract(tag, HREF_RE, 1)),
+        nn(F.regexp_extract(tag, HREF_RE_SQ, 1)),
+        nn(F.regexp_extract(tag, HREF_RE_UQ, 1)),
+    )
+    staged2 = tags.select("url", href.alias("_href"))
+    h = F.col("_href")
+    keep = (
+        h.isNotNull()
+        & (F.length(h) > 0)
+        & ~F.lower(h).startswith("javascript:")
+        & ~F.lower(h).startswith("mailto:")
+        & ~F.lower(h).startswith("data:")
+    )
+    return staged2.filter(keep).select(
+        "url", resolve_href(F.col("url"), h).alias("link")
+    )
+
+
 # rel=canonical discovery: both attribute orders occur in real HTML; the
 # patterns are RE2-safe (no lookaround/backreferences) so the DuckDB oracle
 # can chain them verbatim, and [^>] bounds keep each match inside one tag.
