@@ -672,16 +672,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frontier_crawl_round"] = round_q
 
     def robots_rules(spark, sf):
-        """robots.txt parsing (wbx.frontier.parse_robots_txt): synthesized
-        one-file-per-host bodies with arithmetic rules; the oracle pins the
-        exact (host, rule_type, path_prefix) set closed-form."""
-        from wbx.frontier import parse_robots_txt
-
-        hosts = (
-            _t(spark, sf, "documents")
-            .select(F.pmod("doc_id", F.lit(20)).alias("h"))
-            .distinct()
+        """Robots + politeness-scheduling suite, union-tagged on a
+        (dim, host, a, b, v) schema (see the 50-query cap note):
+        dim='rule' — wbx.frontier.parse_robots_txt over synthesized
+        one-file-per-host bodies (a=rule_type, b=path_prefix);
+        dim='delay_budget' — parse_crawl_delays → budgets_from_crawl_delays
+        on the same bodies' Crawl-delay lines (v=budget; delay 0 → no
+        limit → max_budget, via try_divide);
+        dim='adaptive_budget' — budgets_from_history over a synthesized
+        per-doc fetch log whose statuses cycle by doc_id%3 (v=budget =
+        floor(100 × success rate));
+        dim='eta' — schedule_with_delays: per-host dispatch sequencing
+        under the parsed Crawl-delays (a=canon_url, b=host_seq,
+        v=eta_s). Every row pinned closed-form by the oracle."""
+        from wbx.frontier import (
+            budgets_from_crawl_delays,
+            budgets_from_history,
+            parse_crawl_delays,
+            parse_robots_txt,
+            schedule_with_delays,
         )
+
+        docs = _t(spark, sf, "documents")
+        hosts = docs.select(F.pmod("doc_id", F.lit(20)).alias("h")).distinct()
         files = hosts.select(
             F.concat(F.lit("h"), F.col("h"), F.lit(".com")).alias("host"),
             F.concat(
@@ -689,10 +702,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.pmod("h", F.lit(5)),
                 F.lit("\nAllow: /d"),
                 F.pmod("h", F.lit(5)),
-                F.lit("/pub\n\nUser-agent: other-bot\nDisallow: /\n"),
+                F.lit("/pub\nCrawl-delay: "),
+                F.pmod("h", F.lit(4)),
+                F.lit("\n\nUser-agent: other-bot\nDisallow: /\n"),
             ).alias("body"),
         )
-        return parse_robots_txt(files)
+        ns = F.lit(None).cast("string")
+        nd = F.lit(None).cast("double")
+        rule_rows = parse_robots_txt(files).select(
+            F.lit("rule").alias("dim"),
+            "host",
+            F.col("rule_type").alias("a"),
+            F.col("path_prefix").alias("b"),
+            nd.alias("v"),
+        )
+        delays = parse_crawl_delays(files)
+        delay_budget_rows = budgets_from_crawl_delays(
+            delays, round_seconds=60.0
+        ).select(
+            F.lit("delay_budget").alias("dim"),
+            "host",
+            ns.alias("a"),
+            ns.alias("b"),
+            F.col("budget").cast("double").alias("v"),
+        )
+        fetch_log = docs.select(
+            F.concat(F.lit("h"), F.pmod("doc_id", F.lit(20)), F.lit(".com")).alias(
+                "host"
+            ),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit(200))
+            .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit(404))
+            .otherwise(F.lit(301))
+            .alias("status"),
+        )
+        adaptive_rows = budgets_from_history(fetch_log, base_budget=100).select(
+            F.lit("adaptive_budget").alias("dim"),
+            "host",
+            ns.alias("a"),
+            ns.alias("b"),
+            F.col("budget").cast("double").alias("v"),
+        )
+        batch = docs.select(
+            F.concat(
+                F.lit("http://h"),
+                F.pmod("doc_id", F.lit(20)),
+                F.lit(".com/x/"),
+                F.col("doc_id"),
+            ).alias("canon_url"),
+            F.concat(F.lit("h"), F.pmod("doc_id", F.lit(20)), F.lit(".com")).alias(
+                "host"
+            ),
+            F.col("doc_id").alias("fetch_order"),
+        )
+        eta_rows = schedule_with_delays(batch, delays).select(
+            F.lit("eta").alias("dim"),
+            "host",
+            F.col("canon_url").alias("a"),
+            F.col("host_seq").cast("string").alias("b"),
+            F.col("eta_s").alias("v"),
+        )
+        return (
+            rule_rows.unionByName(delay_budget_rows)
+            .unionByName(adaptive_rows)
+            .unionByName(eta_rows)
+        )
 
     q["frontier_robots_rules"] = robots_rules
 
@@ -2279,13 +2352,47 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 3 <> 0 OR doc_id % 6 = 0
         """,
         "frontier_robots_rules": """
-        WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents)
-        SELECT 'h' || h || '.com' AS host, 'deny' AS rule_type,
-               '/d' || (h % 5) AS path_prefix
-        FROM hosts
-        UNION ALL
-        SELECT 'h' || h || '.com', 'allow', '/d' || (h % 5) || '/pub'
-        FROM hosts
+        WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+        rule_rows AS (
+          SELECT 'rule' AS dim, 'h' || h || '.com' AS host,
+                 'deny' AS a, '/d' || (h % 5) AS b, CAST(NULL AS DOUBLE) AS v
+          FROM hosts
+          UNION ALL
+          SELECT 'rule', 'h' || h || '.com', 'allow', '/d' || (h % 5) || '/pub',
+                 CAST(NULL AS DOUBLE)
+          FROM hosts),
+        -- Crawl-delay: h%4; budget = floor(60/delay) clamped [1,1000];
+        -- delay 0 = no limit = max_budget
+        delay_budget_rows AS (
+          SELECT 'delay_budget' AS dim, 'h' || h || '.com' AS host,
+                 CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+                 CAST(CASE WHEN h % 4 = 0 THEN 1000
+                           ELSE least(floor(60.0 / (h % 4)), 1000) END
+                      AS DOUBLE) AS v
+          FROM hosts),
+        -- statuses cycle by doc_id%3: 0→200 ok, 1→404, 2→301 ok
+        adaptive_budget_rows AS (
+          SELECT 'adaptive_budget' AS dim,
+                 'h' || (doc_id % 20) || '.com' AS host,
+                 CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+                 CAST(greatest(least(floor(100.0 *
+                        sum(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END)
+                        / count(*)), 1000), 1) AS DOUBLE) AS v
+          FROM documents GROUP BY doc_id % 20),
+        eta_rows AS (
+          SELECT 'eta' AS dim, 'h' || (doc_id % 20) || '.com' AS host,
+                 'http://h' || (doc_id % 20) || '.com/x/' || doc_id AS a,
+                 CAST(row_number() OVER
+                        (PARTITION BY doc_id % 20 ORDER BY doc_id)
+                      AS VARCHAR) AS b,
+                 CAST((row_number() OVER
+                         (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1)
+                      * ((doc_id % 20) % 4) AS DOUBLE) AS v
+          FROM documents)
+        SELECT dim, host, a, b, v FROM rule_rows
+        UNION ALL SELECT dim, host, a, b, v FROM delay_budget_rows
+        UNION ALL SELECT dim, host, a, b, v FROM adaptive_budget_rows
+        UNION ALL SELECT dim, host, a, b, v FROM eta_rows
         """,
         "frontier_crawl_round": """
         WITH cand AS (

@@ -1582,3 +1582,76 @@ class TestPageRobotsDirectives:
         )
         r = frontier.page_robots_directives(df).first()
         assert (r["noindex"], r["nofollow"]) == (True, True)
+
+
+class TestAdaptiveBudgets:
+    def test_budget_scales_with_success_rate(self, spark):
+        from wbx.frontier import budgets_from_history
+
+        log = spark.createDataFrame(
+            # h1: 4/4 ok; h2: 1/4 ok; h3: 0/2 ok (all 503); h4: 3xx counts ok
+            [("h1", 200)] * 4
+            + [("h2", 200), ("h2", 404), ("h2", 500), ("h2", 503)]
+            + [("h3", 503), ("h3", 503)]
+            + [("h4", 301), ("h4", 302)],
+            "host string, status int",
+        )
+        out = {r["host"]: r["budget"] for r in budgets_from_history(log, base_budget=100).collect()}
+        assert out == {"h1": 100, "h2": 25, "h3": 1, "h4": 100}
+
+    def test_clamps(self, spark):
+        from wbx.frontier import budgets_from_history
+
+        log = spark.createDataFrame(
+            [("h", 200)], "host string, status int"
+        )
+        out = budgets_from_history(log, base_budget=5000, max_budget=300).first()
+        assert out["budget"] == 300
+
+    def test_combine_takes_conservative_min(self, spark):
+        from wbx.frontier import combine_budgets
+
+        a = spark.createDataFrame([("h1", 10), ("h2", 50)], "host string, budget int")
+        b = spark.createDataFrame([("h2", 20), ("h3", 7)], "host string, budget int")
+        out = {r["host"]: r["budget"] for r in combine_budgets(a, b).collect()}
+        assert out == {"h1": 10, "h2": 20, "h3": 7}
+
+
+class TestScheduleWithDelays:
+    def _batch(self, spark):
+        rows = [
+            ("u%d" % i, "slow.com" if i % 2 == 0 else "fast.com", i + 1)
+            for i in range(6)
+        ]
+        return spark.createDataFrame(
+            rows, "canon_url string, host string, fetch_order int"
+        )
+
+    def test_eta_spacing(self, spark):
+        from wbx.frontier import schedule_with_delays
+
+        delays = spark.createDataFrame(
+            [("slow.com", 10.0)], "host string, crawl_delay double"
+        )
+        out = schedule_with_delays(self._batch(spark), delays).collect()
+        by_url = {r["canon_url"]: r for r in out}
+        # slow.com rows u0,u2,u4 (orders 1,3,5) → seq 1,2,3 → eta 0,10,20
+        assert [by_url["u%d" % i]["eta_s"] for i in (0, 2, 4)] == [0.0, 10.0, 20.0]
+        assert [by_url["u%d" % i]["host_seq"] for i in (0, 2, 4)] == [1, 2, 3]
+        # fast.com has no delay row → default 0.0
+        assert all(by_url["u%d" % i]["eta_s"] == 0.0 for i in (1, 3, 5))
+
+    def test_default_delay_and_determinism(self, spark):
+        from wbx.frontier import schedule_with_delays
+
+        delays = spark.createDataFrame([], "host string, crawl_delay double")
+        b = self._batch(spark)
+        out1 = schedule_with_delays(b, delays, default_delay=2.0)
+        assert sorted(
+            (r["host"], r["host_seq"], r["eta_s"]) for r in out1.collect()
+        ) == sorted(
+            (r["host"], r["host_seq"], r["eta_s"])
+            for r in schedule_with_delays(b.repartition(7), delays, default_delay=2.0).collect()
+        )
+        # seq 2 on each host at delay 2 → eta 2.0
+        assert {r["eta_s"] for r in out1.filter("host_seq = 2").collect()} == {2.0}

@@ -885,6 +885,90 @@ def budgets_from_crawl_delays(
     )
 
 
+def budgets_from_history(
+    fetch_log: DataFrame,
+    base_budget: int = 100,
+    min_budget: int = 1,
+    max_budget: int = 1000,
+    ok_lo: int = 200,
+    ok_hi: int = 399,
+) -> DataFrame:
+    """(host, status) fetch-history rows → (host, budget): adaptive
+    politeness that scales each host's next-round budget by its observed
+    success rate (2xx/3xx fraction), so hosts that answer mostly 4xx/5xx/
+    timeouts decay toward ``min_budget`` instead of burning the round's
+    fetch slots. budget = clamp(floor(base_budget × rate)) — floor, not
+    round, so both engines agree without a rounding-mode contract.
+
+    Scale shape: one map-side-combinable groupBy on host (count + boolean
+    sum) — cardinality #hosts, orders of magnitude under #fetches.
+    try_divide keeps ANSI from raising on a host with zero logged fetches
+    (can't happen from a groupBy, but the guard is free)."""
+    ok = (F.col("status") >= ok_lo) & (F.col("status") <= ok_hi)
+    per = fetch_log.groupBy("host").agg(
+        F.count("*").alias("_n"), F.sum(ok.cast("int")).alias("_ok")
+    )
+    raw = F.floor(base_budget * F.try_divide(F.col("_ok"), F.col("_n")))
+    return per.select(
+        "host",
+        F.least(F.greatest(raw, F.lit(min_budget)), F.lit(max_budget))
+        .cast("int")
+        .alias("budget"),
+    )
+
+
+def combine_budgets(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two (host, budget) politeness tables conservatively: hosts in
+    both get the SMALLER budget (both constraints hold — e.g. robots
+    Crawl-delay AND adaptive history), hosts in one keep theirs. One
+    full-outer join on host (host-cardinality, broadcast-eligible)."""
+    bb = b.select(F.col("host").alias("_h2"), F.col("budget").alias("_b2"))
+    return (
+        a.join(bb, F.col("host") == F.col("_h2"), "full_outer")
+        .select(
+            F.coalesce(F.col("host"), F.col("_h2")).alias("host"),
+            F.least(
+                F.coalesce(F.col("budget"), F.col("_b2")),
+                F.coalesce(F.col("_b2"), F.col("budget")),
+            ).alias("budget"),
+        )
+    )
+
+
+def schedule_with_delays(
+    batch: DataFrame,
+    delays: DataFrame,
+    default_delay: float = 0.0,
+    order_col: str = "fetch_order",
+) -> DataFrame:
+    """Attach politeness timing to a scheduled batch: ``host_seq`` (the
+    URL's 1-based position within its host, by ``order_col``) and
+    ``eta_s`` = (host_seq − 1) × the host's Crawl-delay — the earliest
+    politeness-legal dispatch offset within the round. Fetch workers can
+    then start each URL at round_start + eta_s and a host requesting
+    ``Crawl-delay: 10`` is hit at most every 10 s regardless of executor
+    parallelism.
+
+    delays: (host, crawl_delay double) from :func:`parse_crawl_delays`;
+    hosts absent from it use ``default_delay``. Deterministic: order_col
+    is crawl_round's global total order, so host_seq/eta never depend on
+    parallelism. Scale shape: runs POST-politeness, so the per-host window
+    is bounded by the round budget (≤ max_budget rows per reducer key, no
+    salting needed); the delays join is host-cardinality,
+    broadcast-eligible under AQE."""
+    w = Window.partitionBy("host").orderBy(order_col)
+    d = delays.select(F.col("host").alias("_dhost"), "crawl_delay")
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return (
+        batch.join(d, F.col("host") == F.col("_dhost"), "left")
+        .withColumn("host_seq", F.row_number().over(w))
+        .withColumn(
+            "eta_s", ((F.col("host_seq") - 1) * delay).cast("double")
+        )
+        .drop("_dhost", "crawl_delay")
+    )
+
+
 def apply_robots(
     frontier: DataFrame, robots: DataFrame, broadcast: bool | None = None
 ) -> DataFrame:
