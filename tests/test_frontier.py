@@ -1655,3 +1655,32 @@ class TestScheduleWithDelays:
         )
         # seq 2 on each host at delay 2 → eta 2.0
         assert {r["eta_s"] for r in out1.filter("host_seq = 2").collect()} == {2.0}
+
+
+class TestExpandRespectNofollow:
+    def test_knob_routes_through_anchor_extraction(self, spark):
+        from wbx.frontier import expand_from_html
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "http://a.com/",
+                    b'<a href="/keep">k</a><a rel="nofollow" href="/drop">d</a>'
+                    b'<link href="/style.css">',
+                )
+            ],
+            "url string, html binary",
+        )
+        default = {r["url"] for r in expand_from_html(pages).collect()}
+        strict = {
+            r["url"]
+            for r in expand_from_html(pages, respect_nofollow=True).collect()
+        }
+        # document-wide scan sees all three hrefs; anchor-scoped REP mode
+        # drops the nofollow anchor and the <link> tag
+        assert default == {
+            "http://a.com/keep",
+            "http://a.com/drop",
+            "http://a.com/style.css",
+        }
+        assert strict == {"http://a.com/keep"}

@@ -2000,15 +2000,26 @@ def expand_from_html(
     base_col: str = "url",
     html_col: str = "html",
     priority: float = 0.0,
+    respect_nofollow: bool = False,
 ) -> DataFrame:
     """Discovered links as frontier candidates (url, priority) — the
     default ``expand`` for run_crawl / the input feed for stream_crawl.
     Distinct per link so a page linking something twice contributes one
     candidate (crawl_round would dedup anyway; doing it here shrinks the
-    shuffle)."""
+    shuffle).
+
+    ``respect_nofollow=True`` routes discovery through
+    :func:`extract_anchor_links`, honoring per-anchor ``rel="nofollow"``
+    and the page-level ``<meta name=robots>`` nofollow/none gate (the
+    production-crawler REP contract). Default off: document-wide href
+    scan, bit-compatible with the pre-knob behavior and its oracle."""
+    links = (
+        extract_anchor_links(pages, base_col, html_col)
+        if respect_nofollow
+        else extract_links(pages, base_col, html_col)
+    )
     return (
-        extract_links(pages, base_col, html_col)
-        .select(F.col("link").alias("url"))
+        links.select(F.col("link").alias("url"))
         .distinct()
         .withColumn("priority", F.lit(priority))
     )
