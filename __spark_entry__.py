@@ -684,12 +684,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         floor(100 × success rate));
         dim='eta' — schedule_with_delays: per-host dispatch sequencing
         under the parsed Crawl-delays (a=canon_url, b=host_seq,
-        v=eta_s). Every row pinned closed-form by the oracle."""
+        v=eta_s);
+        dim='retry' — retry_candidates over a one-attempt-per-URL fetch
+        log whose statuses cycle by doc_id%4 (only 503/429 rows retry:
+        a=url, b=attempts, v=retry_after_round = round + 2^attempts).
+        Every row pinned closed-form by the oracle."""
         from wbx.frontier import (
             budgets_from_crawl_delays,
             budgets_from_history,
             parse_crawl_delays,
             parse_robots_txt,
+            retry_candidates,
             schedule_with_delays,
         )
 
@@ -761,10 +766,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("host_seq").cast("string").alias("b"),
             F.col("eta_s").alias("v"),
         )
+        retry_log = batch.select(
+            "canon_url",
+            "host",
+            F.when(F.pmod("fetch_order", F.lit(4)) == 1, F.lit(503))
+            .when(F.pmod("fetch_order", F.lit(4)) == 3, F.lit(429))
+            .when(F.pmod("fetch_order", F.lit(4)) == 0, F.lit(200))
+            .otherwise(F.lit(404))
+            .alias("status"),
+            F.pmod("fetch_order", F.lit(6)).cast("int").alias("round"),
+        )
+        retry_rows = (
+            retry_candidates(retry_log)
+            .join(
+                batch.select(F.col("canon_url").alias("url"), "host"), "url"
+            )
+            .select(
+                F.lit("retry").alias("dim"),
+                "host",
+                F.col("url").alias("a"),
+                F.col("attempts").cast("string").alias("b"),
+                F.col("retry_after_round").cast("double").alias("v"),
+            )
+        )
         return (
             rule_rows.unionByName(delay_budget_rows)
             .unionByName(adaptive_rows)
             .unionByName(eta_rows)
+            .unionByName(retry_rows)
         )
 
     q["frontier_robots_rules"] = robots_rules
@@ -965,10 +994,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frontier_redirects"] = redirects_q
 
     def blocklist_q(spark, sf):
-        """Host-suffix blocklist gate (wbx.frontier.apply_blocklist): hosts
-        h<k>.example.net with k≡3 (mod 13) are blocked exactly, and a
-        'sub<k>.h7.example.net' tier exercises subdomain suffix matching."""
-        from wbx.frontier import apply_blocklist
+        """Host scope-gate suite, union-tagged (see the 50-query cap
+        note): dim='block_kept' — wbx.frontier.apply_blocklist (hosts
+        h<k>.example.net with k≡3 (mod 13) blocked exactly, a
+        'sub<k>.h7.example.net' tier exercising subdomain suffix
+        matching); dim='scope_kept' — wbx.frontier.scope_to_domains, the
+        focused-crawl dual, over the SAME fixture and domain list, so the
+        two dims partition the candidate set exactly (oracle pins the
+        complement arithmetic)."""
+        from wbx.frontier import apply_blocklist, scope_to_domains
 
         docs = _t(spark, sf, "documents")
         k = F.pmod("doc_id", F.lit(13))
@@ -983,10 +1017,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "canon_url"
             ),
         )
-        blocklist = spark.createDataFrame(
+        domains = spark.createDataFrame(
             [("h3.example.net",), ("h7.example.net",)], "domain string"
         )
-        return apply_blocklist(cand, blocklist).select("doc_id", "host")
+        blocked = apply_blocklist(cand, domains).select(
+            F.lit("block_kept").alias("dim"), "doc_id", "host"
+        )
+        scoped = scope_to_domains(cand, domains).select(
+            F.lit("scope_kept").alias("dim"), "doc_id", "host"
+        )
+        return blocked.unionByName(scoped)
 
     q["frontier_blocklist"] = blocklist_q
 
@@ -1628,12 +1668,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def text_clean(spark, sf):
-        """C4 line cleaning + PII scrubbing + duplicate-line removal as
-        one per-doc suite row (all per-doc Column transforms over
-        documents, each on its own planted fixture): (cleaned_md5, keep)
-        from the C4 gate, scrubbed_md5 from the PII pass, and
-        dedup_lines_md5 from remove_duplicate_lines over a fixture with a
-        planted repeated line."""
+        """C4 line cleaning + PII scrubbing + duplicate-line removal +
+        sliding-window chunking as one per-doc suite row (all per-doc
+        Column transforms over documents, each on its own planted
+        fixture): (cleaned_md5, keep) from the C4 gate, scrubbed_md5 from
+        the PII pass, dedup_lines_md5 from remove_duplicate_lines over a
+        fixture with a planted repeated line, and (n_chunks, chunks_md5)
+        from chunk_documents(7, overlap 2) — the md5 of the '|'-joined
+        chunk texts in chunk order, so window boundaries, overlap carry
+        and whitespace normalization are all value-pinned."""
         base = _c4_q(spark, sf).join(pii(spark, sf), "doc_id")
         docs = _t(spark, sf, "documents")
         planted = F.concat(
@@ -1648,7 +1691,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dedup_lines_md5"
             ),
         )
-        return base.join(rl, "doc_id")
+        chunks = (
+            textops.chunk_documents(docs, chunk_words=7, overlap_words=2)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_chunks"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("chunk_id", "chunk_text")
+                                )
+                            ),
+                            lambda s: s["chunk_text"],
+                        ),
+                        "|",
+                    )
+                ).alias("chunks_md5"),
+            )
+        )
+        return base.join(rl, "doc_id").join(chunks, "doc_id")
 
     q["text_clean"] = text_clean
 
@@ -2393,6 +2456,14 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT dim, host, a, b, v FROM delay_budget_rows
         UNION ALL SELECT dim, host, a, b, v FROM adaptive_budget_rows
         UNION ALL SELECT dim, host, a, b, v FROM eta_rows
+        -- statuses cycle by doc_id%4 (1→503, 3→429 retryable; 0→200,
+        -- 2→404 settled); single attempt at round doc_id%6 → attempts=1,
+        -- retry_after_round = round + 2
+        UNION ALL
+        SELECT 'retry' AS dim, 'h' || (doc_id % 20) || '.com' AS host,
+               'http://h' || (doc_id % 20) || '.com/x/' || doc_id AS a,
+               '1' AS b, CAST((doc_id % 6) + 2 AS DOUBLE) AS v
+        FROM documents WHERE doc_id % 4 IN (1, 3)
         """,
         "frontier_crawl_round": """
         WITH cand AS (
@@ -2651,9 +2722,34 @@ def oracle_sql() -> dict[str, str]:
                         (x, i) -> list_position(string_split(t, chr(10))[1:i], x) = i),
             chr(10))) AS dedup_lines_md5
           FROM d
+        ),
+        chq AS (
+          -- chunk_documents(7, overlap 2): stride 5, whitespace-normalized
+          -- token windows; n_chunks = 1 + ceil((n-7)/5) when n > 7
+          WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks,
+                   len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents
+          ), nc AS (
+            SELECT doc_id, toks,
+                   CASE WHEN n <= 7 THEN 1
+                        ELSE 1 + CAST(floor((n - 7 + 4) / 5.0) AS INT)
+                   END AS n_chunks
+            FROM t
+          ), ch AS (
+            SELECT doc_id, n_chunks, i AS chunk_id,
+                   array_to_string(toks[i*5+1 : i*5+7], ' ') AS chunk_text
+            FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+          )
+          SELECT doc_id, CAST(max(n_chunks) AS BIGINT) AS n_chunks,
+                 md5(string_agg(chunk_text, '|' ORDER BY chunk_id)) AS chunks_md5
+          FROM ch GROUP BY doc_id
         )
-        SELECT doc_id, cleaned_md5, keep, scrubbed_md5, dedup_lines_md5
+        SELECT doc_id, cleaned_md5, keep, scrubbed_md5, dedup_lines_md5,
+               n_chunks, chunks_md5
         FROM c4q JOIN piiq USING (doc_id) JOIN rlq USING (doc_id)
+                 JOIN chq USING (doc_id)
         """,
         "corpus_top_tokens": f"""
         WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
@@ -2857,10 +2953,16 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN doc_id % 4 = 0
                       THEN 'sub' || (doc_id % 13) || '.h7.example.net'
                       ELSE 'h' || (doc_id % 13) || '.example.net' END AS host
-          FROM documents)
-        SELECT doc_id, host FROM c
-        WHERE NOT (host = 'h3.example.net' OR host LIKE '%.h3.example.net'
-                   OR host = 'h7.example.net' OR host LIKE '%.h7.example.net')
+          FROM documents),
+        m AS (
+          SELECT doc_id, host,
+                 (host = 'h3.example.net' OR host LIKE '%.h3.example.net'
+                  OR host = 'h7.example.net' OR host LIKE '%.h7.example.net')
+                 AS in_domains
+          FROM c)
+        SELECT 'block_kept' AS dim, doc_id, host FROM m WHERE NOT in_domains
+        UNION ALL
+        SELECT 'scope_kept' AS dim, doc_id, host FROM m WHERE in_domains
         """,
         "a_sessionize": """
         WITH o AS (

@@ -1684,3 +1684,60 @@ class TestExpandRespectNofollow:
             "http://a.com/style.css",
         }
         assert strict == {"http://a.com/keep"}
+
+
+class TestScopeAndRetry:
+    def test_scope_to_domains(self, spark):
+        from wbx.frontier import scope_to_domains
+
+        f = spark.createDataFrame(
+            [
+                ("u1", "docs.gov.uk"),
+                ("u2", "gov.uk"),
+                ("u3", "evil.com"),
+                ("u4", "notgov.uk"),
+                ("u5", "a.b.example.org"),
+            ],
+            "canon_url string, host string",
+        )
+        allow = spark.createDataFrame(
+            [("gov.uk",), ("example.org",)], "domain string"
+        )
+        kept = {r["host"] for r in scope_to_domains(f, allow).collect()}
+        # suffix = whole dot-separated labels: notgov.uk is NOT in scope
+        assert kept == {"docs.gov.uk", "gov.uk", "a.b.example.org"}
+
+    def test_retry_backoff_schedule(self, spark):
+        from wbx.frontier import retry_candidates
+
+        log = spark.createDataFrame(
+            [
+                # u1: failed once (round 3) -> retry at 3 + 2^1 = 5
+                ("u1", 503, 3),
+                # u2: failed twice, latest round 4 -> 4 + 2^2 = 8
+                ("u2", 500, 2), ("u2", 429, 4),
+                # u3: failed then SUCCEEDED -> settled, no retry
+                ("u3", 503, 1), ("u3", 200, 2),
+                # u4: 404 is not retryable
+                ("u4", 404, 1),
+                # u5: network error (status 0) counts as retryable
+                ("u5", 0, 2),
+                # u6: exhausted (4 failures > max_attempts=3)
+                ("u6", 500, 1), ("u6", 500, 2), ("u6", 500, 3), ("u6", 500, 4),
+            ],
+            "canon_url string, status int, round int",
+        )
+        out = {
+            r["url"]: (r["attempts"], r["retry_after_round"])
+            for r in retry_candidates(log, max_attempts=3).collect()
+        }
+        assert out == {"u1": (1, 5), "u2": (2, 8), "u5": (1, 4)}
+
+    def test_retry_determinism_across_parallelism(self, spark):
+        from wbx.frontier import retry_candidates
+
+        rows = [("u%d" % (i % 50), 500 if i % 3 else 200, i % 7) for i in range(400)]
+        log = spark.createDataFrame(rows, "canon_url string, status int, round int")
+        a = sorted(map(tuple, retry_candidates(log).collect()))
+        b = sorted(map(tuple, retry_candidates(log.repartition(13)).collect()))
+        assert a == b

@@ -499,3 +499,55 @@ class TestCorpusTopTokens:
             )
         plan = buf.getvalue()
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestChunkDocuments:
+    def _docs(self, spark, *texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def test_windows_and_overlap(self, spark):
+        from wbx.textops import chunk_documents
+
+        docs = self._docs(spark, " ".join("w%d" % i for i in range(10)))
+        out = chunk_documents(docs, chunk_words=4, overlap_words=1).collect()
+        got = [(r["chunk_id"], r["n_words"], r["chunk_text"]) for r in sorted(out, key=lambda r: r["chunk_id"])]
+        assert got == [
+            (0, 4, "w0 w1 w2 w3"),
+            (1, 4, "w3 w4 w5 w6"),
+            (2, 4, "w6 w7 w8 w9"),
+        ]
+
+    def test_short_doc_single_chunk_and_whitespace_normalization(self, spark):
+        from wbx.textops import chunk_documents
+
+        docs = self._docs(spark, "  a\n\nb\t c  ")
+        out = chunk_documents(docs, chunk_words=100, overlap_words=10).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_text"] == "a b c"
+        assert out[0]["n_words"] == 3
+
+    def test_null_and_exact_boundary(self, spark):
+        from wbx.textops import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(0, None), (1, " ".join("t%d" % i for i in range(8)))],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(docs, chunk_words=4, overlap_words=0)
+        rows = sorted(
+            (r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out.collect()
+        )
+        # NULL text: no rows; n == 2*chunk at stride 4 -> exactly 2 chunks
+        assert rows == [
+            (1, 0, "t0 t1 t2 t3"),
+            (1, 1, "t4 t5 t6 t7"),
+        ]
+
+    def test_overlap_validation(self, spark):
+        import pytest as _pytest
+        from wbx.textops import chunk_documents
+
+        with _pytest.raises(ValueError):
+            chunk_documents(self._docs(spark, "x"), chunk_words=4, overlap_words=4)

@@ -2045,6 +2045,82 @@ def host_suffixes(host: Column) -> Column:
     )
 
 
+def scope_to_domains(
+    frontier: DataFrame, allowlist: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Focused-crawl scope gate — the dual of :func:`apply_blocklist`:
+    KEEP only frontier rows whose host equals or is a subdomain of an
+    allowlist domain (seed-scoped vertical crawls: "stay on *.gov.uk").
+
+    allowlist: (domain string). Same scale shape as the blocklist: suffix
+    explosion on DISTINCT hosts only, allowlist side broadcast-eligible,
+    one host semi-join back — URL rows never explode."""
+    allowed = (
+        frontier.select(F.col(host_col).alias("host")).distinct()
+        .select("host", F.explode(host_suffixes(F.col("host"))).alias("_suf"))
+        .join(
+            allowlist.select(F.col("domain").alias("_suf")).distinct(),
+            "_suf",
+            "left_semi",
+        )
+        .select("host")
+        .distinct()
+    )
+    return frontier.join(
+        allowed.withColumnRenamed("host", host_col), [host_col], "left_semi"
+    )
+
+
+def retry_candidates(
+    fetch_log: DataFrame,
+    max_attempts: int = 3,
+    backoff_base: int = 2,
+    url_col: str = "canon_url",
+) -> DataFrame:
+    """Failed-fetch retry queue with exponential backoff: (url, attempts,
+    retry_after_round) for every URL whose LATEST attempt failed
+    retryably (5xx, 429, or status ≤ 0 = network error) and which has not
+    exhausted ``max_attempts`` retryable failures. retry_after_round =
+    latest round + backoff_base^attempts, so a once-failed URL waits 2
+    rounds, twice-failed 4, … — re-seed these as candidates when the
+    crawl reaches that round (a 2xx/4xx latest attempt means settled:
+    no retry row).
+
+    fetch_log: (url, status int, round int) — one attempt per URL per
+    round (the run_crawl commit shape). One map-side-combinable groupBy
+    on the url; the latest attempt comes from max(struct(round, status)),
+    so no window and no second shuffle. Deterministic at any parallelism."""
+    retryable = (
+        (F.col("status") >= 500)
+        | (F.col("status") == 429)
+        | (F.col("status") <= 0)
+    )
+    agg = fetch_log.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(F.struct(F.col("round").alias("r"), F.col("status").alias("s"))).alias(
+            "_last"
+        ),
+        F.sum(retryable.cast("int")).alias("attempts"),
+    )
+    last_retryable = (
+        (F.col("_last.s") >= 500)
+        | (F.col("_last.s") == 429)
+        | (F.col("_last.s") <= 0)
+    )
+    return (
+        agg.filter(last_retryable & (F.col("attempts") <= max_attempts))
+        .select(
+            "url",
+            F.col("attempts").cast("int").alias("attempts"),
+            (
+                F.col("_last.r")
+                + F.pow(F.lit(float(backoff_base)), F.col("attempts"))
+            )
+            .cast("long")
+            .alias("retry_after_round"),
+        )
+    )
+
+
 def apply_blocklist(
     frontier: DataFrame, blocklist: DataFrame, host_col: str = "host"
 ) -> DataFrame:

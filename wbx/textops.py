@@ -1035,3 +1035,55 @@ def corpus_top_tokens(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_words: int = 512,
+    overlap_words: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking for context-window packing:
+    (id, chunk_id, n_words, chunk_text) — each document split into
+    whitespace-token windows of ``chunk_words`` with ``overlap_words``
+    carried between consecutive chunks (stride = chunk − overlap). The
+    LLM-pretraining shard step: long documents become training-length
+    pieces without losing cross-boundary context.
+
+    Chunk count is closed-form (1 chunk when n ≤ chunk_words, else
+    1 + ceil((n − chunk_words) / stride) via integer arithmetic), so both
+    engines agree exactly; chunk_text is the space-join of the token
+    slice — i.e. chunks are whitespace-NORMALIZED (the documented
+    contract; runs of whitespace/newlines inside a chunk become single
+    spaces). Empty/blank text yields one empty chunk, NULL text none
+    (explode of NULL sequence).
+
+    Scale shape: pure per-row expressions — split once (let-bound), a
+    sequence explode, and slices; no shuffle, no Python, text never
+    exchanged beyond its own chunks."""
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap_words must be < chunk_words")
+    stride = chunk_words - overlap_words
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - chunk_words + stride - 1) / F.lit(stride)
+        ).cast("int")
+    )
+    staged = documents.select(
+        F.col(id_col).alias(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_words
+    )
+    return staged.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_words"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
