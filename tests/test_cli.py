@@ -371,3 +371,26 @@ class TestCdxCommand:
         assert keys == sorted(keys)
         assert {r["filename"] for r in rows} == {"a.warc", "b.warc"}
         assert all(r["urlkey"].startswith("example,") for r in rows)
+
+
+class TestChunkCommand:
+    def test_chunk_roundtrip(self, tmp_path, spark, capsys):
+        docs_dir = str(tmp_path / "docs_pq")
+        spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(4)],
+            "doc_id long, text string",
+        ).write.parquet(docs_dir)
+        out_dir = str(tmp_path / "chunks_pq")
+        out = json.loads(
+            run_cli(capsys, ["chunk", "--input", docs_dir,
+                             "--output-dir", out_dir,
+                             "--chunk-words", "4", "--overlap-words", "1",
+                             "--files", "2"])
+        )
+        # 10 words, window 4, stride 3 -> 3 chunks per doc
+        assert out["chunks"] == 12
+        back = spark.read.parquet(out_dir)
+        assert back.count() == 12
+        first = back.filter("doc_id = 2 AND chunk_id = 0").first()
+        assert first["chunk_text"] == "w2_0 w2_1 w2_2 w2_3"
+        assert first["n_words"] == 4

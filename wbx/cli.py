@@ -375,6 +375,28 @@ def cmd_wet(args) -> None:
     _emit({"wet": [r.asDict() for r in rows]}, args.format)
 
 
+def cmd_chunk(args) -> None:
+    """Sliding-window chunking: documents parquet (doc_id, text) →
+    (doc_id, chunk_id, n_words, chunk_text) parquet — the context-length
+    packing step of a training-data pipeline. Prints a one-line summary."""
+    from wbx.textops import chunk_documents
+
+    spark = _spark("chunk")
+    docs = spark.read.parquet(args.input)
+    chunks = chunk_documents(
+        docs,
+        chunk_words=args.chunk_words,
+        overlap_words=args.overlap_words,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    if args.files:
+        chunks = chunks.repartition(args.files, args.id_col)
+    chunks.write.mode("overwrite").parquet(args.output_dir)
+    n = spark.read.parquet(args.output_dir).count()
+    _emit({"chunks": n, "output": args.output_dir}, args.format)
+
+
 def cmd_crawl(args) -> None:
     from wbx.checkpoint import CheckpointStore, run_crawl
 
@@ -502,6 +524,18 @@ def main(argv=None) -> int:
                    help="repartition to N deterministic output files")
     s.add_argument("--format", choices=["json", "text"], default="json")
     s.set_defaults(fn=cmd_wet)
+
+    s = sub.add_parser("chunk")
+    s.add_argument("--input", required=True,
+                   help="documents parquet (doc_id, text)")
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--chunk-words", type=int, default=512)
+    s.add_argument("--overlap-words", type=int, default=64)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--files", type=int, default=None)
+    s.add_argument("--format", choices=["json", "text"], default="json")
+    s.set_defaults(fn=cmd_chunk)
 
     s = sub.add_parser("crawl")
     s.add_argument("--seeds", required=True)
