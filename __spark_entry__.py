@@ -1121,7 +1121,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("\n of corpus </title></head><body>x</body></html>"),
         )
         meta = html_meta(html)
-        return docs.select("doc_id", *[v.alias(kk) for kk, v in meta.items()])
+        # charset-aware payload decode (wbx.extract.decode_payload): five
+        # fixture classes by doc_id%5 — permissive UTF-8 with a planted
+        # invalid byte, exact latin-1, WHATWG Windows-1252 punctuation,
+        # unknown-label fallback, and NULL label with a UTF-8 BOM.
+        from wbx.extract import decode_payload
+
+        m5 = F.pmod("doc_id", F.lit(5))
+        ds = F.col("doc_id").cast("string")
+        enc = lambda c: F.encode(c, "utf-8")  # noqa: E731
+        body = (
+            F.when(
+                m5 == 0,
+                F.concat(enc(F.concat(F.lit("u"), ds)), F.unhex(F.lit("FF")), enc(F.lit("tail"))),
+            )
+            .when(m5 == 1, F.concat(enc(F.lit("l")), F.unhex(F.lit("E9")), enc(ds)))
+            .when(
+                m5 == 2,
+                F.concat(F.unhex(F.lit("93")), enc(F.concat(F.lit("q"), ds)), F.unhex(F.lit("94"))),
+            )
+            .when(m5 == 3, enc(F.concat(F.lit("p"), ds)))
+            .otherwise(F.concat(F.unhex(F.lit("EFBBBF")), enc(F.concat(F.lit("b"), ds))))
+        )
+        body_cs = (
+            F.when(m5 == 0, F.lit("UTF-8"))
+            .when(m5 == 1, F.lit("ISO-8859-1"))
+            .when(m5 == 2, F.lit("Windows-1252"))
+            .when(m5 == 3, F.lit("x-unknown-enc"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return docs.select(
+            "doc_id",
+            *[v.alias(kk) for kk, v in meta.items()],
+            F.lower(body_cs).alias("body_charset"),
+            decode_payload(body, body_cs).alias("decoded_text"),
+        )
 
     q["warc_html_meta"] = html_meta_q
 
@@ -2944,7 +2978,19 @@ def oracle_sql() -> dict[str, str]:
                CASE doc_id % 4 WHEN 0 THEN 'en'
                                WHEN 1 THEN 'de-de'
                                WHEN 2 THEN 'fr' END AS lang_tag,
-               'Doc ' || doc_id || ' of corpus' AS title
+               'Doc ' || doc_id || ' of corpus' AS title,
+               CASE doc_id % 5 WHEN 0 THEN 'utf-8'
+                               WHEN 1 THEN 'iso-8859-1'
+                               WHEN 2 THEN 'windows-1252'
+                               WHEN 3 THEN 'x-unknown-enc' END AS body_charset,
+               -- decode_payload fixture classes: U+FFFD replacement,
+               -- latin-1 e-acute, cp1252 curly quotes, fallback, BOM strip
+               CASE doc_id % 5
+                 WHEN 0 THEN 'u' || doc_id || chr(65533) || 'tail'
+                 WHEN 1 THEN 'l' || chr(233) || doc_id
+                 WHEN 2 THEN chr(8220) || 'q' || doc_id || chr(8221)
+                 WHEN 3 THEN 'p' || doc_id
+                 ELSE 'b' || doc_id END AS decoded_text
         FROM documents
         """,
         "frontier_blocklist": """

@@ -498,6 +498,63 @@ def extract_main_text(
     return F.array_join(F.transform(kept, lambda b: b["text"]), "\n")
 
 
+# Charset-aware payload decoding. The web's big three single-byte realities:
+# UTF-8 (decoded permissively — real pages contain invalid sequences and a
+# strict decode aborts the stage under ANSI), ISO-8859-1 (every byte valid,
+# total function), and Windows-1252 (latin-1 plus the 0x80–0x9F punctuation
+# block). cp1252 is decoded WHATWG-style: the 27 defined C1 positions map to
+# their punctuation via one translate(), the 5 undefined bytes (0x81 0x8D
+# 0x8F 0x90 0x9D) pass through as C1 controls — exactly what browsers do
+# (Python's strict cp1252 codec raises on those; tests pin parity on the
+# defined range). Labels Spark can't decode safely (utf-16 variants would
+# raise under ANSI on malformed input) fall back to permissive UTF-8 — the
+# WHATWG default fallback.
+_CP1252_C1 = "".join(chr(c) for c in range(0x80, 0xA0))
+_CP1252_MAP = "".join(
+    bytes([c]).decode("cp1252") if c not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    else chr(c)
+    for c in range(0x80, 0xA0)
+)
+_LATIN1_LABELS = (
+    "iso-8859-1", "iso8859-1", "iso_8859-1", "latin-1", "latin1", "l1",
+    "us-ascii", "ascii",
+)
+_CP1252_LABELS = ("windows-1252", "cp1252", "x-cp1252", "cp-1252")
+
+CT_CHARSET_RE = r"""(?i)charset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
+
+
+def charset_from_content_type(ct: "Column") -> "Column":
+    """The charset parameter of an HTTP Content-Type header value
+    (``text/html; charset=ISO-8859-1`` → ``iso-8859-1``), lowercased;
+    NULL when absent. Header charset outranks the meta tag per the HTML
+    spec — coalesce this over html_meta's sniff."""
+    c = F.lower(F.regexp_extract(ct, CT_CHARSET_RE, 1))
+    return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+
+def decode_payload(body: "Column", charset: "Column | None" = None) -> "Column":
+    """Fetched bytes → text, honoring the declared charset (from
+    :func:`charset_from_content_type` / html_meta's sniff): UTF-8
+    permissively, ISO-8859-1/US-ASCII exactly, Windows-1252 WHATWG-style;
+    NULL/unknown labels fall back to permissive UTF-8. A leading U+FEFF
+    (UTF-8 BOM) is stripped after decode. Pure Column expressions — total
+    on arbitrary bytes, never raises under ANSI mode."""
+    utf8 = F.make_valid_utf8(body.cast("string"))
+    latin1 = F.decode(body, "ISO-8859-1")
+    cp1252 = F.translate(latin1, _CP1252_C1, _CP1252_MAP)
+    if charset is None:
+        decoded = utf8
+    else:
+        cs = F.lower(F.trim(charset))
+        decoded = (
+            F.when(cs.isin(*_LATIN1_LABELS), latin1)
+            .when(cs.isin(*_CP1252_LABELS), cp1252)
+            .otherwise(utf8)
+        )
+    return F.regexp_replace(decoded, "^\\uFEFF", "")
+
+
 # HTML meta extraction: RE2-safe patterns (no backreferences/lookaround) so
 # the DuckDB oracle chains them verbatim. Each returns '' on no match
 # (regexp_extract semantics), normalized to NULL by html_meta.
