@@ -1035,9 +1035,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parse_sitemap): src='robots' rows are Sitemap: directives pulled
         from per-host robots.txt bodies (case/whitespace variants);
         src='xml' rows are <loc> entries from per-doc sitemap XML with
-        padded whitespace and &amp;-escaped query strings — the oracle
-        pins both closed-form."""
-        from wbx.frontier import parse_sitemap, robots_sitemaps
+        padded whitespace and &amp;-escaped query strings;
+        src='entry' rows are FULL sitemap-protocol entries
+        (parse_sitemap_entries: lastmod/changefreq/priority, every third
+        doc metadata-free to pin the NULLs, priority = (doc_id%10)/10).
+        The oracle pins all three closed-form; non-entry dims carry NULL
+        metadata columns."""
+        from wbx.frontier import (
+            parse_sitemap,
+            parse_sitemap_entries,
+            robots_sitemaps,
+        )
 
         docs = _t(spark, sf, "documents")
         k = F.pmod("doc_id", F.lit(13))
@@ -1079,7 +1087,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("sitemap_url").alias("origin"),
             F.col("loc").alias("url"),
         )
-        return r.unionByName(x)
+        ns = F.lit(None).cast("string")
+        nd = F.lit(None).cast("double")
+        r = r.select("src", "origin", "url", ns.alias("lastmod"),
+                     ns.alias("changefreq"), nd.alias("priority"))
+        x = x.select("src", "origin", "url", ns.alias("lastmod"),
+                     ns.alias("changefreq"), nd.alias("priority"))
+        d = F.col("doc_id")
+        cf = F.element_at(
+            F.array(*[F.lit(w) for w in
+                      ("always", "hourly", "daily", "weekly", "monthly",
+                       "yearly", "never")]),
+            (F.pmod(d, F.lit(7)) + 1).cast("int"),
+        )
+        meta_part = F.when(F.pmod(d, F.lit(3)) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad((F.pmod(d, F.lit(28)) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod><changefreq>"),
+                cf,
+                F.lit("</changefreq><priority>0."),
+                F.pmod(d, F.lit(10)),
+                F.lit("</priority>"),
+            )
+        )
+        news_xml = F.concat(
+            F.lit("<urlset>\n<url>\n<loc>https://h"),
+            k,
+            F.lit(".example.net/n/"),
+            d,
+            F.lit("</loc>"),
+            meta_part,
+            F.lit("</url>\n</urlset>"),
+        )
+        news = docs.select(
+            F.concat(F.lit("https://h"), k, F.lit(".example.net/news.xml")).alias(
+                "sitemap_url"
+            ),
+            F.encode(news_xml, "utf-8").alias("body"),
+        )
+        e = parse_sitemap_entries(news).select(
+            F.lit("entry").alias("src"),
+            F.col("sitemap_url").alias("origin"),
+            F.col("loc").alias("url"),
+            "lastmod",
+            "changefreq",
+            "priority",
+        )
+        return r.unionByName(x).unionByName(e)
 
     q["frontier_sitemaps"] = sitemaps_q
 
@@ -2956,12 +3011,29 @@ def oracle_sql() -> dict[str, str]:
         WITH hosts AS (SELECT DISTINCT doc_id % 13 AS k FROM documents)
         SELECT 'robots' AS src, 'h' || k || '.example.net' AS origin,
                unnest(['https://h' || k || '.example.net/sitemap.xml',
-                       'https://h' || k || '.example.net/news.xml']) AS url
+                       'https://h' || k || '.example.net/news.xml']) AS url,
+               CAST(NULL AS VARCHAR) AS lastmod,
+               CAST(NULL AS VARCHAR) AS changefreq,
+               CAST(NULL AS DOUBLE) AS priority
         FROM hosts
         UNION ALL
         SELECT 'xml', 'https://h' || (doc_id % 13) || '.example.net/sitemap.xml',
                unnest(['https://h' || (doc_id % 13) || '.example.net/p/' || doc_id || '&v=1',
-                       'https://h' || (doc_id % 13) || '.example.net/q/' || (doc_id % 5)])
+                       'https://h' || (doc_id % 13) || '.example.net/q/' || (doc_id % 5)]),
+               NULL, NULL, NULL
+        FROM documents
+        UNION ALL
+        -- full <url> entries: every third doc metadata-free; changefreq
+        -- cycles the protocol vocabulary; priority = (doc_id%10)/10
+        SELECT 'entry', 'https://h' || (doc_id % 13) || '.example.net/news.xml',
+               'https://h' || (doc_id % 13) || '.example.net/n/' || doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') END,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE list_value('always','hourly','daily','weekly',
+                                    'monthly','yearly','never')[(doc_id % 7) + 1] END,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE (doc_id % 10) / 10.0 END
         FROM documents
         """,
         "warc_main_text": """

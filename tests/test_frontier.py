@@ -1741,3 +1741,65 @@ class TestScopeAndRetry:
         a = sorted(map(tuple, retry_candidates(log).collect()))
         b = sorted(map(tuple, retry_candidates(log.repartition(13)).collect()))
         assert a == b
+
+
+class TestSitemapEntries:
+    def _sm(self, spark, xml: bytes):
+        return spark.createDataFrame(
+            [("https://h.com/sm.xml", bytearray(xml))],
+            "sitemap_url string, body binary",
+        )
+
+    def test_full_entry_and_defaults(self, spark):
+        from wbx.frontier import parse_sitemap_entries, sitemap_candidates
+
+        xml = (
+            b"<urlset><url><loc> https://h.com/a&amp;v=1 </loc>"
+            b"<lastmod>2024-03-05T10:00:00Z</lastmod>"
+            b"<changefreq>DAILY</changefreq><priority>0.8</priority></url>"
+            b"<url><loc>https://h.com/b</loc></url>"
+            b"<url><lastmod>2024-01-01</lastmod></url>"  # no loc: dropped
+            b"<url><loc>https://h.com/c</loc><priority>junk</priority></url>"
+            b"</urlset>\xff"  # malformed byte must not crash
+        )
+        rows = sorted(
+            map(tuple, parse_sitemap_entries(self._sm(spark, xml)).collect())
+        )
+        assert rows == [
+            ("https://h.com/sm.xml", "https://h.com/a&v=1", "2024-03-05T10:00:00Z", "daily", 0.8),
+            ("https://h.com/sm.xml", "https://h.com/b", None, None, None),
+            ("https://h.com/sm.xml", "https://h.com/c", None, None, None),
+        ]
+        cand = {
+            r["url"]: r["priority"]
+            for r in sitemap_candidates(
+                parse_sitemap_entries(self._sm(spark, xml))
+            ).collect()
+        }
+        assert cand == {
+            "https://h.com/a&v=1": 0.8,
+            "https://h.com/b": 0.5,
+            "https://h.com/c": 0.5,
+        }
+
+    def test_priority_clamped(self, spark):
+        from wbx.frontier import parse_sitemap_entries, sitemap_candidates
+
+        xml = (
+            b"<urlset><url><loc>https://h.com/hi</loc><priority>9.5</priority></url>"
+            b"<url><loc>https://h.com/lo</loc><priority>-2</priority></url></urlset>"
+        )
+        cand = {
+            r["url"]: r["priority"]
+            for r in sitemap_candidates(
+                parse_sitemap_entries(self._sm(spark, xml))
+            ).collect()
+        }
+        assert cand == {"https://h.com/hi": 1.0, "https://h.com/lo": 0.0}
+
+    def test_changefreq_vocabulary(self):
+        from wbx.frontier import CHANGEFREQ_SECONDS
+
+        assert CHANGEFREQ_SECONDS["always"] == 0
+        assert CHANGEFREQ_SECONDS["daily"] == 86400
+        assert "never" not in CHANGEFREQ_SECONDS

@@ -1540,6 +1540,89 @@ def parse_sitemap(
     )
 
 
+_SITEMAP_URLBLOCK_RE = r"(?is)<url[\s>](.*?)</url>"
+_SM_FIELD_RES = {
+    "lastmod": r"(?is)<lastmod[^>]*>\s*([^<\s][^<]*?)\s*</lastmod",
+    "changefreq": r"(?is)<changefreq[^>]*>\s*([^<\s][^<]*?)\s*</changefreq",
+    "priority": r"(?is)<priority[^>]*>\s*([^<\s][^<]*?)\s*</priority",
+}
+
+# the sitemap protocol's <changefreq> vocabulary as revisit intervals, for
+# feeding revisit_priority-style scheduling; 'always'→0 (every round),
+# 'never'→NULL (no time-driven revisit)
+CHANGEFREQ_SECONDS = {
+    "always": 0,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+}
+
+
+def parse_sitemap_entries(
+    sitemaps: DataFrame, url_col: str = "sitemap_url", body_col: str = "body"
+) -> DataFrame:
+    """(sitemap_url, loc, lastmod, changefreq, priority) — the full
+    sitemap-protocol ``<url>`` entry, not just the loc: lastmod (raw W3C
+    datetime string — feed try_to_timestamp downstream), changefreq
+    (lowercased vocabulary word; map through :data:`CHANGEFREQ_SECONDS`
+    for revisit scheduling), and priority (try_cast double — the
+    protocol's 0.0–1.0 hint, NULL when absent/garbage, ready to coalesce
+    into crawl_round candidate priorities). Entries with no ``<loc>`` are
+    dropped; absent fields are NULL.
+
+    Robustness contract as :func:`parse_sitemap` (permissive decode, ONE
+    amp-alternation pass on the loc, whitespace trim); the block regex is
+    RE2-safe (no lookaround — the non-greedy body is bounded by an
+    explicit not-the-closing-tag alternation). Pure per-row expressions:
+    one regexp_extract_all + explode, body bytes never exchanged."""
+    decoded = F.make_valid_utf8(F.col(body_col).cast("string"))
+    staged = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.explode(
+            F.regexp_extract_all(decoded, F.lit(_SITEMAP_URLBLOCK_RE), F.lit(1))
+        ).alias("_blk"),
+    )
+
+    def nn(c: Column) -> Column:
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    blk = F.col("_blk")
+    loc = nn(F.regexp_extract(blk, _SITEMAP_LOC_RE, 1))
+    return (
+        staged.select(
+            "sitemap_url",
+            F.regexp_replace(
+                loc, r"&amp;|&AMP;|&#0*38;|&#[xX]0*26;", "&"
+            ).alias("loc"),
+            nn(F.regexp_extract(blk, _SM_FIELD_RES["lastmod"], 1)).alias(
+                "lastmod"
+            ),
+            F.lower(
+                nn(F.regexp_extract(blk, _SM_FIELD_RES["changefreq"], 1))
+            ).alias("changefreq"),
+            nn(F.regexp_extract(blk, _SM_FIELD_RES["priority"], 1))
+            .try_cast("double")
+            .alias("priority"),
+        )
+        .filter(F.col("loc").isNotNull())
+    )
+
+
+def sitemap_candidates(
+    entries: DataFrame, default_priority: float = 0.5
+) -> DataFrame:
+    """Sitemap entries → crawl_round candidates (url, priority): the
+    protocol's priority hint where declared (clamped to [0,1] — hosts
+    lie), else ``default_priority`` (0.5 per the sitemap spec)."""
+    p = F.coalesce(F.col("priority"), F.lit(float(default_priority)))
+    return entries.select(
+        F.col("loc").alias("url"),
+        F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)).alias("priority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # link discovery (the expand step: pages -> candidate URLs)
 # ---------------------------------------------------------------------------
