@@ -430,3 +430,88 @@ class TestRound4Plans:
             sampling.hash_sample(df, 0.5, key_col="doc_id"), "simple"
         )
         assert "Exchange" not in plan and "xxhash64" in plan
+
+
+class TestRound4OperatorPlans:
+    """Structural scale guards for the round-4 additions: per-row ops stay
+    exchange-free and JVM-side; aggregating ops shuffle exactly once."""
+
+    def test_chunk_documents_no_exchange(self, spark):
+        from wbx import textops
+
+        plan = plan_str(
+            textops.chunk_documents(_docs(spark), 64, 8), "simple"
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_anchor_links_no_exchange_html_pruned(self, spark):
+        from wbx import frontier
+
+        pages = spark.createDataFrame(
+            [("http://a.com/", b'<a href="/x">1</a>')],
+            "url string, html binary",
+        )
+        df = frontier.extract_anchor_links(pages)
+        plan = plan_str(df, "simple")
+        assert "Exchange" not in plan
+        # the explode emits (url, tag text) — html is pruned before the
+        # Generate, so downstream operators never touch page bytes
+        formatted = plan_str(df, "formatted")
+        gen = [
+            ln
+            for ln in formatted.splitlines()
+            if ln.startswith("Arguments: explode")
+        ]
+        assert gen and all("html" not in ln for ln in gen)
+
+    def test_retry_candidates_single_partial_agg_shuffle(self, spark):
+        from wbx import frontier
+
+        log = spark.createDataFrame(
+            [("u", "h", 500, 1)], "canon_url string, host string, status int, round int"
+        )
+        plan = plan_str(frontier.retry_candidates(log), "simple")
+        assert plan.count("Exchange") == 1
+        assert plan.count("HashAggregate") == 2  # partial + final
+
+    def test_schedule_with_delays_single_window_shuffle(self, spark):
+        from wbx import frontier
+
+        batch = spark.createDataFrame(
+            [("u", "h", 1)], "canon_url string, host string, fetch_order int"
+        )
+        delays = spark.createDataFrame(
+            [("h", 1.0)], "host string, crawl_delay double"
+        )
+        plan = plan_str(
+            frontier.schedule_with_delays(batch, delays), "simple"
+        )
+        # the BATCH is exchanged once: the join keys on host, so the host
+        # window reuses that partitioning instead of adding an exchange;
+        # the only other exchange is the host-cardinality delays table
+        # (AQE turns it into a broadcast at runtime)
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "hashpartitioning(_dhost" in plan
+        assert plan.count("Window") == 1
+
+    def test_sitemap_entries_no_exchange(self, spark):
+        from wbx import frontier
+
+        sm = spark.createDataFrame(
+            [("s", b"<url><loc>x</loc></url>")], "sitemap_url string, body binary"
+        )
+        plan = plan_str(frontier.parse_sitemap_entries(sm), "simple")
+        assert "Exchange" not in plan
+
+    def test_decode_payload_jvm_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from wbx import extract as ex
+
+        df = spark.createDataFrame([(b"x", "utf-8")], "body binary, cs string")
+        plan = plan_str(
+            df.select(ex.decode_payload(F.col("body"), F.col("cs"))), "simple"
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2171,23 +2171,34 @@ def retry_candidates(
 
     fetch_log: (url, status int, round int) — one attempt per URL per
     round (the run_crawl commit shape). One map-side-combinable groupBy
-    on the url; the latest attempt comes from max(struct(round, status)),
-    so no window and no second shuffle. Deterministic at any parallelism."""
+    on the url; the latest attempt comes from max() over the (round,
+    status) pair PACKED into one long (round·2³² + biased status — the
+    numeric order equals the lexicographic struct order, but a packed
+    max keeps the aggregate HashAggregate-eligible where max(struct)
+    would force SortAggregate's per-partition sorts; pinned by a plan
+    guard). No window, no second shuffle, deterministic at any
+    parallelism."""
     retryable = (
         (F.col("status") >= 500)
         | (F.col("status") == 429)
         | (F.col("status") <= 0)
     )
+    packed = (
+        F.col("round").cast("long") * F.lit(1 << 32).cast("long")
+        + (F.col("status").cast("long") + F.lit(1 << 31).cast("long"))
+    )
     agg = fetch_log.groupBy(F.col(url_col).alias("url")).agg(
-        F.max(F.struct(F.col("round").alias("r"), F.col("status").alias("s"))).alias(
-            "_last"
-        ),
+        F.max(packed).alias("_last"),
         F.sum(retryable.cast("int")).alias("attempts"),
     )
+    last_round = F.floor(F.col("_last") / F.lit(1 << 32).cast("long")).cast(
+        "long"
+    )
+    last_status = F.pmod(F.col("_last"), F.lit(1 << 32).cast("long")) - F.lit(
+        1 << 31
+    ).cast("long")
     last_retryable = (
-        (F.col("_last.s") >= 500)
-        | (F.col("_last.s") == 429)
-        | (F.col("_last.s") <= 0)
+        (last_status >= 500) | (last_status == 429) | (last_status <= 0)
     )
     return (
         agg.filter(last_retryable & (F.col("attempts") <= max_attempts))
@@ -2195,7 +2206,7 @@ def retry_candidates(
             "url",
             F.col("attempts").cast("int").alias("attempts"),
             (
-                F.col("_last.r")
+                last_round
                 + F.pow(F.lit(float(backoff_base)), F.col("attempts"))
             )
             .cast("long")
