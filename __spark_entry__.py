@@ -563,8 +563,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         staged = docs.select(
             "doc_id", canonicalize_url(_messy_url(F.col("doc_id"))).alias("canon_url")
         )
+        # + query normalization (wbx.frontier.normalize_query): tracking
+        # params stripped (utm_* prefix + click-id set), survivors sorted
+        from wbx.frontier import normalize_query
+
+        d = F.col("doc_id")
+        nq_url = F.concat(
+            F.lit("http://n"), F.pmod(d, F.lit(9)),
+            F.lit(".com/p?b="), F.pmod(d, F.lit(4)),
+            F.lit("&utm_source=s"), d,
+            F.lit("&a="), F.pmod(d, F.lit(3)),
+            F.lit("&gclid=g"),
+        )
         return staged.select(
-            "doc_id", "canon_url", url_host(F.col("canon_url")).alias("host")
+            "doc_id",
+            "canon_url",
+            url_host(F.col("canon_url")).alias("host"),
+            normalize_query(nq_url).alias("norm_url"),
         )
 
     q["url_canonicalize"] = canonical
@@ -2485,7 +2500,10 @@ def oracle_sql() -> dict[str, str]:
                          || '?q=' || (doc_id % 3) END AS canon_url,
                CASE WHEN doc_id % 5 = 0
                     THEN 'host' || (doc_id % 7) || '.com'
-                    ELSE 'www.site' || (doc_id % 7) || '.org' END AS host
+                    ELSE 'www.site' || (doc_id % 7) || '.org' END AS host,
+               -- normalize_query: utm_/gclid dropped, survivors sorted
+               'http://n' || (doc_id % 9) || '.com/p?a=' || (doc_id % 3)
+                 || '&b=' || (doc_id % 4) AS norm_url
         FROM documents
         """,
         "frontier_unseen": """

@@ -1803,3 +1803,64 @@ class TestSitemapEntries:
         assert CHANGEFREQ_SECONDS["always"] == 0
         assert CHANGEFREQ_SECONDS["daily"] == 86400
         assert "never" not in CHANGEFREQ_SECONDS
+
+
+class TestNormalizeQuery:
+    def _n(self, spark, urls, **kw):
+        from wbx.frontier import normalize_query
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r["n"]
+            for r in df.select(
+                normalize_query(F.col("url"), **kw).alias("n")
+            ).collect()
+        ]
+
+    def test_strip_sort_and_empty_query(self, spark):
+        got = self._n(
+            spark,
+            [
+                "http://h/p?b=2&utm_source=x&a=1",
+                "http://h/p?utm_campaign=z",
+                "http://h/p?gclid=1&A=2",
+                "http://h/p",
+                "http://h/p?",
+                "http://h/p?a&&b=1",
+                "http://h/p?UTM_MEDIUM=m&x=1",
+            ],
+        )
+        assert got == [
+            "http://h/p?a=1&b=2",
+            "http://h/p",
+            "http://h/p?A=2",
+            "http://h/p",
+            "http://h/p",
+            "http://h/p?a&b=1",
+            "http://h/p?x=1",
+        ]
+
+    def test_knobs(self, spark):
+        # keep tracking, keep order
+        got = self._n(
+            spark,
+            ["http://h/p?b=1&utm_source=x&a=2"],
+            drop_tracking=False,
+            sort_params=False,
+        )
+        assert got == ["http://h/p?b=1&utm_source=x&a=2"]
+
+    def test_idempotent(self, spark):
+        from wbx.frontier import normalize_query
+
+        urls = [
+            "http://h/p?b=2&utm_source=x&a=1",
+            "http://h/p?z=1&y=2&x=3",
+            "http://h/p",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(normalize_query(F.col("url")).alias("u"))
+        twice = once.select(normalize_query(F.col("u")).alias("u"))
+        assert [r["u"] for r in once.collect()] == [
+            r["u"] for r in twice.collect()
+        ]

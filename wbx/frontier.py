@@ -110,6 +110,55 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
 
 
+# tracking parameters every curation pipeline strips before URL dedup:
+# the utm_* campaign family by prefix plus the common click-id params
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "yclid", "igshid", "mc_cid", "mc_eid",
+    "wbraid", "gbraid", "_ga", "twclid", "dclid",
+)
+
+
+def normalize_query(
+    url: Column,
+    drop_tracking: bool = True,
+    sort_params: bool = True,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
+    """Query-string normalization for URL dedup — the step after
+    :func:`canonicalize_url` that collapses tracking-decorated and
+    param-order variants of one resource: drop ``utm_*`` and click-id
+    parameters (``tracking_params``), byte-sort the survivors, and drop a
+    now-empty ``?``. ``http://h/p?b=2&utm_source=x&a=1`` →
+    ``http://h/p?a=1&b=2``.
+
+    NOT part of canonicalize_url itself: RFC 3986 says query order is
+    significant, so this is an OPT-IN dedup key (pass the output to
+    url_hash / dedup_url_latest), not the fetch identity.
+
+    Expects defragged input (canonical URLs have no fragment — a '#'
+    would ride the last parameter). Empty segments (``a&&b``) are
+    dropped. Pure Column algebra — split/filter/array_sort inside
+    codegen, no shuffle, RE-free so the DuckDB oracle mirrors it
+    verbatim."""
+    qpos = F.instr(url, "?")
+    base = F.substring(url, 1, qpos - 1)
+    qs = F.substring(url, qpos + 1, F.lit(1 << 30))
+    params = F.split(qs, "&", -1)
+
+    def keep(p: Column) -> Column:
+        k = F.lower(F.substring_index(p, "=", 1))
+        is_tracking = k.startswith("utm_") | k.isin(*tracking_params)
+        nonempty = F.length(p) > 0
+        return nonempty & ~is_tracking if drop_tracking else nonempty
+
+    kept = F.filter(params, keep)
+    kept = F.array_sort(kept) if sort_params else kept
+    rebuilt = F.when(F.size(kept) == 0, base).otherwise(
+        F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    )
+    return F.when(qpos == 0, url).otherwise(rebuilt)
+
+
 def _split_authority(canon_url: Column) -> tuple[Column, Column, Column]:
     """(scheme_ok, authority, rest) via string primitives — shared hot-path
     skeleton for url_host/url_path (same cost rationale as
