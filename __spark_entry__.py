@@ -2043,6 +2043,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("text_md5"),
         )
 
+    def mirrors_part(spark, sf):
+        """Mirror-host detection (wbx.frontier.detect_mirrors): ma/mb carry
+        IDENTICAL digest sets (jaccard 1.0 — identical signatures make LSH
+        recall exactly 1, so the sketch is oracle-exact), mc shares the
+        even half (~1/3, cut by the 0.9 verify threshold regardless of
+        banding luck), solo is disjoint. key=host_a, ts_a=host_b,
+        n_a=intersection, n_b/n_c=set sizes."""
+        from wbx.frontier import detect_mirrors
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        d = F.col("doc_id")
+
+        def host_pages(name, dg):
+            return docs.select(F.lit(name).alias("host"), dg.alias("digest"))
+
+        pages = (
+            host_pages("ma.com", d)
+            .unionByName(host_pages("mb.com", d))
+            .unionByName(
+                host_pages(
+                    "mc.com",
+                    F.when(F.pmod(d, F.lit(2)) == 0, d).otherwise(d + 1000000),
+                )
+            )
+            .unionByName(host_pages("solo.com", d + 2000000))
+        )
+        return detect_mirrors(
+            pages, digest_col="digest", threshold=0.9
+        ).select(
+            F.lit("mirrors").alias("part"),
+            F.col("host_a").alias("key"),
+            F.col("intersection").cast("long").alias("n_a"),
+            F.col("n_a").cast("long").alias("n_b"),
+            F.col("n_b").cast("long").alias("n_c"),
+            F.col("host_b").alias("ts_a"),
+            F.lit(None).cast("string").alias("ts_b"),
+            F.lit(None).cast("string").alias("text_md5"),
+        )
+
     def pages_reports(spark, sf):
         """Pages-table report suite (driver 50-query cap: union-tagged;
         members were separate queries through r4-mid): part='url_latest' is
@@ -2057,8 +2096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (wbx.graph.connected_components — see components_part);
         part='revisit' is change-rate recrawl priority
         (wbx.frontier.revisit_priority); part='traps' is spider-trap
-        URL-template mining (wbx.frontier.detect_url_traps). Same
-        generic schema, every value oracle-pinned."""
+        URL-template mining (wbx.frontier.detect_url_traps);
+        part='mirrors' is content-digest mirror-host detection
+        (wbx.frontier.detect_mirrors — see mirrors_part). Same generic
+        schema, every value oracle-pinned."""
         return (
             url_latest(spark, sf)
             .unionByName(host_rep(spark, sf))
@@ -2066,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(components_part(spark, sf))
             .unionByName(revisit_part(spark, sf))
             .unionByName(traps_part(spark, sf))
+            .unionByName(mirrors_part(spark, sf))
         )
 
     q["a_pages_reports"] = pages_reports
@@ -2257,6 +2299,19 @@ _TRAPS_UNION = """
                CAST(NULL AS VARCHAR) AS text_md5
         FROM tp_k GROUP BY 1, 2, 6 HAVING count(*) >= 30
         )
+        """
+
+# mirror detection: only the IDENTICAL-set pair survives the 0.9 verify
+# threshold (identical signatures → LSH recall exactly 1, oracle-exact;
+# the half-shared and disjoint hosts are cut by the verify filter no
+# matter which bands collide)
+_MIRRORS_UNION = """
+        UNION ALL
+        SELECT 'mirrors' AS part, 'ma.com' AS key,
+               n AS n_a, n AS n_b, n AS n_c,
+               'mb.com' AS ts_a, CAST(NULL AS VARCHAR) AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
         """
 
 
@@ -3154,7 +3209,8 @@ def oracle_sql() -> dict[str, str]:
         + _host_rank_union(10)
         + _components_union(6)
         + _REVISIT_UNION
-        + _TRAPS_UNION,
+        + _TRAPS_UNION
+        + _MIRRORS_UNION,
     }
 
 

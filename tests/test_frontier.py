@@ -1864,3 +1864,64 @@ class TestNormalizeQuery:
         assert [r["u"] for r in once.collect()] == [
             r["u"] for r in twice.collect()
         ]
+
+
+class TestMirrorDetection:
+    def _pages(self, spark):
+        rows = []
+        # m1 and m2: identical 30-doc content sets (perfect mirrors);
+        # m3 shares 15 of 30 with m1 (partial); solo is disjoint
+        for i in range(30):
+            rows.append(("m1.com", f"shared doc {i}"))
+            rows.append(("m2.com", f"shared doc {i}"))
+            rows.append(("m3.com", f"shared doc {i}" if i < 15 else f"own {i}"))
+            rows.append(("solo.com", f"unique {i}"))
+        # duplicate captures must not distort the set comparison
+        rows += [("m1.com", "shared doc 0")] * 5
+        return spark.createDataFrame(rows, "host string, text string")
+
+    def test_mirror_pairs(self, spark):
+        from wbx.frontier import detect_mirrors
+
+        out = {
+            (r["host_a"], r["host_b"]): r
+            for r in detect_mirrors(self._pages(spark), threshold=0.9).collect()
+        }
+        assert set(out) == {("m1.com", "m2.com")}
+        r = out[("m1.com", "m2.com")]
+        assert (r["intersection"], r["n_a"], r["n_b"], r["jaccard"]) == (30, 30, 30, 1.0)
+
+    def test_partial_overlap_found_at_lower_threshold(self, spark):
+        from wbx.frontier import detect_mirrors
+
+        # low-similarity pairs need finer banding for recall (32 bands of
+        # 2 rows: P(candidate | s=1/3) ≈ 0.98 vs 0.18 at 16×4); fixed
+        # seed makes the outcome deterministic either way
+        out = {
+            (r["host_a"], r["host_b"]): round(r["jaccard"], 3)
+            for r in detect_mirrors(
+                self._pages(spark), threshold=0.3, bands=32
+            ).collect()
+        }
+        assert out[("m1.com", "m2.com")] == 1.0
+        # |m1 ∩ m3| = 15, union = 45 → 1/3
+        assert out[("m1.com", "m3.com")] == 0.333
+        assert out[("m2.com", "m3.com")] == 0.333
+        assert not any("solo.com" in k for k in out)
+
+    def test_deterministic_across_parallelism(self, spark):
+        from wbx.frontier import detect_mirrors
+
+        p = self._pages(spark)
+        a = sorted(
+            map(tuple, detect_mirrors(p, threshold=0.3, bands=32).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                detect_mirrors(
+                    p.repartition(17), threshold=0.3, bands=32
+                ).collect(),
+            )
+        )
+        assert a == b

@@ -2177,6 +2177,63 @@ def host_suffixes(host: Column) -> Column:
     )
 
 
+def detect_mirrors(
+    pages: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    digest_col: str | None = None,
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Mirror-host detection: (host_a, host_b, intersection, n_a, n_b,
+    jaccard) for host pairs whose CONTENT-DIGEST sets overlap ≥
+    ``threshold`` — the www/apex aliases, country mirrors, and scraper
+    clones a production crawl demotes so one site doesn't occupy the
+    frontier twice. Feed the pairs to wbx.graph.connected_components for
+    mirror clusters, keep one representative per cluster, and blocklist
+    or deprioritize the rest.
+
+    A host is summarized as its set of per-page content digests
+    (``digest_col`` if the fetch pipeline already logs one, else
+    xxhash64 of ``text_col``), so the comparison is content-identity per
+    page — robust to URL-structure differences between mirrors. Scale
+    shape: (host, digest) distinct is the only URL-cardinality shuffle
+    (pages never carry text past the digest projection); signatures are
+    the num_hashes-way map-side-combinable aggregate at HOST cardinality;
+    banding is skew-capped (``max_bucket``) exactly like document LSH; the
+    exact verify joins digest sets only for surviving candidate pairs.
+    Reuses the MinHash kernels (wbx.textops) with items = digests."""
+    from wbx.textops import (
+        jaccard_verify_item_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures_items,
+    )
+
+    digest = (
+        F.col(digest_col) if digest_col else F.xxhash64(F.col(text_col))
+    )
+    items = pages.select(
+        F.col(host_col).alias("host"), digest.alias("_dg")
+    ).distinct()
+    sigs = minhash_signatures_items(items, "host", "_dg", num_hashes)
+    pairs = minhash_lsh_pairs(
+        sigs, "host", bands, num_hashes // bands, max_bucket
+    )
+    return (
+        jaccard_verify_item_pairs(items, pairs, "host", "_dg", threshold)
+        .select(
+            F.col("id_a").alias("host_a"),
+            F.col("id_b").alias("host_b"),
+            "intersection",
+            "n_a",
+            "n_b",
+            "jaccard",
+        )
+    )
+
+
 def scope_to_domains(
     frontier: DataFrame, allowlist: DataFrame, host_col: str = "host"
 ) -> DataFrame:

@@ -139,13 +139,32 @@ def minhash_signatures(
     pandas form emitted (id, NULL) — callers joining back to documents by id
     should left-join if they need those rows).
     """
-    exploded = (
-        documents.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(shingle_array(F.col(text_col), shingle_size)).alias("_s"),
-        )
-        .select(id_col, F.xxhash64("_s").alias("_h"))
+    shingled = documents.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), shingle_size)).alias("_s"),
+    )
+    return minhash_signatures_items(
+        shingled, id_col, "_s", num_hashes, seed
+    )
+
+
+def minhash_signatures_items(
+    items: DataFrame,
+    id_col: str,
+    item_col: str,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash over an already-exploded
+    ATOMIC item multiset (one row per (id, item)): the generalized core
+    minhash_signatures delegates to with items = word shingles, and the
+    host-mirror detector uses directly with items = content digests.
+    Same scale shape: slot i is ``min(xxhash64(item_hash, seed, i))``, a
+    num_hashes-way map-side-combinable aggregate; duplicates need no
+    distinct (min over a multiset = min over its set); ids with no items
+    produce no row."""
+    exploded = items.select(
+        F.col(id_col), F.xxhash64(F.col(item_col)).alias("_h")
     )
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(seed), F.lit(i))).alias(f"_m{i}")
@@ -156,8 +175,53 @@ def minhash_signatures(
         .agg(*aggs)
         .select(
             F.col(id_col),
-            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
         )
+    )
+
+
+def jaccard_verify_item_pairs(
+    items: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact set-Jaccard verification of candidate (id_a, id_b) pairs over
+    atomic item sets: (id_a, id_b, intersection, n_a, n_b, jaccard),
+    jaccard ≥ threshold. Items are xxhash64'd before the distinct and the
+    joins (shuffles carry (id, int64) only — same collision argument as
+    jaccard_verify_pairs)."""
+    hashed = items.select(
+        F.col(id_col), F.xxhash64(F.col(item_col)).alias("_item")
+    ).distinct()
+    a = hashed.select(F.col(id_col).alias("id_a"), "_item")
+    b = hashed.select(F.col(id_col).alias("id_b"), "_item")
+    sizes = hashed.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "_item"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("n_a") + F.col("n_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "n_a", "n_b", "jaccard")
     )
 
 
