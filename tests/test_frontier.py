@@ -1925,3 +1925,56 @@ class TestMirrorDetection:
             )
         )
         assert a == b
+
+
+class TestDemoteMirrorHosts:
+    def _inputs(self, spark):
+        pairs = spark.createDataFrame(
+            # a~b and b~c: transitive cluster {a,b,c}, rep = a.com (min)
+            [("a.com", "b.com"), ("b.com", "c.com"), ("x.com", "y.com")],
+            "host_a string, host_b string",
+        )
+        frontier = spark.createDataFrame(
+            [
+                ("http://a.com/1", "a.com", 5.0),
+                ("http://b.com/1", "b.com", 5.0),
+                ("http://c.com/1", "c.com", 5.0),
+                ("http://x.com/1", "x.com", 5.0),
+                ("http://y.com/1", "y.com", 5.0),
+                ("http://z.com/1", "z.com", 5.0),
+            ],
+            "canon_url string, host string, priority double",
+        )
+        return frontier, pairs
+
+    def test_drop_keeps_cluster_representative(self, spark):
+        from wbx.frontier import demote_mirror_hosts
+
+        frontier, pairs = self._inputs(spark)
+        kept = {
+            r["host"] for r in demote_mirror_hosts(frontier, pairs).collect()
+        }
+        assert kept == {"a.com", "x.com", "z.com"}
+
+    def test_deprioritize_keeps_rows(self, spark):
+        from wbx.frontier import demote_mirror_hosts
+
+        frontier, pairs = self._inputs(spark)
+        out = {
+            r["host"]: r["priority"]
+            for r in demote_mirror_hosts(
+                frontier, pairs, mode="deprioritize", penalty=100.0
+            ).collect()
+        }
+        assert out == {
+            "a.com": 5.0,
+            "b.com": -95.0,
+            "c.com": -95.0,
+            "x.com": 5.0,
+            "y.com": -95.0,
+            "z.com": 5.0,
+        }
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            demote_mirror_hosts(frontier, pairs, mode="nope")

@@ -2234,6 +2234,50 @@ def detect_mirrors(
     )
 
 
+def demote_mirror_hosts(
+    frontier: DataFrame,
+    mirror_pairs: DataFrame,
+    host_col: str = "host",
+    mode: str = "drop",
+    priority_col: str = "priority",
+    penalty: float = 1000.0,
+) -> DataFrame:
+    """Apply :func:`detect_mirrors` output to the frontier: cluster the
+    mirror pairs transitively (wbx.graph.connected_components — A~B plus
+    B~C must collapse even though (A, C) was never emitted), keep the
+    cluster's MIN host as the canonical origin, and either ``drop``
+    candidates on the other mirrors or ``deprioritize`` them (priority −
+    ``penalty`` — they still fetch if the frontier runs dry, so a mirror
+    that later diverges from its primary is not lost forever).
+
+    Scale shape: clustering runs at host cardinality; the frontier sees
+    ONE host-keyed anti-join (drop) or a broadcast-eligible left join +
+    column rewrite (deprioritize) — URL rows never join the pair set."""
+    from wbx.graph import connected_components
+
+    comps = connected_components(
+        mirror_pairs.select("host_a", "host_b"), "host_a", "host_b"
+    )
+    demoted = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(host_col)
+    )
+    if mode == "drop":
+        return frontier.join(demoted, [host_col], "left_anti")
+    if mode == "deprioritize":
+        flagged = demoted.withColumn("_demote", F.lit(True))
+        return (
+            frontier.join(flagged, [host_col], "left")
+            .withColumn(
+                priority_col,
+                F.when(
+                    F.col("_demote"), F.col(priority_col) - penalty
+                ).otherwise(F.col(priority_col)),
+            )
+            .drop("_demote")
+        )
+    raise ValueError("mode must be drop | deprioritize")
+
+
 def scope_to_domains(
     frontier: DataFrame, allowlist: DataFrame, host_col: str = "host"
 ) -> DataFrame:
