@@ -299,3 +299,25 @@ class TestBucketedSeenBase:
         fa = sorted(map(tuple, ref.load(spark, "fetch_log", 4).collect()))
         fb = sorted(map(tuple, st.load(spark, "fetch_log", 4).collect()))
         assert fa == fb
+
+
+class TestCrawlReport:
+    def test_report_per_round_health(self, spark, tmp_path):
+        from wbx.checkpoint import crawl_report
+
+        store = CheckpointStore(str(tmp_path / "rep"))
+        run_crawl(
+            spark, store, seeds_df(spark), make_expand(spark),
+            hosts_df(spark), rounds=3,
+        )
+        rows = {r["round"]: r for r in crawl_report(spark, store).collect()}
+        assert set(rows) == {1, 2, 3}
+        for rid, r in rows.items():
+            # scheduled == seen delta (the anti-join invariant), matching
+            # the committed fetch_log row count exactly
+            n_log = store.load(spark, "fetch_log", rid).count()
+            assert r["urls_scheduled"] == r["seen_added"] == n_log
+            assert r["n_hosts"] >= 1 and r["top_host"]
+            assert 0 < r["top_host_frac"] <= 1.0
+            assert 0 < r["max_partition_frac"] <= 1.0
+            assert r["n_partitions"] >= 1

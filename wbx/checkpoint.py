@@ -310,6 +310,64 @@ def round_metrics(round_id: int, batch: DataFrame, seen_delta: DataFrame) -> Dat
     )
 
 
+def crawl_report(spark: SparkSession, store: "CheckpointStore") -> DataFrame:
+    """Cross-round crawl health rollup from a store's committed snapshots:
+    one row per round — (round, urls_scheduled, seen_added, n_partitions,
+    max_partition_frac, n_hosts, top_host, top_host_frac). The numbers an
+    operator actually watches: discovery keeping pace (urls_scheduled
+    round-over-round), partition skew (max_partition_frac → one straggler
+    task owns the round), and politeness health (top_host_frac → one
+    domain monopolizing the batch).
+
+    Reads every round's ``metrics`` and ``fetch_log`` in ONE glob scan
+    each (both carry a ``round`` column — no driver-side loop over
+    rounds); aggregates are map-side combinable at round × host
+    cardinality. Deterministic: top host ties break lexicographically
+    via max(struct(n, host))."""
+    base = os.path.join(store.base, "rounds")
+    metrics = spark.read.parquet(os.path.join(base, "r*", "metrics"))
+    per = (
+        metrics.filter(F.col("metric") == "urls_scheduled")
+        .groupBy("round")
+        .agg(
+            F.sum("value").cast("long").alias("urls_scheduled"),
+            F.count("*").cast("long").alias("n_partitions"),
+            (F.max("value") / F.sum("value")).alias("max_partition_frac"),
+        )
+    )
+    seen = (
+        metrics.filter(F.col("metric") == "seen_added")
+        .groupBy("round")
+        .agg(F.sum("value").cast("long").alias("seen_added"))
+    )
+    fl = spark.read.parquet(os.path.join(base, "r*", "fetch_log"))
+    host_counts = fl.groupBy("round", "host").agg(F.count("*").alias("_n"))
+    hosts = host_counts.groupBy("round").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.max(F.struct(F.col("_n"), F.col("host"))).alias("_top"),
+        F.sum("_n").alias("_total"),
+    ).select(
+        "round",
+        "n_hosts",
+        F.col("_top.host").alias("top_host"),
+        (F.col("_top._n") / F.col("_total")).alias("top_host_frac"),
+    )
+    return (
+        per.join(seen, "round")
+        .join(hosts, "round")
+        .select(
+            "round",
+            "urls_scheduled",
+            "seen_added",
+            "n_partitions",
+            "max_partition_frac",
+            "n_hosts",
+            "top_host",
+            "top_host_frac",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # multi-round crawl driver with exact resume
 # ---------------------------------------------------------------------------
