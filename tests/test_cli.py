@@ -394,3 +394,69 @@ class TestChunkCommand:
         first = back.filter("doc_id = 2 AND chunk_id = 0").first()
         assert first["chunk_text"] == "w2_0 w2_1 w2_2 w2_3"
         assert first["n_words"] == 4
+
+
+class TestWatExport:
+    def test_wat_roundtrip_and_envelope(self, tmp_path, spark):
+        import glob
+
+        from wbx import warcio
+        from wbx.sinks import export_wat
+
+        pages_dir = str(tmp_path / "wat_pages")
+        html = (
+            '<html lang="en"><head><meta charset="UTF-8">'
+            "<title> Doc  One </title></head><body>"
+            '<a href="/x">a</a><a href="/x">again</a>'
+            "<a href='https://abs.example/y'>b</a>"
+            '<a href="mailto:z@q.r">drop</a></body></html>'
+        )
+        spark.createDataFrame(
+            [(f"http://w.example/p/{i}", "2024-01-01 00:00:05", html.encode())
+             for i in range(3)],
+            "url string, ts string, html binary",
+        ).selectExpr(
+            "url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html"
+        ).write.parquet(pages_dir)
+        out_dir = str(tmp_path / "wat_out")
+        pages = spark.read.parquet(pages_dir)
+        manifest = export_wat(pages, out_dir, files=2)
+        assert sum(r["n_records"] for r in manifest.collect()) == 3
+
+        files = spark.createDataFrame(
+            [(os.path.basename(p), bytearray(open(p, "rb").read()))
+             for p in sorted(glob.glob(out_dir + "/*.warc.gz"))],
+            "source_file string, content binary",
+        )
+        rows = warcio.scan_files_to_records(files).collect()
+        assert len(rows) == 3
+        env = json.loads(bytes(rows[0]["content_block"]).decode())
+        assert env["title"] == "Doc One"
+        assert env["charset"] == "utf-8"
+        assert env["lang"] == "en"
+        assert env["date"] == "2024-01-01T00:00:05Z"
+        # document order, duplicates preserved, mailto dropped
+        u = env["url"]
+        assert env["links"] == [
+            "http://w.example/x",
+            "http://w.example/x",
+            "https://abs.example/y",
+        ]
+        assert u.startswith("http://w.example/p/")
+
+    def test_wat_deterministic_across_runs(self, tmp_path, spark):
+        from wbx.sinks import export_wat
+
+        pages = spark.createDataFrame(
+            [(f"http://w.example/{i}", "2024-02-02 01:02:03", b'<a href="/l">x</a>')
+             for i in range(6)],
+            "url string, ts string, html binary",
+        ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+        d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+        export_wat(pages, d1, files=2).collect()
+        export_wat(pages.repartition(5), d2, files=2).collect()
+        import glob
+
+        b1 = b"".join(open(p, "rb").read() for p in sorted(glob.glob(d1 + "/*")))
+        b2 = b"".join(open(p, "rb").read() for p in sorted(glob.glob(d2 + "/*")))
+        assert b1 == b2

@@ -375,6 +375,18 @@ def cmd_wet(args) -> None:
     _emit({"wet": [r.asDict() for r in rows]}, args.format)
 
 
+def cmd_wat(args) -> None:
+    """WAT export: metadata-sidecar records (JSON envelope: url, date,
+    title/charset/lang, resolved outlinks) from a pages parquet table."""
+    from wbx.sinks import export_wat
+
+    spark = _spark("wat")
+    pages = spark.read.parquet(args.input)
+    manifest = export_wat(pages, args.output_dir, files=args.files)
+    rows = manifest.orderBy("path").collect()
+    _emit({"wat": [r.asDict() for r in rows]}, args.format)
+
+
 def cmd_chunk(args) -> None:
     """Sliding-window chunking: documents parquet (doc_id, text) →
     (doc_id, chunk_id, n_words, chunk_text) parquet — the context-length
@@ -524,6 +536,14 @@ def main(argv=None) -> int:
                    help="repartition to N deterministic output files")
     s.add_argument("--format", choices=["json", "text"], default="json")
     s.set_defaults(fn=cmd_wet)
+
+    s = sub.add_parser("wat")
+    s.add_argument("--input", required=True,
+                   help="pages parquet (url, warc_ts, html)")
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--files", type=int, default=None)
+    s.add_argument("--format", choices=["json", "text"], default="json")
+    s.set_defaults(fn=cmd_wat)
 
     s = sub.add_parser("chunk")
     s.add_argument("--input", required=True,

@@ -154,8 +154,6 @@ def export_wet(
 
     Returns the manifest DataFrame (path, n_records, n_bytes); collecting
     or writing it runs the export (same contract as extract_files)."""
-    from wbx.warcio import write_warc_gz
-
     payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
     wdate = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     header = F.concat(
@@ -179,8 +177,22 @@ def export_wet(
         staged = staged.repartition(files, "_u").sortWithinPartitions("_u")
     staged = staged.drop("_u")
 
+    return staged.mapInPandas(
+        _record_gz_writer(out_dir, "wet"), schema=WET_MANIFEST_SCHEMA
+    )
+
+
+def _record_gz_writer(out_dir: str, prefix: str):
+    """Shared sidecar-writer kernel (WET/WAT): per partition, concatenate
+    the ready-made record bytes, gzip record-at-time (mtime=0), write one
+    `{prefix}-{partition:05d}.warc.gz`, yield its manifest row. All
+    per-row byte work happened JVM-side upstream — this only joins and
+    compresses inside an Arrow batch."""
+
     def write_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
+
+        from wbx.warcio import write_warc_gz
 
         os.makedirs(out_dir, exist_ok=True)
         pid = TaskContext.get().partitionId()
@@ -192,7 +204,7 @@ def export_wet(
             yield pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
             return
         blob = write_warc_gz(records)
-        path = os.path.join(out_dir, f"wet-{pid:05d}.warc.gz")
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.gz")
         with open(path, "wb") as fh:
             fh.write(blob)
         yield pd.DataFrame(
@@ -200,7 +212,95 @@ def export_wet(
             columns=cols,
         )
 
-    return staged.mapInPandas(write_batches, schema=WET_MANIFEST_SCHEMA)
+    return write_batches
+
+
+def export_wat(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    files: int | None = None,
+) -> DataFrame:
+    """Common-Crawl-style WAT export — the metadata sidecar completing the
+    engine's WARC/WET/CDX family: one WARC ``metadata`` record per page
+    whose block is a JSON envelope of the page's crawl-relevant metadata
+    (url, date, html_meta's title/charset/lang tag, and every resolved
+    outlink via the extract_links patterns). Same record-gz layout as
+    export_wet, re-readable by the engine's own scanner.
+
+    Deviations from CC's WAT (deliberate, for determinism and a stable
+    schema): the envelope is a FLAT json object (fixed field order from
+    to_json over a struct — CC's nested Envelope/Payload-Metadata tree
+    carries parser provenance this engine doesn't need), Record-ID is the
+    content-derived urn (as WET), and links preserve document order
+    including duplicates (a WAT consumer computing link graphs wants the
+    multiplicity; dedup is wbx.graph's job).
+
+    Scale shape: links/meta/envelope/header are all per-row codegen'd
+    Column expressions (html decoded once, never shuffled); the Arrow
+    kernel only concatenates and gzips. ``files=N`` as in export_wet."""
+    from wbx.extract import html_meta
+    from wbx.frontier import (
+        HREF_RE,
+        HREF_RE_SQ,
+        HREF_RE_UQ,
+        resolve_href,
+    )
+
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+    hrefs = F.concat(
+        F.regexp_extract_all(decoded, F.lit(HREF_RE), F.lit(1)),
+        F.regexp_extract_all(decoded, F.lit(HREF_RE_SQ), F.lit(1)),
+        F.regexp_extract_all(decoded, F.lit(HREF_RE_UQ), F.lit(1)),
+    )
+    links = F.transform(
+        F.filter(
+            hrefs,
+            lambda h: (F.length(h) > 0)
+            & ~F.lower(h).startswith("javascript:")
+            & ~F.lower(h).startswith("mailto:")
+            & ~F.lower(h).startswith("data:"),
+        ),
+        lambda h: resolve_href(F.col(url_col), h),
+    )
+    meta = html_meta(decoded)
+    wdate = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    envelope = F.to_json(
+        F.struct(
+            F.col(url_col).alias("url"),
+            wdate.alias("date"),
+            meta["title"].alias("title"),
+            meta["charset"].alias("charset"),
+            meta["lang_tag"].alias("lang"),
+            links.alias("links"),
+        )
+    )
+    payload = F.encode(envelope, "utf-8")
+    header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "),
+        wdate,
+        F.lit("\r\nWARC-Record-ID: <urn:wbx:"),
+        F.lower(F.hex(F.xxhash64(F.col(url_col), wdate))),
+        F.lit(">\r\nWARC-Block-Digest: sha1:"),
+        F.sha1(payload),
+        F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    staged = pages.select(
+        F.col(url_col).alias("_u"),
+        F.concat(F.encode(header, "utf-8"), payload).alias("record_bytes"),
+    )
+    if files is not None:
+        staged = staged.repartition(files, "_u").sortWithinPartitions("_u")
+    staged = staged.drop("_u")
+    return staged.mapInPandas(
+        _record_gz_writer(out_dir, "wat"), schema=WET_MANIFEST_SCHEMA
+    )
 
 
 def inspect_records(
