@@ -500,7 +500,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("mix_keep"),
         )
 
-    q["text_doc_metrics"] = text_doc_metrics
+    def text_doc_metrics_full(spark, sf):
+        """text_doc_metrics + the round-4 signals: Unicode script profile
+        over a planted multi-script fixture (text + (doc_id%4)×' мир' +
+        (doc_id%3)×' 中文' — counts and dominance vary arithmetically) and
+        the char-trigram entropy gibberish signal over the raw text
+        (wbx.textops.trigram_entropy; ln-based, rounded 6dp)."""
+        base = text_doc_metrics(spark, sf)
+        docs = _t(spark, sf, "documents")
+        planted = F.concat(
+            F.col("text"),
+            F.repeat(F.lit(" мир"), F.pmod("doc_id", F.lit(4))),
+            F.repeat(F.lit(" 中文"), F.pmod("doc_id", F.lit(3))),
+        )
+        prof = textops.script_profile(planted)
+        scripts = docs.select(
+            "doc_id",
+            prof["n_latin"].alias("n_latin"),
+            prof["n_cyrillic"].alias("n_cyrillic"),
+            prof["n_cjk"].alias("n_cjk"),
+            prof["script_dom"].alias("script_dom"),
+            F.round(prof["script_dom_frac"], 6).alias("script_dom_frac"),
+        )
+        ent = textops.trigram_entropy(docs)
+        return base.join(scripts, "doc_id").join(ent, "doc_id")
+
+    q["text_doc_metrics"] = text_doc_metrics_full
 
     # winnow VALUES, oracle-checked: the selection algebra (min per sliding
     # window of w=9 rolling hashes, distinct) runs over md5_hash60 — a
@@ -2449,8 +2474,61 @@ def oracle_sql() -> dict[str, str]:
                          AS BIGINT) % 1000000 < 100000
                     THEN 'holdout' ELSE 'train' END AS split,
                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15))
-                    AS BIGINT) % 1000000 < 250000 AS mix_keep
+                    AS BIGINT) % 1000000 < 250000 AS mix_keep,
+               n_latin, n_cyrillic, n_cjk, script_dom, script_dom_frac,
+               tri_entropy
         FROM s
+        JOIN (
+          -- script profile over the planted multi-script fixture:
+          -- counts = length minus class-stripped length
+          WITH p AS (
+            SELECT doc_id,
+                   text || repeat(' мир', doc_id % 4)
+                        || repeat(' 中文', doc_id % 3) AS pt
+            FROM documents),
+          c AS (
+            SELECT doc_id,
+              CAST(length(pt) - length(regexp_replace(pt, '[A-Za-zÀ-ɏ]', '', 'g')) AS BIGINT) AS n_latin,
+              CAST(length(pt) - length(regexp_replace(pt, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+              CAST(length(pt) - length(regexp_replace(pt, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+              CAST(length(pt) - length(regexp_replace(pt, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+              CAST(length(pt) - length(regexp_replace(pt, '[֐-׿]', '', 'g')) AS BIGINT) AS n_hebrew,
+              CAST(length(pt) - length(regexp_replace(pt, '[ऀ-ॿ]', '', 'g')) AS BIGINT) AS n_devanagari,
+              CAST(length(pt) - length(regexp_replace(pt, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS BIGINT) AS n_cjk
+            FROM p)
+          SELECT doc_id, n_latin, n_cyrillic, n_cjk,
+                 CASE
+                   WHEN greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                                 n_hebrew, n_devanagari, n_cjk) = 0 THEN 'unknown'
+                   WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'latin'
+                   WHEN n_cyrillic = greatest(n_cyrillic, n_greek, n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'cyrillic'
+                   WHEN n_greek = greatest(n_greek, n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'greek'
+                   WHEN n_arabic = greatest(n_arabic, n_hebrew, n_devanagari, n_cjk) THEN 'arabic'
+                   WHEN n_hebrew = greatest(n_hebrew, n_devanagari, n_cjk) THEN 'hebrew'
+                   WHEN n_devanagari = greatest(n_devanagari, n_cjk) THEN 'devanagari'
+                   ELSE 'cjk' END AS script_dom,
+                 CASE WHEN n_latin + n_cyrillic + n_greek + n_arabic
+                           + n_hebrew + n_devanagari + n_cjk > 0
+                      THEN round(CAST(greatest(n_latin, n_cyrillic, n_greek,
+                             n_arabic, n_hebrew, n_devanagari, n_cjk) AS DOUBLE)
+                           / (n_latin + n_cyrillic + n_greek + n_arabic
+                              + n_hebrew + n_devanagari + n_cjk), 6)
+                 END AS script_dom_frac
+          FROM c
+        ) USING (doc_id)
+        JOIN (
+          -- char-trigram entropy over lowercased whitespace-collapsed text
+          WITH ns AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+            FROM documents),
+          g AS (
+            SELECT doc_id, substr(nt, i, 3) AS gram
+            FROM ns, UNNEST(generate_series(1, length(nt) - 2)) AS u(i)
+            WHERE length(nt) >= 3),
+          gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+          SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS tri_entropy
+          FROM gc GROUP BY doc_id
+        ) USING (doc_id)
         """,
         # winnow over md5_hash60 rolling hashes: window=8 tokens, guarantee=16
         # → min per sliding window of w=9 hashes, distinct; a doc with fewer

@@ -551,3 +551,68 @@ class TestChunkDocuments:
 
         with _pytest.raises(ValueError):
             chunk_documents(self._docs(spark, "x"), chunk_words=4, overlap_words=4)
+
+
+class TestScriptAndEntropy:
+    def test_trigram_entropy_matches_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from wbx.textops import trigram_entropy
+
+        texts = [
+            (0, "The quick brown fox jumps over the lazy dog."),
+            (1, "aaaaaaaaaaaaaaaa"),          # degenerate: one gram, H = 0
+            (2, "ab"),                         # < 3 chars: no row
+            (3, None),                         # NULL: no row
+            (4, "x  Y\n\tz mixed   WS"),       # normalization exercised
+        ]
+        out = {
+            r["doc_id"]: r["tri_entropy"]
+            for r in trigram_entropy(
+                spark.createDataFrame(texts, "doc_id long, text string")
+            ).collect()
+        }
+
+        def ref(t):
+            s = " ".join(t.lower().split())
+            g = [s[i : i + 3] for i in range(len(s) - 2)]
+            c = Counter(g)
+            n = len(g)
+            return round(
+                math.log(n) - sum(v * math.log(v) for v in c.values()) / n, 6
+            )
+
+        assert set(out) == {0, 1, 4}
+        for d in (0, 1, 4):
+            assert out[d] == ref(texts[d][1]), d
+
+    def test_script_profile(self, spark):
+        from pyspark.sql import functions as F
+
+        from wbx.textops import script_profile
+
+        rows = [
+            (0, "plain english words"),
+            (1, "Привет мир"),
+            (2, "日本語テキスト"),
+            (3, "mixed Привет text latin wins"),
+            (4, "12345 !!!"),  # no script chars at all
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        prof = script_profile(F.col("text"))
+        got = {
+            r["doc_id"]: (r["dom"], r["n_latin"], r["n_cyrillic"], r["n_cjk"])
+            for r in df.select(
+                "doc_id",
+                prof["script_dom"].alias("dom"),
+                prof["n_latin"].alias("n_latin"),
+                prof["n_cyrillic"].alias("n_cyrillic"),
+                prof["n_cjk"].alias("n_cjk"),
+            ).collect()
+        }
+        assert got[0] == ("latin", 17, 0, 0)
+        assert got[1] == ("cyrillic", 0, 9, 0)
+        assert got[2] == ("cjk", 0, 0, 7)
+        assert got[3][0] == "latin" and got[3][2] == 6
+        assert got[4] == ("unknown", 0, 0, 0)

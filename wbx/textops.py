@@ -1151,3 +1151,97 @@ def chunk_documents(
         F.size(piece).alias("n_words"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# Unicode script ranges for script_profile: (name, character-class regex).
+# Order is the deterministic dominance tie-break. BMP ranges only — the
+# major web scripts; astral text falls into 'unknown'.
+SCRIPT_CLASSES = (
+    ("latin", r"[A-Za-zÀ-ɏ]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("hebrew", r"[֐-׿]"),
+    ("devanagari", r"[ऀ-ॿ]"),
+    ("cjk", r"[一-鿿぀-ヿ가-힯]"),
+)
+
+
+def script_profile(text: Column) -> dict[str, Column]:
+    """Unicode script composition of a document — the multilingual-corpus
+    splitter that runs BEFORE language id (lang_id's stopword markers only
+    cover Latin-script languages; routing Cyrillic/CJK/Arabic text there
+    is noise). Returns per-script character counts, the dominant script
+    name ('unknown' when no script character occurs; ties break by the
+    fixed SCRIPT_CLASSES order), and the dominant script's fraction of
+    all script characters. Pure regexp_count expressions — one pass per
+    class inside codegen, no shuffle."""
+    counts = {
+        name: F.regexp_count(text, F.lit(cls)) for name, cls in SCRIPT_CLASSES
+    }
+    total = sum(counts.values(), F.lit(0))
+    best = F.greatest(*counts.values())
+    dom = F.lit("unknown")
+    # reversed so earlier classes win ties (the last .when checked first
+    # in the chain below would shadow — build first-match-wins explicitly)
+    expr = F.lit("unknown")
+    for name, _ in reversed(SCRIPT_CLASSES):
+        expr = F.when(
+            (counts[name] > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(expr)
+    dom = expr
+    return {
+        **{f"n_{k}": v.cast("long") for k, v in counts.items()},
+        "script_dom": dom,
+        "script_dom_frac": F.when(
+            total > 0, best.cast("double") / total.cast("double")
+        ),
+    }
+
+
+def trigram_entropy(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, tri_entropy) — Shannon entropy (nats, rounded to 6 dp) of the
+    document's character-trigram distribution over the lowercased,
+    whitespace-collapsed text: the KenLM-free gibberish detector. Natural
+    prose lands in a band (≈4-6 nats); base64 blobs and minified JS score
+    high, 'aaaa…' keyboard mash and template spam score low — gate the
+    tails. Documents shorter than 3 normalized chars produce no row.
+
+    Scale shape: explode to (id, gram) → two map-side-combinable
+    aggregates keyed by (id, gram) then id — text never shuffles, the
+    exchanges carry 8-byte gram hashes; entropy arithmetic is pure
+    Column algebra. Deterministic (rounding absorbs libm drift between
+    engines; the oracle mirrors the normalization verbatim)."""
+    s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # let-bind the normalized string (see let_col) so the per-window
+    # lambda doesn't re-run lower+regexp per trigram; < 3 chars → no
+    # windows (sequence(1, 0) would DESCEND — guard explicitly)
+    gram_hashes = let_col(
+        s,
+        lambda bound: F.when(
+            F.length(bound) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(bound) - 2),
+                lambda i: F.xxhash64(bound.substr(i, F.lit(3))),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    grams = documents.select(
+        F.col(id_col), F.explode(gram_hashes).alias("_g")
+    )
+    counts = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("_n")) - F.col("_clogc") / F.col("_n"), 6
+            ).alias("tri_entropy"),
+        )
+    )
