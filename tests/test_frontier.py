@@ -609,7 +609,11 @@ class TestRobotsParser:
         # '*' matches the global section only (not wbx-bot / somebody-else)
         assert rules == {("deny", "/private"), ("allow", "/private/ok")}
 
-    def test_named_agent_gets_its_section_plus_star(self, spark):
+    def test_named_agent_section_shadows_star(self, spark):
+        # RFC 9309 §2.2.1: the most specific matching group wins and
+        # groups do NOT merge — a named agent with its own section must
+        # ignore the '*' rules entirely (round 4 fixed the earlier
+        # union-of-groups behavior this test used to pin)
         from wbx.frontier import parse_robots_txt
 
         rules = {
@@ -618,11 +622,7 @@ class TestRobotsParser:
                 self._files(spark), user_agent="wbx-bot"
             ).collect()
         }
-        assert rules == {
-            ("deny", "/private"),
-            ("allow", "/private/ok"),
-            ("deny", "/bot-only"),
-        }
+        assert rules == {("deny", "/bot-only")}
 
     def test_empty_disallow_and_comments_dropped(self, spark):
         from wbx.frontier import parse_robots_txt
@@ -1978,3 +1978,39 @@ class TestDemoteMirrorHosts:
 
         with _pytest.raises(ValueError):
             demote_mirror_hosts(frontier, pairs, mode="nope")
+
+
+class TestRobotsUaPrecedence:
+    BODY = (
+        "User-agent: *\nDisallow: /all\n\n"
+        "User-agent: WbxBot\nDisallow: /bot\nAllow: /bot/ok\n\n"
+        "User-agent: other\nDisallow: /\n"
+    )
+
+    def _rules(self, spark, ua):
+        files = spark.createDataFrame(
+            [("h.com", self.BODY)], "host string, body string"
+        )
+        return sorted(
+            (r["rule_type"], r["path_prefix"])
+            for r in frontier.parse_robots_txt(files, user_agent=ua).collect()
+        )
+
+    def test_specific_group_shadows_wildcard(self, spark):
+        # REP: the most specific matching group wins — '*' rules ignored
+        assert self._rules(spark, "WbxBot") == [
+            ("allow", "/bot/ok"),
+            ("deny", "/bot"),
+        ]
+
+    def test_ua_match_case_insensitive(self, spark):
+        assert self._rules(spark, "wbxbot") == [
+            ("allow", "/bot/ok"),
+            ("deny", "/bot"),
+        ]
+
+    def test_unknown_ua_falls_back_to_wildcard(self, spark):
+        assert self._rules(spark, "SomeOtherBot") == [("deny", "/all")]
+
+    def test_star_request_unchanged(self, spark):
+        assert self._rules(spark, "*") == [("deny", "/all")]

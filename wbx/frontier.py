@@ -835,11 +835,28 @@ def _robots_matched_sections(
             F.sum(((F.col("_is_ua") == 1) & (F.col("_prev_ua") == 0)).cast("int")).over(w),
         )
     )
-    ua_match = (
+    # REP precedence: the MOST SPECIFIC matching group wins — when any
+    # group names `user_agent` exactly, the '*' groups are ignored for
+    # that host (a site granting our bot more than the default must not
+    # have the '*' rules merged back in). Specificity is per host:
+    # exact-match sections score 1, wildcard 0, and only sections at the
+    # host's max score survive. With user_agent='*' every match scores 1
+    # and the behavior is unchanged. The extra window runs at host ×
+    # section cardinality — robots bodies are ≤ ~500 KB by convention.
+    spec = F.when(
+        F.lower(F.col("value")) == user_agent.lower(), F.lit(1)
+    ).otherwise(F.lit(0))
+    matched = (
         sec.filter(F.col("field") == "user-agent")
         .filter(F.lower(F.col("value")).isin(user_agent.lower(), "*"))
+        .groupBy("host", "_sec")
+        .agg(F.max(spec).alias("_spec"))
+    )
+    whost = Window.partitionBy("host")
+    ua_match = (
+        matched.withColumn("_hmax", F.max("_spec").over(whost))
+        .filter(F.col("_spec") == F.col("_hmax"))
         .select("host", "_sec")
-        .distinct()
     )
     return sec.join(ua_match, ["host", "_sec"])
 
