@@ -452,3 +452,82 @@ class TestStreamCrawlCompaction:
         proc(batch, 3)  # replay after the round AND its compaction committed
         assert store.latest_round() == 1
         assert store.load(spark, "fetch_log", 1).count() == n1
+
+
+class TestStreamCurate:
+    GOOD = (
+        "This is a clean first sentence line with many ordinary words in it. "
+        "Another tidy sentence follows with plenty of common words right here. "
+        "The quick brown fox jumps over the lazy dog near the quiet river bank. "
+        "People often write simple readable prose when they want filters to pass. "
+        "This closing sentence keeps the word count comfortably over the floor. "
+        "And one more for good measure with several extra words attached."
+    )
+
+    def _write_wave(self, spark, src, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def _run(self, spark, src, out, ckpt):
+        pages = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            streaming.stream_curate(pages, out, checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_gates_and_cross_batch_dedup(self, spark, tmp_path):
+        src = str(tmp_path / "pages_src")
+        out = str(tmp_path / "curated")
+        ckpt = str(tmp_path / "ckpt")
+
+        self._write_wave(
+            spark,
+            src,
+            [
+                (1, self.GOOD),
+                (2, self.GOOD),              # in-wave duplicate
+                (3, "code { not prose }"),   # c4 gate drops
+                (4, "short"),                # gates drop
+            ],
+        )
+        self._run(spark, src, out, ckpt)
+        first = spark.read.parquet(out).collect()
+        assert len(first) == 1 and first[0]["doc_id"] in (1, 2)
+        assert first[0]["text_md5"]
+
+        # wave 2: a cross-batch duplicate (state survives via checkpoint)
+        # and one genuinely new doc
+        self._write_wave(
+            spark,
+            src,
+            [(5, self.GOOD), (6, self.GOOD + " Brand new closing sentence.")],
+        )
+        self._run(spark, src, out, ckpt)
+        second = spark.read.parquet(out).collect()
+        ids = sorted(r["doc_id"] for r in second)
+        assert len(second) == 2 and ids[1] == 6
+
+    def test_gate_parity_with_batch_kernels(self, spark, tmp_path):
+        from wbx.textops import c4_clean_lines, c4_doc_keep, gopher_keep
+
+        src = str(tmp_path / "p2src")
+        out = str(tmp_path / "p2out")
+        rows = [
+            (i, self.GOOD + f" Unique tail sentence number {i} right here.")
+            for i in range(8)
+        ] + [(99, "junk {")]
+        self._write_wave(spark, src, rows)
+        self._run(spark, src, out, str(tmp_path / "p2ckpt"))
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        want = sorted(
+            r["doc_id"]
+            for r in batch.filter(c4_doc_keep(F.col("text")))
+            .withColumn("text", c4_clean_lines(F.col("text")))
+            .filter(gopher_keep(F.col("text")))
+            .collect()
+        )
+        assert got == want and 99 not in got

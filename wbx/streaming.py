@@ -392,3 +392,53 @@ def stream_crawl(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def stream_curate(
+    pages: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+    gopher: bool = True,
+    c4: bool = True,
+    dedup: bool = True,
+):
+    """Streaming corpus curation: the training-data twin of stream_crawl.
+    A streaming DataFrame of extracted pages flows through the SAME
+    Column kernels the batch pipeline uses — the C4 line cleaner + doc
+    gate and the Gopher-style repetition/quality gate (wbx.textops; both
+    stateless, so identical results streaming or batch) — then exact
+    dedup via the engine-stateful ``dropDuplicates`` on the text digest:
+    Structured Streaming keeps the digest set in the checkpoint, so a
+    duplicate arriving in ANY later micro-batch (or after a restart from
+    ``checkpoint_dir``) is dropped exactly once. Appends curated rows +
+    ``text_md5`` to ``out_dir`` as parquet.
+
+    Returns the DataStreamWriter — callers pick the trigger
+    (``.trigger(availableNow=True)`` for drain-and-stop) and ``.start()``.
+
+    Scale note: dropDuplicates state is the streaming seen-set and grows
+    with distinct digests (16-byte keys — ~10 GB/10⁹ docs of raw key
+    state per executor fleet). At the 10^10 design point route the
+    digest set through the checkpoint-store delta pattern instead
+    (foreachBatch + CheckpointStore, exactly as crawl_batch_processor
+    maintains the URL seen-set); the gates and digest column are
+    identical either way."""
+    from wbx.textops import c4_clean_lines, c4_doc_keep, gopher_keep
+
+    df = pages
+    t = F.col(text_col)
+    if c4:
+        # gate on the RAW text (c4_doc_keep cleans internally and checks
+        # raw for the '{' code tell), THEN replace text with the cleaned
+        # form downstream consumers ingest
+        df = df.filter(c4_doc_keep(t)).withColumn(text_col, c4_clean_lines(t))
+    if gopher:
+        df = df.filter(gopher_keep(F.col(text_col)))
+    df = df.withColumn("text_md5", F.md5(F.col(text_col)))
+    if dedup:
+        df = df.dropDuplicates(["text_md5"])
+    writer = df.writeStream.format("parquet").option("path", out_dir)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.outputMode("append")
