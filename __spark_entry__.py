@@ -2107,6 +2107,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("text_md5"),
         )
 
+    def revalidate_part(spark, sf):
+        """Conditional-GET planning (wbx.frontier.revalidation_headers):
+        50 URL groups, latest capture = max doc_id (timestamps strictly
+        increasing); odd groups carry a stored Last-Modified literal
+        (preferred), even groups fall back to the capture time's RFC 7231
+        HTTP-date. key=url, ts_a=if_modified_since, text_md5=etag."""
+        from wbx.frontier import revalidation_headers
+
+        docs = _t(spark, sf, "documents")
+        key = F.pmod("doc_id", F.lit(50))
+        hist = docs.select(
+            F.concat(
+                F.lit("http://site"), F.pmod(key, F.lit(7)),
+                F.lit(".example/p/"), key,
+            ).alias("canon_url"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id"))
+            ).alias("warc_ts"),
+            F.concat(F.lit('"e'), F.col("doc_id"), F.lit('"')).alias("etag"),
+            F.when(
+                F.pmod(key, F.lit(2)) == 1,
+                F.lit("Tue, 05 Mar 2024 09:59:00 GMT"),
+            ).alias("last_modified"),
+        )
+        return revalidation_headers(hist).select(
+            F.lit("revalidate").alias("part"),
+            F.col("url").alias("key"),
+            F.lit(None).cast("long").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("long").alias("n_c"),
+            F.col("if_modified_since").alias("ts_a"),
+            F.lit(None).cast("string").alias("ts_b"),
+            F.col("if_none_match").alias("text_md5"),
+        )
+
     def pages_reports(spark, sf):
         """Pages-table report suite (driver 50-query cap: union-tagged;
         members were separate queries through r4-mid): part='url_latest' is
@@ -2123,8 +2159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (wbx.frontier.revisit_priority); part='traps' is spider-trap
         URL-template mining (wbx.frontier.detect_url_traps);
         part='mirrors' is content-digest mirror-host detection
-        (wbx.frontier.detect_mirrors — see mirrors_part). Same generic
-        schema, every value oracle-pinned."""
+        (wbx.frontier.detect_mirrors — see mirrors_part); part='revalidate'
+        is conditional-GET planning (wbx.frontier.revalidation_headers —
+        see revalidate_part). Same generic schema, every value
+        oracle-pinned."""
         return (
             url_latest(spark, sf)
             .unionByName(host_rep(spark, sf))
@@ -2133,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(revisit_part(spark, sf))
             .unionByName(traps_part(spark, sf))
             .unionByName(mirrors_part(spark, sf))
+            .unionByName(revalidate_part(spark, sf))
         )
 
     q["a_pages_reports"] = pages_reports
@@ -2337,6 +2376,26 @@ _MIRRORS_UNION = """
                'mb.com' AS ts_a, CAST(NULL AS VARCHAR) AS ts_b,
                CAST(NULL AS VARCHAR) AS text_md5
         FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        """
+
+# revalidation: latest capture per group = max doc_id (ts strictly
+# increasing); odd groups prefer the stored Last-Modified literal, even
+# groups fall back to the capture time's HTTP-date
+_REVALIDATE_UNION = """
+        UNION ALL
+        SELECT 'revalidate' AS part,
+               'http://site' || ((doc_id % 50) % 7) || '.example/p/' || (doc_id % 50) AS key,
+               CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b,
+               CAST(NULL AS BIGINT) AS n_c,
+               CASE WHEN (doc_id % 50) % 2 = 1
+                    THEN 'Tue, 05 Mar 2024 09:59:00 GMT'
+                    ELSE strftime(TIMESTAMP '2024-01-01 00:00:00'
+                                  + to_seconds(doc_id),
+                                  '%a, %d %b %Y %H:%M:%S GMT') END AS ts_a,
+               CAST(NULL AS VARCHAR) AS ts_b,
+               '\"e' || doc_id || '\"' AS text_md5
+        FROM (SELECT doc_id % 50 AS k, max(doc_id) AS doc_id
+              FROM documents GROUP BY 1)
         """
 
 
@@ -3288,7 +3347,8 @@ def oracle_sql() -> dict[str, str]:
         + _components_union(6)
         + _REVISIT_UNION
         + _TRAPS_UNION
-        + _MIRRORS_UNION,
+        + _MIRRORS_UNION
+        + _REVALIDATE_UNION,
     }
 
 

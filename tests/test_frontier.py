@@ -2014,3 +2014,42 @@ class TestRobotsUaPrecedence:
 
     def test_star_request_unchanged(self, spark):
         assert self._rules(spark, "*") == [("deny", "/all")]
+
+
+class TestRevalidationHeaders:
+    def test_latest_capture_wins_and_formats(self, spark):
+        from wbx.frontier import revalidation_headers
+
+        hist = spark.createDataFrame(
+            [
+                ("u1", "2024-01-01 00:00:01", '"e1"', None),
+                ("u1", "2024-03-05 10:00:00", '"e2"', "Tue, 05 Mar 2024 09:59:00 GMT"),
+                ("u2", "2024-02-02 02:02:02", None, None),
+            ],
+            "canon_url string, ts string, etag string, last_modified string",
+        ).selectExpr(
+            "canon_url", "CAST(ts AS TIMESTAMP) AS warc_ts", "etag", "last_modified"
+        )
+        out = {r["url"]: r for r in revalidation_headers(hist).collect()}
+        assert out["u1"]["if_none_match"] == '"e2"'
+        # stored Last-Modified preferred over the capture-time fallback
+        assert out["u1"]["if_modified_since"] == "Tue, 05 Mar 2024 09:59:00 GMT"
+        assert out["u2"]["if_none_match"] is None
+        assert out["u2"]["if_modified_since"] == "Fri, 02 Feb 2024 02:02:02 GMT"
+
+    def test_deterministic_across_parallelism(self, spark):
+        from wbx.frontier import revalidation_headers
+
+        rows = [
+            ("u%d" % (i % 9), "2024-01-0%d 00:00:0%d" % (1 + i % 7, i % 10),
+             '"e%d"' % i, None)
+            for i in range(200)
+        ]
+        hist = spark.createDataFrame(
+            rows, "canon_url string, ts string, etag string, last_modified string"
+        ).selectExpr(
+            "canon_url", "CAST(ts AS TIMESTAMP) AS warc_ts", "etag", "last_modified"
+        )
+        a = sorted(map(tuple, revalidation_headers(hist).collect()))
+        b = sorted(map(tuple, revalidation_headers(hist.repartition(11)).collect()))
+        assert a == b

@@ -2194,6 +2194,44 @@ def host_suffixes(host: Column) -> Column:
     )
 
 
+def revalidation_headers(
+    history: DataFrame,
+    url_col: str = "canon_url",
+    ts_col: str = "warc_ts",
+    etag_col: str = "etag",
+    lm_col: str = "last_modified",
+) -> DataFrame:
+    """(url, if_none_match, if_modified_since) — the conditional-GET
+    headers a polite recrawl sends so unchanged pages cost a 304 instead
+    of a full body: the latest capture's ETag verbatim, and its validator
+    timestamp as an RFC 7231 HTTP-date (the stored Last-Modified when the
+    server sent one, else the capture time). Pair with
+    :func:`revisit_priority`, which decides WHEN to refetch; this decides
+    what to send.
+
+    One map-side-combinable groupBy on the url; the latest capture comes
+    from max over (ts, etag, lm) structs — a deterministic total order
+    even if two captures share a timestamp. NULL ETags yield NULL
+    if_none_match (send only If-Modified-Since)."""
+    latest = history.groupBy(F.col(url_col).alias("url")).agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(etag_col).alias("et"),
+                F.col(lm_col).alias("lm"),
+            )
+        ).alias("_l")
+    )
+    http_date = F.date_format(
+        F.col("_l.ts"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    )
+    return latest.select(
+        "url",
+        F.col("_l.et").alias("if_none_match"),
+        F.coalesce(F.col("_l.lm"), http_date).alias("if_modified_since"),
+    )
+
+
 def detect_mirrors(
     pages: DataFrame,
     host_col: str = "host",
