@@ -2107,6 +2107,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("text_md5"),
         )
 
+    def host_degree_part(spark, sf):
+        """Degree summary (wbx.graph.host_degree_stats) over the weighted
+        13-host graph: same residue construction as host_rank_part plus
+        per-doc weights (doc_id%5+1) pre-aggregated to one row per edge;
+        self-loops (src==dst) excluded from every stat. key=host,
+        n_a=out_degree, n_b=in_degree, n_c=out_links,
+        ts_a=in_links, ts_b=is_dangling."""
+        from wbx import graph
+
+        docs = _t(spark, sf, "documents")
+        edges = (
+            docs.select(
+                F.concat(F.lit("h"), F.pmod("doc_id", F.lit(13))).alias(
+                    "src_host"
+                ),
+                F.concat(
+                    F.lit("h"),
+                    F.pmod(F.pmod(F.col("doc_id") * 3 + 1, F.lit(17)), F.lit(13)),
+                ).alias("dst_host"),
+                (F.pmod("doc_id", F.lit(5)) + 1).alias("w"),
+            )
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("w").alias("n_links"))
+        )
+        return graph.host_degree_stats(edges).select(
+            F.lit("host_degree").alias("part"),
+            F.col("host").alias("key"),
+            F.col("out_degree").alias("n_a"),
+            F.col("in_degree").alias("n_b"),
+            F.col("out_links").alias("n_c"),
+            F.col("in_links").cast("string").alias("ts_a"),
+            F.col("is_dangling").cast("string").alias("ts_b"),
+            F.lit(None).cast("string").alias("text_md5"),
+        )
+
     def revalidate_part(spark, sf):
         """Conditional-GET planning (wbx.frontier.revalidation_headers):
         50 URL groups, latest capture = max doc_id (timestamps strictly
@@ -2161,8 +2196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         part='mirrors' is content-digest mirror-host detection
         (wbx.frontier.detect_mirrors — see mirrors_part); part='revalidate'
         is conditional-GET planning (wbx.frontier.revalidation_headers —
-        see revalidate_part). Same generic schema, every value
-        oracle-pinned."""
+        see revalidate_part); part='host_degree' is the weighted degree
+        summary (wbx.graph.host_degree_stats — see host_degree_part).
+        Same generic schema, every value oracle-pinned."""
         return (
             url_latest(spark, sf)
             .unionByName(host_rep(spark, sf))
@@ -2172,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(traps_part(spark, sf))
             .unionByName(mirrors_part(spark, sf))
             .unionByName(revalidate_part(spark, sf))
+            .unionByName(host_degree_part(spark, sf))
         )
 
     q["a_pages_reports"] = pages_reports
@@ -2396,6 +2433,30 @@ _REVALIDATE_UNION = """
                '\"e' || doc_id || '\"' AS text_md5
         FROM (SELECT doc_id % 50 AS k, max(doc_id) AS doc_id
               FROM documents GROUP BY 1)
+        """
+
+# host degree stats over the weighted 13-host graph (self-loops excluded)
+_HOST_DEGREE_UNION = """
+        UNION ALL
+        SELECT * FROM (
+        WITH hd_e AS (
+          SELECT 'h' || (doc_id % 13) AS s,
+                 'h' || (((doc_id * 3 + 1) % 17) % 13) AS d,
+                 sum((doc_id % 5) + 1) AS w
+          FROM documents GROUP BY 1, 2
+        ), hd_i AS (SELECT * FROM hd_e WHERE s <> d),
+        o AS (SELECT s AS host, CAST(count(*) AS BIGINT) AS od,
+                     CAST(sum(w) AS BIGINT) AS ol FROM hd_i GROUP BY s),
+        i AS (SELECT d AS host, CAST(count(*) AS BIGINT) AS idg,
+                     CAST(sum(w) AS BIGINT) AS il FROM hd_i GROUP BY d)
+        SELECT 'host_degree' AS part, host AS key,
+               coalesce(od, 0) AS n_a, coalesce(idg, 0) AS n_b,
+               coalesce(ol, 0) AS n_c,
+               CAST(coalesce(il, 0) AS VARCHAR) AS ts_a,
+               CASE WHEN coalesce(od, 0) = 0 THEN 'true' ELSE 'false' END AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM o FULL OUTER JOIN i USING (host)
+        )
         """
 
 
@@ -3348,7 +3409,8 @@ def oracle_sql() -> dict[str, str]:
         + _REVISIT_UNION
         + _TRAPS_UNION
         + _MIRRORS_UNION
-        + _REVALIDATE_UNION,
+        + _REVALIDATE_UNION
+        + _HOST_DEGREE_UNION,
     }
 
 

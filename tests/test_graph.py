@@ -304,3 +304,24 @@ class TestDedupComposition:
         )
         # family A {0,1,2} -> 0; family B {10,11} -> 10; 20 untouched
         assert kept == [0, 10, 20]
+
+
+class TestHostDegreeStats:
+    def test_degrees_and_dangling(self, spark):
+        from wbx.graph import host_degree_stats
+
+        edges = spark.createDataFrame(
+            [
+                ("a.com", "b.com", 3),
+                ("a.com", "c.com", 1),
+                ("b.com", "c.com", 2),
+                ("c.com", "c.com", 9),  # self-loop: ignored both ways
+            ],
+            "src_host string, dst_host string, n_links long",
+        )
+        out = {r["host"]: r for r in host_degree_stats(edges).collect()}
+        a, b, c = out["a.com"], out["b.com"], out["c.com"]
+        assert (a["out_degree"], a["in_degree"], a["out_links"], a["in_links"]) == (2, 0, 4, 0)
+        assert (b["out_degree"], b["in_degree"], b["out_links"], b["in_links"]) == (1, 1, 2, 3)
+        assert (c["out_degree"], c["in_degree"], c["in_links"]) == (0, 2, 3)
+        assert c["is_dangling"] and not a["is_dangling"] and not b["is_dangling"]

@@ -299,3 +299,37 @@ def with_authority_priority(
         .withColumn(priority_col, F.coalesce(F.col("_auth_rank"), F.lit(0.0)))
         .drop("_auth_host", "_auth_rank")
     )
+
+
+def host_degree_stats(edges: DataFrame) -> DataFrame:
+    """(host, out_degree, in_degree, out_links, in_links, is_dangling) —
+    per-host degree summary of a (src_host, dst_host, n_links) graph:
+    distinct-neighbor degrees plus link-weighted totals, self-loops
+    excluded from both directions (a site linking itself says nothing
+    about its place in the web). ``is_dangling`` marks hosts that are
+    linked TO but never link out (PageRank's dangling mass; also the
+    frontier's "discovered but never expanded" hosts).
+
+    Scale shape: two map-side-combinable aggregates over the edge list
+    (host-pair cardinality, far below URLs) joined full-outer on host —
+    absent directions coalesce to zero. Deterministic."""
+    inter = edges.filter(F.col("src_host") != F.col("dst_host"))
+    out = inter.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.sum("n_links").cast("long").alias("out_links"),
+    )
+    inn = inter.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count("*").cast("long").alias("in_degree"),
+        F.sum("n_links").cast("long").alias("in_links"),
+    )
+    return (
+        out.join(inn, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        )
+        .withColumn("is_dangling", F.col("out_degree") == 0)
+    )
