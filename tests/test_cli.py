@@ -460,3 +460,37 @@ class TestWatExport:
         b1 = b"".join(open(p, "rb").read() for p in sorted(glob.glob(d1 + "/*")))
         b2 = b"".join(open(p, "rb").read() for p in sorted(glob.glob(d2 + "/*")))
         assert b1 == b2
+
+
+class TestWatLinksRoundtrip:
+    def test_wat_links_match_extract_links(self, tmp_path, spark):
+        """export_wat → scan back → wat_links must equal the live
+        extract_links discovery on the same pages (distinct links)."""
+        import glob
+
+        from wbx import warcio
+        from wbx.frontier import extract_links
+        from wbx.sinks import export_wat, wat_links
+
+        html = (
+            '<a href="/a">1</a><a href="/b?q=1">2</a>'
+            "<a href='//cdn.example/c'>3</a><a href=\"/a\">dup</a>"
+        )
+        pages = spark.createDataFrame(
+            [(f"http://w.example/p/{i}", "2024-01-01 00:00:00", html.encode())
+             for i in range(4)],
+            "url string, ts string, html binary",
+        ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+        out_dir = str(tmp_path / "watl")
+        export_wat(pages, out_dir, files=2).collect()
+        files = spark.createDataFrame(
+            [(os.path.basename(p), bytearray(open(p, "rb").read()))
+             for p in sorted(glob.glob(out_dir + "/*.warc.gz"))],
+            "source_file string, content binary",
+        )
+        recs = warcio.scan_files_to_records(files)
+        got = {r["url"] for r in wat_links(recs, priority=0.5).collect()}
+        want = {r["link"] for r in extract_links(pages).collect()}
+        # all pages share one host, so the root-relative links resolve
+        # identically: 3 distinct candidate URLs total
+        assert got == want and len(got) == 3

@@ -334,3 +334,27 @@ def inspect_records(
         .orderBy("source_file", "_order")
         .drop("_order")
     )
+
+
+def wat_links(records: DataFrame, priority: float = 0.0) -> DataFrame:
+    """WAT sidecar records (scan_files_to_records output over export_wat
+    files) → frontier candidates (url, priority): parse each metadata
+    record's JSON envelope and explode its outlinks — the WAT→frontier
+    loop a link-graph-seeded crawl runs (Common Crawl consumers seed
+    exactly this way from the public WAT files).
+
+    Non-metadata records are ignored, so a mixed WARC+WAT scan feeds
+    through unchanged. Pure from_json + explode (JVM-side, one pass);
+    distinct per link to shrink the crawl_round shuffle, exactly like
+    expand_from_html."""
+    env = F.from_json(
+        F.col("content_block").cast("string"),
+        "url string, date string, title string, charset string, "
+        "lang string, links array<string>",
+    )
+    return (
+        records.filter(F.col("warc_type") == "metadata")
+        .select(F.explode(env["links"]).alias("url"))
+        .distinct()
+        .withColumn("priority", F.lit(float(priority)))
+    )
