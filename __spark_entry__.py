@@ -1621,18 +1621,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_pairs_exact"] = cos_pairs
 
     def emb_pairs(spark, sf):
-        """Embedding-cosine near-duplicate pairs via LSH blocking
-        (wbx.simsearch.pairwise_above_threshold). Returned sims are exact
-        cosine; blocking recall < 1 by construction, hence rows-only
-        (precision/recall are pinned in tests/test_simsearch.py)."""
+        """Embedding near-dup suite, union-tagged, rows-only by design
+        (blocking recall < 1; precision/recall pinned in
+        tests/test_simsearch.py): dim='self' — within-corpus pairs
+        (wbx.simsearch.pairwise_above_threshold); dim='cross' —
+        corpus×reference decontamination pairs
+        (wbx.simsearch.cross_corpus_pairs, reference = every 10th vector,
+        which matches itself at sim 1.0 plus whatever the 0.3 threshold
+        admits). Returned sims are exact cosine either way."""
         emb = _t(spark, sf, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
         # synthetic embeddings are near-orthogonal, so a production 0.9
         # threshold returns nothing — 0.3 keeps the operator's output
         # non-empty at every sf while exercising the same plan
-        return simsearch.pairwise_above_threshold(
+        self_pairs = simsearch.pairwise_above_threshold(
             emb, threshold=0.3, dim=dim, bits=10, tables=6
+        ).select(
+            F.lit("self").alias("dim"),
+            F.col("id_a").alias("left_id"),
+            F.col("id_b").alias("right_id"),
+            "sim",
         )
+        ref = emb.filter(F.pmod("vec_id", F.lit(10)) == 0)
+        cross = simsearch.cross_corpus_pairs(
+            emb, ref, threshold=0.3, dim=dim, bits=10, tables=6
+        ).select(
+            F.lit("cross").alias("dim"),
+            F.col("corpus_id").alias("left_id"),
+            F.col("ref_id").alias("right_id"),
+            "sim",
+        )
+        return self_pairs.unionByName(cross)
 
     q["dedup_embedding_pairs"] = emb_pairs
 

@@ -278,3 +278,58 @@ class TestDedupExactVectors:
             for r in simsearch.dedup_exact_vectors(df).collect()
         }
         assert got == {2: 3, 9: 1}
+
+
+class TestCrossCorpusDecontamination:
+    def _tables(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        ref_vecs = rng.normal(size=(5, 64)).astype("float32")
+        rows_ref = [(i, [float(x) for x in v]) for i, v in enumerate(ref_vecs)]
+        # corpus: ids 100-104 are near-copies of the reference vectors
+        # (tiny noise), 200-219 are independent random vectors
+        near = ref_vecs + rng.normal(scale=1e-3, size=ref_vecs.shape).astype("float32")
+        rows_c = [(100 + i, [float(x) for x in v]) for i, v in enumerate(near)]
+        rows_c += [
+            (200 + i, [float(x) for x in rng.normal(size=64)]) for i in range(20)
+        ]
+        schema = "vec_id long, embedding array<float>"
+        return (
+            spark.createDataFrame(rows_c, schema),
+            spark.createDataFrame(rows_ref, schema),
+        )
+
+    def test_flags_planted_near_copies_only(self, spark):
+        from wbx.simsearch import cross_corpus_pairs
+
+        corpus, ref = self._tables(spark)
+        pairs = cross_corpus_pairs(corpus, ref, threshold=0.95).collect()
+        got = {(r["corpus_id"], r["ref_id"]) for r in pairs}
+        assert got == {(100 + i, i) for i in range(5)}
+        assert all(r["sim"] > 0.99 for r in pairs)
+
+    def test_decontaminate_removes_flagged(self, spark):
+        from wbx.simsearch import decontaminate_embeddings
+
+        corpus, ref = self._tables(spark)
+        kept = sorted(
+            r["vec_id"]
+            for r in decontaminate_embeddings(corpus, ref, threshold=0.95).collect()
+        )
+        assert kept == sorted(200 + i for i in range(20))
+
+    def test_no_within_side_pairs_and_determinism(self, spark):
+        from wbx.simsearch import cross_corpus_pairs
+
+        corpus, ref = self._tables(spark)
+        a = sorted(map(tuple, cross_corpus_pairs(corpus, ref).collect()))
+        b = sorted(
+            map(
+                tuple,
+                cross_corpus_pairs(corpus.repartition(7), ref.repartition(3)).collect(),
+            )
+        )
+        assert a == b
+        # ids prove sides: corpus ids ≥ 100, ref ids < 100
+        assert all(x >= 100 and y < 100 for x, y, _ in a)

@@ -397,3 +397,87 @@ def pairwise_above_threshold(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def cross_corpus_pairs(
+    corpus: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 10,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """(corpus_id, ref_id, sim) — corpus×reference embedding pairs with
+    cosine ≥ threshold, via the same LSH blocking as
+    pairwise_above_threshold but across TWO tables: embedding-space
+    benchmark decontamination (drop training docs whose embeddings sit on
+    top of an eval set's), the vector twin of
+    textops.decontaminate_ngram_overlap.
+
+    Both sides hash with the SAME hyperplanes (dim/bits/tables/seed), so
+    a corpus vector can only meet reference vectors in shared buckets —
+    no corpus×corpus or ref×ref pairs are ever formed. Scale shape as the
+    self-join op: the bucket join carries (bucket, id) only, vectors are
+    fetched back by id for the exact-cosine stage, and `max_bucket` caps
+    degenerate buckets counting BOTH sides (a reference cluster colliding
+    with a boilerplate corpus cluster is exactly the quadratic bucket the
+    cap exists for)."""
+    bucketer = lsh_bucket_udf(dim, bits, tables, seed)
+    bc = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+    ).withColumn("_side", F.lit(0))
+    br = reference.select(
+        F.col(id_col).alias("ref_id"),
+        F.explode(bucketer(F.col(vec_col))).alias("bucket"),
+    ).withColumn("_side", F.lit(1))
+    if max_bucket is not None:
+        both = bc.select("bucket").unionAll(br.select("bucket"))
+        big = (
+            both.groupBy("bucket")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("bucket")
+        )
+        bc = bc.join(big, "bucket", "left_anti")
+        br = br.join(big, "bucket", "left_anti")
+    pairs = (
+        bc.select("corpus_id", "bucket")
+        .join(br.select("ref_id", "bucket"), "bucket")
+        .dropDuplicates(["corpus_id", "ref_id"])
+    )
+    va = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_va"))
+    vb = reference.select(F.col(id_col).alias("ref_id"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "corpus_id")
+        .join(vb, "ref_id")
+        .select(
+            "corpus_id",
+            "ref_id",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("corpus_id", "ref_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_opts,
+) -> DataFrame:
+    """Corpus rows whose embedding matches NO reference embedding at
+    cosine ≥ threshold — one left-anti join on the flagged ids from
+    :func:`cross_corpus_pairs` (recall is the blocking recall; raise
+    `tables` for a stricter gate)."""
+    flagged = cross_corpus_pairs(
+        corpus, reference, threshold, id_col=id_col, vec_col=vec_col, **lsh_opts
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(flagged, [id_col], "left_anti")
