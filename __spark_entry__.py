@@ -3107,8 +3107,10 @@ def oracle_sql() -> dict[str, str]:
           -- token windows; n_chunks = 1 + ceil((n-7)/5) when n > 7
           WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\s+') AS toks,
-                   len(string_split_regex(trim(text), '\s+')) AS n
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS toks,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) AS n
             FROM documents
           ), nc AS (
             SELECT doc_id, toks,

@@ -1120,8 +1120,11 @@ def chunk_documents(
     engines agree exactly; chunk_text is the space-join of the token
     slice — i.e. chunks are whitespace-NORMALIZED (the documented
     contract; runs of whitespace/newlines inside a chunk become single
-    spaces). Empty/blank text yields one empty chunk, NULL text none
-    (explode of NULL sequence).
+    spaces). Empty tokens are filtered, so leading/trailing whitespace
+    of ANY kind never produces a phantom token (trim alone strips only
+    spaces — hypothesis-found on '\\n'-led text). Empty/blank text
+    yields one empty chunk with n_words = 0, NULL text none (explode of
+    NULL sequence).
 
     Scale shape: pure per-row expressions — split once (let-bound), a
     sequence explode, and slices; no shuffle, no Python, text never
@@ -1129,7 +1132,9 @@ def chunk_documents(
     if overlap_words >= chunk_words:
         raise ValueError("overlap_words must be < chunk_words")
     stride = chunk_words - overlap_words
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(
         F.lit(1)
