@@ -523,7 +523,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(prof["script_dom_frac"], 6).alias("script_dom_frac"),
         )
         ent = textops.trigram_entropy(docs)
-        return base.join(scripts, "doc_id").join(ent, "doc_id")
+        # training-shard packing over the same corpus (budget sized so
+        # sf0.01 produces many shards): global exclusive prefix sum of
+        # whitespace token counts → shard containing the doc's start
+        shards = textops.pack_shards(docs, budget_tokens=5000).drop("n_tokens")
+        return (
+            base.join(scripts, "doc_id")
+            .join(ent, "doc_id")
+            .join(shards, "doc_id")
+        )
 
     q["text_doc_metrics"] = text_doc_metrics_full
 
@@ -2615,7 +2623,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 15))
                     AS BIGINT) % 1000000 < 250000 AS mix_keep,
                n_latin, n_cyrillic, n_cjk, script_dom, script_dom_frac,
-               tri_entropy
+               tri_entropy,
+               start_offset, shard_id, shard_offset
         FROM s
         JOIN (
           -- script profile over the planted multi-script fixture:
@@ -2667,6 +2676,24 @@ def oracle_sql() -> dict[str, str]:
           gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
           SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS tri_entropy
           FROM gc GROUP BY doc_id
+        ) USING (doc_id)
+        JOIN (
+          -- training-shard packing (wbx.textops.pack_shards, budget 5000):
+          -- exclusive prefix sum of whitespace token counts in doc_id order
+          WITH tt AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS ntk
+                      FROM documents),
+          st AS (SELECT doc_id,
+                        CAST(COALESCE(SUM(ntk) OVER (
+                               ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                             AS BIGINT) AS strt
+                 FROM tt)
+          SELECT doc_id,
+                 strt AS start_offset,
+                 CAST(strt // 5000 AS BIGINT) AS shard_id,
+                 CAST(strt % 5000 AS BIGINT) AS shard_offset
+          FROM st
         ) USING (doc_id)
         """,
         # winnow over md5_hash60 rolling hashes: window=8 tokens, guarantee=16

@@ -515,3 +515,22 @@ class TestRound4OperatorPlans:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPackShardsPlan:
+    def test_text_never_shuffles_and_readschema_pruned(self, spark):
+        """pack_shards is metadata-only after the scan: text is consumed by
+        the token-count projection, so the parquet ReadSchema carries
+        (doc_id, text) but every Exchange moves only (id, count, bucket)
+        longs — the 100-TB property that makes corpus-wide packing cheap."""
+        from wbx import textops
+        from wbx.frontier import release_rank_caches
+
+        df = textops.pack_shards(_docs(spark), budget_tokens=5000)
+        plan = plan_str(df, "formatted")
+        exchanges = [
+            ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+        ]
+        assert exchanges, "expected the bucket exchange"
+        assert all("text" not in ln for ln in exchanges)
+        release_rank_caches()

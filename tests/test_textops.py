@@ -616,3 +616,61 @@ class TestScriptAndEntropy:
         assert got[2] == ("cjk", 0, 0, 7)
         assert got[3][0] == "latin" and got[3][2] == 6
         assert got[4] == ("unknown", 0, 0, 0)
+
+
+class TestPackShards:
+    """pack_shards: global exclusive prefix sum → fixed-budget shard ids.
+    Ground truth is a driver-side cumsum over the same token counts."""
+
+    def _expected(self, rows, budget):
+        out = {}
+        start = 0
+        for doc_id, text in sorted(rows):
+            n = len([t for t in text.split() if t])
+            out[doc_id] = (n, start, start // budget, start % budget)
+            start += n
+        return out
+
+    def test_matches_driver_cumsum(self, spark):
+        rows = [
+            (i, " ".join(f"w{j}" for j in range((i * 7) % 11 + 1)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from wbx.textops import pack_shards
+
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["start_offset"],
+                r["shard_id"],
+                r["shard_offset"],
+            )
+            for r in pack_shards(df, budget_tokens=37).collect()
+        }
+        assert got == self._expected(rows, 37)
+
+    def test_parallelism_invariant_and_dense(self, spark):
+        rows = [(i, "a b c " * ((i % 5) + 1)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from wbx.textops import pack_shards
+
+        a = pack_shards(df.repartition(1), budget_tokens=50).collect()
+        b = pack_shards(df.repartition(17), budget_tokens=50).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        shard_ids = sorted({r["shard_id"] for r in a})
+        assert shard_ids == list(range(len(shard_ids)))  # dense from 0
+
+    def test_empty_and_blank_docs(self, spark):
+        rows = [(0, ""), (1, "   "), (2, "one two"), (3, "x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from wbx.textops import pack_shards
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_offset"], r["shard_id"])
+            for r in pack_shards(df, budget_tokens=2).collect()
+        }
+        assert got[0] == (0, 0, 0)
+        assert got[1] == (0, 0, 0)
+        assert got[2] == (2, 0, 0)
+        assert got[3] == (1, 2, 1)

@@ -1313,6 +1313,90 @@ def global_rank(
     refreshes every few rounds; the bench shares one dict across reps,
     which is exactly the steady-state crawl regime the metric targets).
     """
+    staged, n_part, worder = _bucket_staged(
+        df, keys, sample_per_part, max_buckets, boundary_cache
+    )
+    counts = staged.groupBy("_rbucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_rbucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_rbucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_local = Window.partitionBy("_rbucket").orderBy(*worder)
+    return (
+        staged.repartition(n_part, "_rbucket")
+        .withColumn("_lidx", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_rbucket", "left")
+        .withColumn(
+            rank_col, F.col("_lidx") + F.coalesce(F.col("_offset"), F.lit(0))
+        )
+        .drop("_rbucket", "_lidx", "_offset")
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    keys: list[tuple[str, bool]],
+    weight_col: str,
+    out_col: str = "prefix_sum",
+    exclusive: bool = True,
+    sample_per_part: int = 100,
+    max_buckets: int = 256,
+    boundary_cache: dict | None = None,
+) -> DataFrame:
+    """Scalable global (exclusive by default) prefix sum of ``weight_col``
+    over the total order ``keys`` — global_rank's bucket scheme with SUM
+    in place of COUNT: per-bucket weight totals form the broadcast
+    offsets, a within-bucket running sum adds the local part. Same
+    guarantees as :func:`global_rank` (result independent of bucket
+    boundaries/parallelism; one full-data exchange on ``_rbucket``; the
+    offsets window runs over ≤ max_buckets rows). Exclusive means the
+    row's own weight is NOT included — i.e. its START offset in the
+    concatenation order, the training-shard packing primitive
+    (:func:`wbx.textops.pack_shards`)."""
+    staged, n_part, worder = _bucket_staged(
+        df, keys, sample_per_part, max_buckets, boundary_cache
+    )
+    sums = staged.groupBy("_rbucket").agg(
+        F.sum(weight_col).cast("long").alias("_n")
+    )
+    w_off = Window.orderBy("_rbucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_rbucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_local = (
+        Window.partitionBy("_rbucket")
+        .orderBy(*worder)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    return (
+        staged.repartition(n_part, "_rbucket")
+        .withColumn(
+            "_lsum", F.coalesce(F.sum(weight_col).over(w_local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "_rbucket", "left")
+        .withColumn(
+            out_col,
+            (F.col("_lsum") + F.coalesce(F.col("_offset"), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("_rbucket", "_lsum", "_offset")
+    )
+
+
+def _bucket_staged(
+    df: DataFrame,
+    keys: list[tuple[str, bool]],
+    sample_per_part: int,
+    max_buckets: int,
+    boundary_cache: dict | None,
+) -> tuple[DataFrame, int, list]:
+    """Shared stage-1 of the bucketed two-phase order operators
+    (global_rank / global_prefix_sum): persist the input, sample boundary
+    key tuples, and attach the monotone ``_rbucket`` column. Returns
+    (staged df, bucket count, window order columns). Boundary sampling,
+    memoization, and the O(buckets) per-row bucket expression are exactly
+    the scheme documented on :func:`global_rank`."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
@@ -1413,21 +1497,7 @@ def global_rank(
             boundary_cache[col_key] = bucket
 
     staged = df.withColumn("_rbucket", bucket)
-    counts = staged.groupBy("_rbucket").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("_rbucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_rbucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
-    )
-    w_local = Window.partitionBy("_rbucket").orderBy(*worder)
-    return (
-        staged.repartition(n_part, "_rbucket")
-        .withColumn("_lidx", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_rbucket", "left")
-        .withColumn(
-            rank_col, F.col("_lidx") + F.coalesce(F.col("_offset"), F.lit(0))
-        )
-        .drop("_rbucket", "_lidx", "_offset")
-    )
+    return staged, n_part, worder
 
 
 def schedule_fetch_batch(

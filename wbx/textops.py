@@ -1250,3 +1250,61 @@ def trigram_entropy(
             ).alias("tri_entropy"),
         )
     )
+
+
+def pack_shards(
+    documents: DataFrame,
+    budget_tokens: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_cache: dict | None = None,
+) -> DataFrame:
+    """Deterministic training-shard packing: assign each document to the
+    fixed-token-budget output shard containing its START offset in the
+    ``id_col``-ordered concatenation of the corpus — the last curation
+    step before tokenized training shards are written. Output per doc:
+    (id, n_tokens, start_offset, shard_id, shard_offset) where
+    start_offset is the global EXCLUSIVE prefix sum of n_tokens,
+    shard_id = start_offset // budget and shard_offset the remainder.
+
+    Contract (shared verbatim by the SQL oracle): n_tokens is the
+    whitespace token count (:func:`tokens`); a document straddling a
+    budget boundary belongs wholly to the shard where it starts, so
+    shards can overflow by at most one document — the standard
+    concatenate-then-slice packing used by LLM pretraining loaders,
+    which slice the token stream downstream. Shard ids are dense from 0
+    and the assignment is a pure function of the data (independent of
+    parallelism).
+
+    Scale shape: the prefix sum is :func:`wbx.frontier.global_prefix_sum`
+    — bucketed two-phase, never a single-reducer window over the corpus;
+    the only full-data exchange carries (id, n_tokens) plus the bucket
+    id, text never shuffles (dropped before the rank stage, no late
+    fetch needed since the output is metadata-only). ``boundary_cache``
+    as in global_rank for repeated packing runs.
+    """
+    from wbx.frontier import global_prefix_sum
+
+    sized = documents.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    started = global_prefix_sum(
+        sized,
+        [(id_col, True)],
+        "n_tokens",
+        "start_offset",
+        exclusive=True,
+        boundary_cache=boundary_cache,
+    )
+    b = F.lit(int(budget_tokens)).cast("long")
+    # `div` is exact 64-bit integer division — float division then cast
+    # would misround near shard boundaries once offsets pass 2^53 tokens
+    return started.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div CAST({int(budget_tokens)} AS BIGINT)")
+        .cast("long")
+        .alias("shard_id"),
+        F.pmod("start_offset", b).cast("long").alias("shard_offset"),
+    )
