@@ -527,10 +527,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01 produces many shards): global exclusive prefix sum of
         # whitespace token counts → shard containing the doc's start
         shards = textops.pack_shards(docs, budget_tokens=5000).drop("n_tokens")
+        # hashed-linear quality classifier (portable md5 hasher so the
+        # oracle pins the exact integer score, not just the rate)
+        clf = textops.hashed_linear_score(
+            docs, seed=13, threshold=0.0, hasher=sampling.md5_seeded
+        ).select(
+            "doc_id",
+            F.col("n_feats").alias("clf_n_feats"),
+            F.col("score_sum").alias("clf_score_sum"),
+            F.col("quality_score").alias("clf_score"),
+            F.col("keep").alias("clf_keep"),
+        )
         return (
             base.join(scripts, "doc_id")
             .join(ent, "doc_id")
             .join(shards, "doc_id")
+            .join(clf, "doc_id")
         )
 
     q["text_doc_metrics"] = text_doc_metrics_full
@@ -2624,7 +2636,8 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) % 1000000 < 250000 AS mix_keep,
                n_latin, n_cyrillic, n_cjk, script_dom, script_dom_frac,
                tri_entropy,
-               start_offset, shard_id, shard_offset
+               start_offset, shard_id, shard_offset,
+               clf_n_feats, clf_score_sum, clf_score, clf_keep
         FROM s
         JOIN (
           -- script profile over the planted multi-script fixture:
@@ -2694,6 +2707,37 @@ def oracle_sql() -> dict[str, str]:
                  CAST(strt // 5000 AS BIGINT) AS shard_id,
                  CAST(strt % 5000 AS BIGINT) AS shard_offset
           FROM st
+        ) USING (doc_id)
+        JOIN (
+          -- hashed-linear quality classifier (wbx.textops.
+          -- hashed_linear_score, seed 13, threshold 0, md5 hasher):
+          -- integer milli-weights h%2001-1000 over unigrams+bigrams
+          WITH ft AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents),
+          fe AS (
+            SELECT doc_id,
+                   list_concat(
+                     tk,
+                     list_transform(
+                       CASE WHEN len(tk) >= 2
+                            THEN generate_series(1, len(tk) - 1)
+                            ELSE CAST([] AS BIGINT[]) END,
+                       i -> tk[i] || ' ' || tk[i + 1])) AS feats
+            FROM ft),
+          sc AS (
+            SELECT doc_id,
+                   CAST(len(feats) AS BIGINT) AS clf_n_feats,
+                   CAST(COALESCE(list_sum(list_transform(feats,
+                     f -> CAST(concat('0x', substr(md5(f || '#13'), 1, 15))
+                            AS BIGINT) % 2001 - 1000)), 0)
+                        AS BIGINT) AS clf_score_sum
+            FROM fe)
+          SELECT doc_id, clf_n_feats, clf_score_sum,
+                 CASE WHEN clf_n_feats > 0
+                      THEN round(clf_score_sum / (1000.0 * clf_n_feats), 6)
+                      ELSE 0.0 END AS clf_score,
+                 clf_score_sum >= 0 AS clf_keep
+          FROM sc
         ) USING (doc_id)
         """,
         # winnow over md5_hash60 rolling hashes: window=8 tokens, guarantee=16

@@ -674,3 +674,83 @@ class TestPackShards:
         assert got[1] == (0, 0, 0)
         assert got[2] == (2, 0, 0)
         assert got[3] == (1, 2, 1)
+
+
+class TestHashedLinearScore:
+    """hashed_linear_score: exact integer score parity with a driver-side
+    reimplementation of the same hash→milli-weight arithmetic."""
+
+    def _expected(self, text, seed=13):
+        import hashlib
+        import re
+
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        ss = sum(
+            int(hashlib.md5(f"{f}#{seed}".encode()).hexdigest()[:15], 16)
+            % 2001
+            - 1000
+            for f in feats
+        )
+        n = len(feats)
+        qs = round(ss / (1000.0 * n), 6) if n else 0.0
+        return (n, ss, qs, ss >= 0)
+
+    def test_matches_driver_arithmetic(self, spark):
+        from wbx import sampling
+        from wbx.textops import hashed_linear_score
+
+        rows = [
+            (0, "Good clean article text, with Facts and number 42."),
+            (1, ""),
+            (3, "spam spam spam buy now!!!"),
+            (4, "one"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_feats"],
+                r["score_sum"],
+                r["quality_score"],
+                r["keep"],
+            )
+            for r in hashed_linear_score(
+                df, seed=13, hasher=sampling.md5_seeded
+            ).collect()
+        }
+        for doc_id, text in rows:
+            assert got[doc_id] == self._expected(text), doc_id
+
+    def test_null_text_propagates_null(self, spark):
+        from wbx.textops import hashed_linear_score
+
+        df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        r = hashed_linear_score(df).collect()[0]
+        assert r["n_feats"] is None and r["quality_score"] is None
+        assert r["keep"] is None
+
+    def test_threshold_and_unigram_knobs(self, spark):
+        from wbx import sampling
+        from wbx.textops import hashed_linear_score
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma")], "doc_id long, text string"
+        )
+        uni = hashed_linear_score(
+            df, bigrams=False, hasher=sampling.md5_seeded
+        ).collect()[0]
+        assert uni["n_feats"] == 3  # no bigram features
+        # a threshold above the max possible mean weight rejects everything
+        hi = hashed_linear_score(df, threshold=1.5).collect()[0]
+        assert hi["keep"] is False
+
+    def test_default_hasher_plan_is_jvm_only(self, spark):
+        from wbx.textops import hashed_linear_score
+        from tests.test_plans import plan_str
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta")], "doc_id long, text string"
+        )
+        plan = plan_str(hashed_linear_score(df), "simple")
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

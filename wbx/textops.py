@@ -1268,7 +1268,7 @@ def pack_shards(
     shard_id = start_offset // budget and shard_offset the remainder.
 
     Contract (shared verbatim by the SQL oracle): n_tokens is the
-    whitespace token count (:func:`tokens`); a document straddling a
+    canonical alnum token count (:func:`tokens`); a document straddling a
     budget boundary belongs wholly to the shard where it starts, so
     shards can overflow by at most one document — the standard
     concatenate-then-slice packing used by LLM pretraining loaders,
@@ -1307,4 +1307,79 @@ def pack_shards(
         .cast("long")
         .alias("shard_id"),
         F.pmod("start_offset", b).cast("long").alias("shard_offset"),
+    )
+
+
+def hashed_linear_score(
+    documents: DataFrame,
+    seed: int = 13,
+    threshold: float = 0.0,
+    bigrams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher=None,
+) -> DataFrame:
+    """Model-based quality filtering: score each document with a hashed
+    n-gram LINEAR classifier (the fastText-style complement to the
+    rule-based Gopher/C4 gates — the standard "quality classifier" pass
+    of LLM curation pipelines). Features are the canonical alnum unigrams
+    plus (optionally) adjacent bigrams; each feature hashes to a weight
+    and the document score is the mean feature weight. Output per doc:
+    (id, n_feats, score_sum, quality_score, keep).
+
+    Weights are integer MILLI-units derived from the feature hash
+    (pmod(h, 2001) − 1000 ∈ [−1000, 1000]), so ``score_sum`` is an exact
+    int64 — order-independent, parallelism-independent, and cross-engine
+    reproducible with the portable md5 hasher; the one float division
+    (quality_score = score_sum / (1000·n_feats), rounded 6dp) happens
+    once at the end. A production deployment substitutes real exported
+    model weights by replacing the hash→weight map with a broadcast
+    lookup; the plan shape (pure per-row Column algebra, zero exchanges,
+    zero Python) is identical, which is what this operator pins.
+
+    ``hasher``: (Column, seed) → int64 Column, the wbx.sampling
+    convention. Default xxhash64 (JVM-native); pass an md5_hash60-based
+    hasher for bit-identical oracle parity. ``threshold`` is in score
+    units; the keep decision compares integers (score_sum ≥
+    round(1000·threshold)·n_feats), never floats.
+    """
+    if hasher is None:
+        hasher = lambda c, s: F.xxhash64(c, F.lit(s))  # noqa: E731
+    toks = tokens(F.col(text_col))
+
+    def score_cols(bound: Column) -> Column:
+        n = F.size(bound)
+        grams = F.zip_with(
+            F.slice(bound, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(bound, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(bound, grams) if bigrams else bound
+        w = lambda t: F.pmod(hasher(t, seed), F.lit(2001)) - F.lit(1000)  # noqa: E731
+        return F.struct(
+            F.size(feats).cast("long").alias("n_feats"),
+            F.aggregate(
+                feats,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + w(t).cast("long"),
+            ).alias("score_sum"),
+        )
+
+    thresh_milli = int(round(threshold * 1000))
+    scored = let_col(toks, score_cols)
+    return documents.select(F.col(id_col), scored.alias("_s")).select(
+        id_col,
+        F.col("_s.n_feats").alias("n_feats"),
+        F.col("_s.score_sum").alias("score_sum"),
+        # NULL text propagates NULL (falls through both whens); empty
+        # feature set scores a neutral 0.0
+        F.when(F.col("_s.n_feats") > 0, F.round(
+            F.col("_s.score_sum")
+            / (F.lit(1000.0) * F.col("_s.n_feats")),
+            6,
+        )).when(F.col("_s.n_feats") == 0, F.lit(0.0)).alias("quality_score"),
+        (
+            F.col("_s.score_sum")
+            >= F.lit(thresh_milli).cast("long") * F.col("_s.n_feats")
+        ).alias("keep"),
     )
