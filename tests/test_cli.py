@@ -494,3 +494,35 @@ class TestWatLinksRoundtrip:
         # all pages share one host, so the root-relative links resolve
         # identically: 3 distinct candidate URLs total
         assert got == want and len(got) == 3
+
+
+class TestPackCommand:
+    def test_pack_shards_roundtrip_and_manifest(self, tmp_path, spark, capsys):
+        docs_dir = str(tmp_path / "pack_docs_pq")
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(5))) for i in range(12)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(docs_dir)
+        out_dir = str(tmp_path / "shards_pq")
+        out = json.loads(
+            run_cli(capsys, ["pack", "--input", docs_dir,
+                             "--output-dir", out_dir,
+                             "--budget-tokens", "20"])
+        )
+        # 12 docs x 5 tokens, budget 20 -> 4 docs per shard, 3 shards
+        shards = out["shards"]
+        assert [s["shard_id"] for s in shards] == [0, 1, 2]
+        assert all(s["n_docs"] == 4 and s["n_tokens"] == 20 for s in shards)
+        assert shards[0]["first_id"] == 0 and shards[0]["last_id"] == 3
+        assert shards[2]["first_id"] == 8 and shards[2]["last_id"] == 11
+        # every document lands on disk exactly once, text intact, and the
+        # partition layout matches the manifest
+        back = spark.read.parquet(out_dir)
+        assert back.count() == 12
+        assert set(back.columns) >= {"doc_id", "text", "n_tokens", "shard_id"}
+        got = {r["doc_id"]: (r["text"], r["shard_id"]) for r in back.collect()}
+        for i, text in rows:
+            assert got[i] == (text, i // 4)
+        from wbx.frontier import release_rank_caches
+
+        release_rank_caches()

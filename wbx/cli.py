@@ -409,6 +409,25 @@ def cmd_chunk(args) -> None:
     _emit({"chunks": n, "output": args.output_dir}, args.format)
 
 
+def cmd_pack(args) -> None:
+    """Training-shard packing: documents parquet (doc_id, text) → parquet
+    partitioned by fixed-token-budget shard_id, plus a JSON manifest line
+    per shard (wbx.sinks.write_packed_shards)."""
+    from wbx.sinks import write_packed_shards
+
+    spark = _spark("pack")
+    docs = spark.read.parquet(args.input)
+    manifest = write_packed_shards(
+        docs,
+        args.output_dir,
+        budget_tokens=args.budget_tokens,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    rows = manifest.collect()
+    _emit({"shards": [r.asDict() for r in rows]}, args.format)
+
+
 def cmd_crawl(args) -> None:
     from wbx.checkpoint import CheckpointStore, run_crawl
 
@@ -556,6 +575,16 @@ def main(argv=None) -> int:
     s.add_argument("--files", type=int, default=None)
     s.add_argument("--format", choices=["json", "text"], default="json")
     s.set_defaults(fn=cmd_chunk)
+
+    s = sub.add_parser("pack")
+    s.add_argument("--input", required=True,
+                   help="documents parquet (doc_id, text)")
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--budget-tokens", type=int, default=1_000_000)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--format", choices=["json", "text"], default="json")
+    s.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("crawl")
     s.add_argument("--seeds", required=True)

@@ -358,3 +358,59 @@ def wat_links(records: DataFrame, priority: float = 0.0) -> DataFrame:
         .distinct()
         .withColumn("priority", F.lit(float(priority)))
     )
+
+
+def write_packed_shards(
+    documents: DataFrame,
+    out_dir: str,
+    budget_tokens: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_cache: dict | None = None,
+) -> DataFrame:
+    """Write the corpus as fixed-token-budget training shards and return
+    the shard manifest: documents are assigned to shards by
+    :func:`wbx.textops.pack_shards`, written parquet-partitioned by
+    ``shard_id`` (one directory per shard — the layout training loaders
+    stream sequentially), and summarized as one manifest row per shard:
+    (shard_id, n_docs, n_tokens, first_id, last_id, ids_xor). ``ids_xor``
+    is bit_xor(xxhash64(id)) — an order-independent content fingerprint a
+    re-run or a downstream copy can verify without reading text.
+
+    Scale shape: the packing output is metadata-only; text joins back by
+    id ONCE and moves straight into its own shard's files via a
+    repartition on shard_id (each shard written by one task — matching
+    the sequential-read layout; shards are budget-bounded so the task is
+    too). The manifest is a map-side-combinable aggregate over the
+    metadata, never the text. The returned manifest is read back from
+    the written files, so it reflects what is actually on disk.
+    """
+    from wbx.textops import pack_shards
+
+    packed = pack_shards(
+        documents,
+        budget_tokens=budget_tokens,
+        id_col=id_col,
+        text_col=text_col,
+        boundary_cache=boundary_cache,
+    )
+    full = documents.join(packed, id_col)
+    (
+        full.repartition("shard_id")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    written = documents.sparkSession.read.parquet(out_dir)
+    return (
+        written.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+            F.bit_xor(F.xxhash64(F.col(id_col))).alias("ids_xor"),
+        )
+        .orderBy("shard_id")
+    )
