@@ -754,3 +754,93 @@ class TestHashedLinearScore:
         plan = plan_str(hashed_linear_score(df), "simple")
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCuratePipeline:
+    """curate_flags / curation_report / curate_corpus: the composed
+    gate→classifier→dedup→decontaminate→pack pipeline."""
+
+    GOOD = (
+        "The quick brown fox jumps over the lazy dog and then runs away. "
+        "It was a bright day and the sun was shining over the green hill. "
+        "People walked along the road and talked about the news of the day. "
+        "The market was full of fresh fruit and the sellers called out loud. "
+        "Children played near the river while their parents watched with care. "
+        "Everyone agreed that the town had never looked better than today."
+    )
+
+    def _docs(self, spark):
+        rows = [
+            (0, self.GOOD),
+            (1, self.GOOD),  # exact duplicate of 0 -> not a survivor
+            (2, self.GOOD.replace("fox", "cat { code }")),  # c4 fail: '{'
+            (3, "short text. one. two. three. four. five."),  # gopher fail
+            (4, self.GOOD.replace("quick brown fox", "other words here")),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+    def test_flags_and_funnel(self, spark):
+        from wbx import sampling
+        from wbx.textops import curate_flags, curation_report
+
+        df, rows = self._docs(spark)
+        bench = spark.createDataFrame(
+            [(0, self.GOOD)], "bench_id long, text string"
+        )
+        flags = curate_flags(df, bench, hasher=sampling.md5_seeded)
+        got = {r["doc_id"]: r.asDict() for r in flags.collect()}
+        assert got[2]["c4_ok"] is False
+        assert got[0]["c4_ok"] and got[0]["gopher_ok"]
+        assert got[3]["gopher_ok"] is False  # < 50 tokens
+        # exact dup: min-id wins
+        assert got[0]["exact_survivor"] is True
+        assert got[1]["exact_survivor"] is False
+        # docs 0/1 share every 8-gram with the benchmark; doc 4 diverges
+        # early but still shares 8-grams from the common tail -> flagged;
+        # doc 3 shares none
+        assert got[0]["decon_ok"] is False
+        assert got[3]["decon_ok"] is True
+        # funnel: one-row agg, cumulative, monotone non-increasing
+        rep = {
+            r["stage"]: r["n_pass"] for r in curation_report(flags).collect()
+        }
+        assert rep["input"] == 5
+        order = ["input", "c4_ok", "gopher_ok", "clf_ok",
+                 "exact_survivor", "decon_ok"]
+        vals = [rep[s] for s in order]
+        assert vals == sorted(vals, reverse=True)
+
+    def test_corpus_matches_flags_and_packs(self, spark):
+        from wbx import sampling
+        from wbx.textops import (
+            curate_corpus,
+            curate_flags,
+            pack_shards,
+        )
+
+        df, _ = self._docs(spark)
+        flags = curate_flags(df, hasher=sampling.md5_seeded)
+        expected_ids = {
+            r["doc_id"]
+            for r in flags.collect()
+            if all(
+                r[s]
+                for s in ("c4_ok", "gopher_ok", "clf_ok",
+                          "exact_survivor", "decon_ok")
+            )
+        }
+        curated = curate_corpus(df, hasher=sampling.md5_seeded)
+        assert {r["doc_id"] for r in curated.collect()} == expected_ids
+        assert "clean_text" not in curated.columns  # renamed back to text
+        packed = curate_corpus(
+            df, budget_tokens=30, hasher=sampling.md5_seeded
+        )
+        ref = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_shards(curated, 30).collect()
+        }
+        got = {r["doc_id"]: r["shard_id"] for r in packed.collect()}
+        assert got == ref
+        from wbx.frontier import release_rank_caches
+
+        release_rank_caches()

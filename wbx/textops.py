@@ -1383,3 +1383,143 @@ def hashed_linear_score(
             >= F.lit(thresh_milli).cast("long") * F.col("_s.n_feats")
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def curate_flags(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    classifier_threshold: float = 0.0,
+    classifier_seed: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher=None,
+) -> DataFrame:
+    """Stage-flag form of the full curation pipeline: every document gets
+    boolean columns (c4_ok, gopher_ok, clf_ok, exact_survivor, decon_ok)
+    plus ``clean_text`` (C4 line cleaning → PII scrub of the raw text).
+    FLAGS-THEN-FILTER is the Spark-first shape for multi-stage curation:
+    the rule gates and the classifier are pure Column expressions fused
+    into ONE scan of the corpus, and the whole funnel report is one
+    map-side-combinable aggregate over the flags (curation_report) — a
+    stage-by-stage filter chain would re-scan or re-shuffle per stage and
+    gives no per-stage accounting.
+
+    The two join-backed stages stay joins but carry no text: exact-dedup
+    survivorship is a left join against dedup_exact_ids' (digest-min id)
+    output, and decontamination (when ``benchmark`` is given) a left join
+    against decontaminate_ngram_overlap's hit ids — both broadcast-
+    eligible id sets (AQE decides). Gates are evaluated on clean_text;
+    dedup digests use the RAW text (byte-identical duplicates, the archive
+    convention) so survivorship is stable under gate-rule changes.
+    """
+    assert_staging_free(documents, ("_surv", "_nhits"), "curate_flags")
+    raw = F.col(text_col)
+    cleaned = pii_scrub(c4_clean_lines(raw))
+    clf = hashed_linear_score(
+        documents,
+        seed=classifier_seed,
+        threshold=classifier_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        hasher=hasher,
+    ).select(id_col, F.col("keep").alias("clf_ok"))
+    survivors = dedup_exact_ids(documents, text_col, id_col).select(
+        F.col(id_col), F.lit(True).alias("_surv")
+    )
+    out = (
+        documents.withColumn("clean_text", cleaned)
+        .withColumn("c4_ok", c4_doc_keep(raw))
+        .withColumn("gopher_ok", gopher_keep(F.col("clean_text")))
+        .join(clf, id_col, "left")
+        .join(survivors, id_col, "left")
+        .withColumn("exact_survivor", F.coalesce(F.col("_surv"), F.lit(False)))
+        .drop("_surv")
+    )
+    if benchmark is not None:
+        hits = decontaminate_ngram_overlap(
+            documents, benchmark, text_col=text_col, id_col=id_col
+        ).select(F.col(id_col), F.lit(False).alias("_nhits"))
+        out = (
+            out.join(hits, id_col, "left")
+            .withColumn("decon_ok", F.coalesce(F.col("_nhits"), F.lit(True)))
+            .drop("_nhits")
+        )
+    else:
+        out = out.withColumn("decon_ok", F.lit(True))
+    return out
+
+
+_CURATE_STAGES = ("c4_ok", "gopher_ok", "clf_ok", "exact_survivor", "decon_ok")
+
+
+def curation_report(flags: DataFrame) -> DataFrame:
+    """Cumulative funnel over curate_flags output in ONE aggregate:
+    (stage, n_pass) where n_pass counts documents passing this stage AND
+    every stage before it (stage 'input' = all rows). The whole report is
+    a single map-side-combinable job — no per-stage actions."""
+    cum = F.lit(True)
+    aggs = [F.count("*").alias("input")]
+    for s in _CURATE_STAGES:
+        cum = cum & F.coalesce(F.col(s), F.lit(False))
+        aggs.append(F.sum(cum.cast("long")).alias(s))
+    row = flags.agg(*aggs)
+    stages = ["input", *_CURATE_STAGES]
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("stage"),
+                        F.col(s).cast("long").alias("n_pass"),
+                    )
+                    for s in stages
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.stage", "_r.n_pass")
+
+
+def curate_corpus(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    budget_tokens: int | None = None,
+    classifier_threshold: float = 0.0,
+    classifier_seed: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher=None,
+) -> DataFrame:
+    """The composed curation pipeline: C4 gate → Gopher gate → quality
+    classifier → exact dedup → (optional) benchmark decontamination, all
+    evaluated as curate_flags; survivors keep (id, clean_text as
+    ``text``, original columns); with ``budget_tokens`` the result also
+    carries pack_shards' shard assignment over the curated corpus —
+    i.e. the documents table in, training-shard table out."""
+    flags = curate_flags(
+        documents,
+        benchmark,
+        classifier_threshold=classifier_threshold,
+        classifier_seed=classifier_seed,
+        id_col=id_col,
+        text_col=text_col,
+        hasher=hasher,
+    )
+    keep = F.lit(True)
+    for s in _CURATE_STAGES:
+        keep = keep & F.coalesce(F.col(s), F.lit(False))
+    curated = (
+        flags.filter(keep)
+        .drop(text_col, *_CURATE_STAGES)
+        .withColumnRenamed("clean_text", text_col)
+    )
+    if budget_tokens is None:
+        return curated
+    shards = pack_shards(
+        curated, budget_tokens=budget_tokens, id_col=id_col, text_col=text_col
+    ).drop("n_tokens")
+    return curated.join(shards, id_col)
