@@ -218,6 +218,134 @@ _LANG_IN = {
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# Cumulative curation funnel (wbx.textops.curate_flags/curation_report,
+# benchmark=None, md5 classifier hasher): per-doc flags rebuilt in SQL from
+# the same verified fragments as text_clean (C4 + PII), text_repetition
+# (Gopher gate) and text_doc_metrics (classifier), then one cumulative
+# aggregate. Appended to the a_counts oracle as dim='curate_funnel'.
+#
+# Planted fixture (both engines): raw synthetic documents pass no gate, so
+# doc_id % 17 == 5 rows become one shared clean block (an exact-dup group
+# with one survivor), doc_id % 3 == 0 rows keep the raw text (c4 fail),
+# and the rest append the clean block (gates pass; the classifier then
+# splits them by hash sign) — every funnel stage gets a differentiating,
+# nonzero count.
+_CURATE_BLOCK_LINES = (
+    "the quick brown fox jumps over the lazy dog and runs far away today.",
+    "it was a bright clear day and the sun was warm over the green hill.",
+    "people walked along the old road and talked about the news of the day.",
+    "the market was full of fresh fruit and the sellers called out to all.",
+    "everyone agreed that the small town had never looked better than now.",
+)
+_CURATE_BLOCK = "\n".join(_CURATE_BLOCK_LINES)
+_CURATE_BLOCK_SQL = " || chr(10) || ".join(f"'{l}'" for l in _CURATE_BLOCK_LINES)
+
+# the exact-dup group's shared text: picked (offline search over clean
+# candidate sentences) to score +0.038 under the seed-13 classifier so the
+# group REACHES the dedup stage at the suite threshold (-0.08) and the
+# funnel's exact_survivor count actually drops duplicates
+_CURATE_DUP_LINES = (
+    "birds sang in the tall trees while the wind moved the long grass.",
+    "the rain fell all night and the streets shone under the lamps.",
+    "a quiet song came from the kitchen where the kettle began to boil.",
+    "fresh bread cooled on the sill and its smell filled the whole house.",
+    "the map showed a narrow path that led from the mill to the lake.",
+)
+_CURATE_DUP = "\n".join(_CURATE_DUP_LINES)
+_CURATE_DUP_SQL = " || chr(10) || ".join(f"'{l}'" for l in _CURATE_DUP_LINES)
+
+_CURATE_FUNNEL_SQL = r"""
+        UNION ALL
+        SELECT 'curate_funnel', fs.stage, fs.n_pass FROM (
+        WITH pd AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 5 THEN @DB@
+                      WHEN doc_id % 3 = 0 THEN text
+                      ELSE text || chr(10) || @GB@ END AS text
+          FROM documents
+        ), cl AS (
+          SELECT doc_id, text,
+                 array_to_string(list_filter(string_split(text, chr(10)),
+                   l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                         OR ends_with(trim(l), '?') OR ends_with(trim(l), '"')
+                         OR ends_with(trim(l), chr(39)))
+                        AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                            w -> w <> '')) >= 3
+                        AND NOT contains(lower(trim(l)), 'javascript')),
+                   chr(10)) AS c4t
+          FROM pd
+        ), sc AS (
+          SELECT doc_id, text, c4t,
+                 regexp_replace(regexp_replace(regexp_replace(c4t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS ct
+          FROM cl
+        ), g1 AS (
+          SELECT doc_id, text, c4t,
+                 list_filter(string_split(ct, chr(10)), l -> length(l) > 0) AS ls,
+                 regexp_extract_all(lower(ct), '[a-z0-9]+') AS ctoks,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS rtoks
+          FROM sc
+        ), g2 AS (
+          SELECT doc_id, text, c4t, rtoks,
+                 len(ls) AS nl, len(list_distinct(ls)) AS ndl,
+                 COALESCE(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) AS lc,
+                 COALESCE(list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum'), 0) AS dlc,
+                 len(ctoks) AS nt,
+                 COALESCE(list_aggregate(list_transform(ctoks, x -> length(x)), 'sum'), 0) AS tc,
+                 len(list_filter(ctoks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+                 len(list_filter(list_distinct(ctoks), x -> x IN (@EN@))) AS dstop,
+                 len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS ell,
+                 len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•'))) AS bul
+          FROM g1
+        ), fl AS (
+          SELECT doc_id,
+                 (length(c4t) > 0 AND NOT contains(text, '{')
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND length(c4t) - length(regexp_replace(c4t, '[.!?]', '', 'g')) >= 5
+                 ) AS c4_ok,
+                 (nt >= 50 AND nt <= 100000
+                  AND (CASE WHEN nt > 0 THEN tc / nt ELSE 0.0 END) >= 3
+                  AND (CASE WHEN nt > 0 THEN tc / nt ELSE 0.0 END) <= 10
+                  AND (CASE WHEN nl > 0 THEN (nl - ndl) / nl ELSE 0.0 END) <= 0.30
+                  AND (CASE WHEN lc > 0 THEN (lc - dlc) / lc ELSE 0.0 END) <= 0.30
+                  AND (CASE WHEN nl > 0 THEN ell / nl ELSE 0.0 END) <= 0.30
+                  AND (CASE WHEN nl > 0 THEN bul / nl ELSE 0.0 END) <= 0.90
+                  AND (CASE WHEN nt > 0 THEN alpha / nt ELSE 0.0 END) >= 0.80
+                  AND dstop >= 2) AS gopher_ok,
+                 (COALESCE(list_sum(list_transform(
+                     list_concat(rtoks, list_transform(
+                       CASE WHEN len(rtoks) >= 2
+                            THEN generate_series(1, len(rtoks) - 1)
+                            ELSE CAST([] AS BIGINT[]) END,
+                       i -> rtoks[i] || ' ' || rtoks[i + 1])),
+                     f -> CAST(concat('0x', substr(md5(f || '#13'), 1, 15))
+                            AS BIGINT) % 2001 - 1000)), 0)
+                  >= -80 * (len(rtoks) + CASE WHEN len(rtoks) >= 2
+                                              THEN len(rtoks) - 1
+                                              ELSE 0 END)) AS clf_ok,
+                 (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS exact_survivor
+          FROM g2
+        ), agg AS (
+          SELECT count(*) AS n_input,
+                 COALESCE(sum(CASE WHEN c4_ok THEN 1 END), 0) AS n_c4,
+                 COALESCE(sum(CASE WHEN c4_ok AND gopher_ok THEN 1 END), 0) AS n_gop,
+                 COALESCE(sum(CASE WHEN c4_ok AND gopher_ok AND clf_ok
+                              THEN 1 END), 0) AS n_clf,
+                 COALESCE(sum(CASE WHEN c4_ok AND gopher_ok AND clf_ok
+                                        AND exact_survivor THEN 1 END), 0) AS n_surv
+          FROM fl
+        )
+        SELECT 'input' AS stage, CAST(n_input AS BIGINT) AS n_pass FROM agg
+        UNION ALL SELECT 'c4_ok', CAST(n_c4 AS BIGINT) FROM agg
+        UNION ALL SELECT 'gopher_ok', CAST(n_gop AS BIGINT) FROM agg
+        UNION ALL SELECT 'clf_ok', CAST(n_clf AS BIGINT) FROM agg
+        UNION ALL SELECT 'exact_survivor', CAST(n_surv AS BIGINT) FROM agg
+        UNION ALL SELECT 'decon_ok', CAST(n_surv AS BIGINT) FROM agg
+        ) fs
+""".replace("@EN@", _LANG_IN["en"]).replace("@GB@", _CURATE_BLOCK_SQL).replace("@DB@", _CURATE_DUP_SQL)
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -268,7 +396,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n"))
             .select(F.lit("http_content_type").alias("dim"), "key", "n")
         )
-        return total.unionByName(by_type).unionByName(by_ct)
+        # the composed curation pipeline's cumulative funnel (one
+        # map-side-combinable aggregate over curate_flags; md5 hasher so
+        # the classifier stage is oracle-exact)
+        planted_docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.when(
+                F.pmod("doc_id", F.lit(17)) == 5, F.lit(_CURATE_DUP)
+            )
+            .when(F.pmod("doc_id", F.lit(3)) == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit("\n" + _CURATE_BLOCK)))
+            .alias("text"),
+        )
+        # threshold -0.08 sits at the planted corpus' score median, so the
+        # classifier stage splits the survivors instead of rubber-stamping
+        funnel = textops.curation_report(
+            textops.curate_flags(
+                planted_docs,
+                classifier_threshold=-0.08,
+                hasher=sampling.md5_seeded,
+            )
+        ).select(
+            F.lit("curate_funnel").alias("dim"),
+            F.col("stage").alias("key"),
+            F.col("n_pass").alias("n"),
+        )
+        return (
+            total.unionByName(by_type).unionByName(by_ct).unionByName(funnel)
+        )
 
     q["a_counts"] = a_counts
 
@@ -2515,7 +2670,7 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 'text/plain' END,
                count(*)
         FROM documents GROUP BY 2
-        """,
+        """ + _CURATE_FUNNEL_SQL,
         "a3_count_by_domain": (
             "SELECT lower(source) || '.example.com' AS domain, count(*) AS n "
             "FROM documents GROUP BY 1"
