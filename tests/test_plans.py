@@ -534,3 +534,33 @@ class TestPackShardsPlan:
         assert exchanges, "expected the bucket exchange"
         assert all("text" not in ln for ln in exchanges)
         release_rank_caches()
+
+
+class TestCurateFlagsPlan:
+    def test_single_join_gates_fused(self, spark):
+        """curate_flags (no benchmark): the rule gates and the classifier
+        are per-row expressions fused into the scan — the ONLY join in the
+        plan is exact-dedup survivorship, and no exchange carries text."""
+        from wbx import textops
+
+        plan = plan_str(textops.curate_flags(_docs(spark)), "simple")
+        joins = [
+            ln
+            for ln in plan.splitlines()
+            if "Join" in ln and "ReusedExchange" not in ln
+        ]
+        assert len(joins) == 1, joins
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # final adaptive plan: AQE broadcasts the survivor-id side, so no
+        # exchange block carries document text (dedup_exact guard pattern)
+        out = textops.curate_flags(_docs(spark))
+        out.collect()
+        final = plan_str(out)
+        assert "isFinalPlan=true" in final
+        blocks = [
+            b
+            for b in final.split("\n\n")
+            if b.splitlines() and ") Exchange" in b.splitlines()[0]
+        ]
+        for b in blocks:
+            assert "text#" not in b, b

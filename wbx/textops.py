@@ -1310,6 +1310,39 @@ def pack_shards(
     )
 
 
+def hashed_linear_struct(
+    text: Column, seed: int = 13, bigrams: bool = True, hasher=None
+) -> Column:
+    """Column core of the hashed-linear classifier: struct(n_feats,
+    score_sum) over alnum unigrams (+ adjacent bigrams) of ``text`` —
+    integer milli-weights pmod(hash, 2001) − 1000 summed as int64. Pure
+    per-row expression, so composing pipelines (curate_flags) evaluate it
+    inline in the same scan as the rule gates instead of joining
+    hashed_linear_score's output back by id."""
+    if hasher is None:
+        hasher = lambda c, s: F.xxhash64(c, F.lit(s))  # noqa: E731
+
+    def score_cols(bound: Column) -> Column:
+        n = F.size(bound)
+        grams = F.zip_with(
+            F.slice(bound, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(bound, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(bound, grams) if bigrams else bound
+        w = lambda t: F.pmod(hasher(t, seed), F.lit(2001)) - F.lit(1000)  # noqa: E731
+        return F.struct(
+            F.size(feats).cast("long").alias("n_feats"),
+            F.aggregate(
+                feats,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + w(t).cast("long"),
+            ).alias("score_sum"),
+        )
+
+    return let_col(tokens(text), score_cols)
+
+
 def hashed_linear_score(
     documents: DataFrame,
     seed: int = 13,
@@ -1343,30 +1376,8 @@ def hashed_linear_score(
     units; the keep decision compares integers (score_sum ≥
     round(1000·threshold)·n_feats), never floats.
     """
-    if hasher is None:
-        hasher = lambda c, s: F.xxhash64(c, F.lit(s))  # noqa: E731
-    toks = tokens(F.col(text_col))
-
-    def score_cols(bound: Column) -> Column:
-        n = F.size(bound)
-        grams = F.zip_with(
-            F.slice(bound, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(bound, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-        feats = F.concat(bound, grams) if bigrams else bound
-        w = lambda t: F.pmod(hasher(t, seed), F.lit(2001)) - F.lit(1000)  # noqa: E731
-        return F.struct(
-            F.size(feats).cast("long").alias("n_feats"),
-            F.aggregate(
-                feats,
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + w(t).cast("long"),
-            ).alias("score_sum"),
-        )
-
     thresh_milli = int(round(threshold * 1000))
-    scored = let_col(toks, score_cols)
+    scored = hashed_linear_struct(F.col(text_col), seed, bigrams, hasher)
     return documents.select(F.col(id_col), scored.alias("_s")).select(
         id_col,
         F.col("_s.n_feats").alias("n_feats"),
@@ -1409,25 +1420,26 @@ def curate_flags(
     stage-by-stage filter chain would re-scan or re-shuffle per stage and
     gives no per-stage accounting.
 
-    The two join-backed stages stay joins but carry no text: exact-dedup
-    survivorship is a left join against dedup_exact_ids' (digest-min id)
-    output, and decontamination (when ``benchmark`` is given) a left join
-    against decontaminate_ngram_overlap's hit ids — both broadcast-
-    eligible id sets (AQE decides). Gates are evaluated on clean_text;
+    Only the genuinely aggregating stages are joins, and they carry no
+    text: exact-dedup survivorship is a left join against
+    dedup_exact_ids' (digest-min id) output, and decontamination (when
+    ``benchmark`` is given) a left join against
+    decontaminate_ngram_overlap's hit ids — both broadcast-eligible id
+    sets (AQE decides). Gates are evaluated on clean_text;
     dedup digests use the RAW text (byte-identical duplicates, the archive
     convention) so survivorship is stable under gate-rule changes.
     """
     assert_staging_free(documents, ("_surv", "_nhits"), "curate_flags")
     raw = F.col(text_col)
     cleaned = pii_scrub(c4_clean_lines(raw))
-    clf = hashed_linear_score(
-        documents,
-        seed=classifier_seed,
-        threshold=classifier_threshold,
-        id_col=id_col,
-        text_col=text_col,
-        hasher=hasher,
-    ).select(id_col, F.col("keep").alias("clf_ok"))
+    # the classifier is a per-row expression (hashed_linear_struct), so it
+    # fuses into the same scan as the rule gates — no id-join for it
+    thresh_milli = int(round(classifier_threshold * 1000))
+    clf_s = hashed_linear_struct(raw, seed=classifier_seed, hasher=hasher)
+    clf_ok = (
+        clf_s["score_sum"]
+        >= F.lit(thresh_milli).cast("long") * clf_s["n_feats"]
+    )
     survivors = dedup_exact_ids(documents, text_col, id_col).select(
         F.col(id_col), F.lit(True).alias("_surv")
     )
@@ -1435,7 +1447,7 @@ def curate_flags(
         documents.withColumn("clean_text", cleaned)
         .withColumn("c4_ok", c4_doc_keep(raw))
         .withColumn("gopher_ok", gopher_keep(F.col("clean_text")))
-        .join(clf, id_col, "left")
+        .withColumn("clf_ok", clf_ok)
         .join(survivors, id_col, "left")
         .withColumn("exact_survivor", F.coalesce(F.col("_surv"), F.lit(False)))
         .drop("_surv")
