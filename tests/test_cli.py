@@ -526,3 +526,41 @@ class TestPackCommand:
         from wbx.frontier import release_rank_caches
 
         release_rank_caches()
+
+
+class TestCurateCommand:
+    def test_curate_end_to_end(self, tmp_path, spark, capsys):
+        good = (
+            "The quick brown fox jumps over the lazy dog and then runs away. "
+            "It was a bright day and the sun was shining over the green hill. "
+            "People walked along the road and talked about the news of the day. "
+            "The market was full of fresh fruit and the sellers called loudly. "
+            "Children played near the river while their parents watched today. "
+            "Everyone agreed that the town had never looked better than before."
+        )
+        docs_dir = str(tmp_path / "curate_docs_pq")
+        rows = [(0, good), (1, good), (2, "tiny. no. bad. { x. y.")]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            docs_dir
+        )
+        out_dir = str(tmp_path / "curated_pq")
+        out = json.loads(
+            run_cli(capsys, ["curate", "--input", docs_dir,
+                             "--output-dir", out_dir,
+                             "--budget-tokens", "500",
+                             "--classifier-threshold", "-1.5"])
+        )
+        funnel = {r["stage"]: r["n_pass"] for r in out["funnel"]}
+        assert funnel["input"] == 3
+        assert funnel["c4_ok"] == 2        # doc 2 fails the '{' gate
+        assert funnel["exact_survivor"] == 1  # docs 0/1 identical
+        # threshold -1.5 is below the minimum possible score: classifier
+        # passes everything that reached it
+        assert funnel["clf_ok"] == funnel["gopher_ok"]
+        assert len(out["shards"]) == 1 and out["shards"][0]["n_docs"] == 1
+        back = spark.read.parquet(out_dir)
+        assert back.count() == 1
+        assert back.first()["doc_id"] == 0
+        from wbx.frontier import release_rank_caches
+
+        release_rank_caches()

@@ -428,6 +428,34 @@ def cmd_pack(args) -> None:
     _emit({"shards": [r.asDict() for r in rows]}, args.format)
 
 
+def cmd_curate(args) -> None:
+    """End-to-end corpus curation: documents parquet -> curated corpus
+    written as fixed-token-budget training shards, plus the cumulative
+    stage funnel and the per-shard manifest on stdout (wbx.textops
+    curate_flags/curate_corpus + wbx.sinks.write_packed_shards)."""
+    from wbx.sinks import write_packed_shards
+    from wbx.textops import curate_corpus, curate_flags, curation_report
+
+    spark = _spark("curate")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    flags = curate_flags(
+        docs, bench, classifier_threshold=args.classifier_threshold
+    )
+    funnel = [
+        r.asDict() for r in curation_report(flags).collect()
+    ]
+    curated = curate_corpus(
+        docs, bench, classifier_threshold=args.classifier_threshold
+    )
+    manifest = write_packed_shards(
+        curated, args.output_dir, budget_tokens=args.budget_tokens
+    )
+    shards = [r.asDict() for r in manifest.collect()]
+    _emit({"funnel": funnel, "shards": shards, "output": args.output_dir},
+          args.format)
+
+
 def cmd_crawl(args) -> None:
     from wbx.checkpoint import CheckpointStore, run_crawl
 
@@ -585,6 +613,17 @@ def main(argv=None) -> int:
     s.add_argument("--text-col", default="text")
     s.add_argument("--format", choices=["json", "text"], default="json")
     s.set_defaults(fn=cmd_pack)
+
+    s = sub.add_parser("curate")
+    s.add_argument("--input", required=True,
+                   help="documents parquet (doc_id, text)")
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--benchmark", default=None,
+                   help="optional benchmark parquet for decontamination")
+    s.add_argument("--budget-tokens", type=int, default=1_000_000)
+    s.add_argument("--classifier-threshold", type=float, default=0.0)
+    s.add_argument("--format", choices=["json", "text"], default="json")
+    s.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("crawl")
     s.add_argument("--seeds", required=True)
