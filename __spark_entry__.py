@@ -693,11 +693,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("quality_score").alias("clf_score"),
             F.col("keep").alias("clf_keep"),
         )
+        # corpus-self-trained unigram LM signal (left join: token-less
+        # docs score NULL)
+        nll = textops.unigram_nll(docs).select(
+            "doc_id",
+            F.col("n_toks").alias("nll_n_toks"),
+            "unigram_nll",
+        )
         return (
             base.join(scripts, "doc_id")
             .join(ent, "doc_id")
             .join(shards, "doc_id")
             .join(clf, "doc_id")
+            .join(nll, "doc_id", "left")
         )
 
     q["text_doc_metrics"] = text_doc_metrics_full
@@ -2792,7 +2800,8 @@ def oracle_sql() -> dict[str, str]:
                n_latin, n_cyrillic, n_cjk, script_dom, script_dom_frac,
                tri_entropy,
                start_offset, shard_id, shard_offset,
-               clf_n_feats, clf_score_sum, clf_score, clf_keep
+               clf_n_feats, clf_score_sum, clf_score, clf_keep,
+               nll_n_toks, unigram_nll
         FROM s
         JOIN (
           -- script profile over the planted multi-script fixture:
@@ -2893,6 +2902,23 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 0.0 END AS clf_score,
                  clf_score_sum >= 0 AS clf_keep
           FROM sc
+        ) USING (doc_id)
+        LEFT JOIN (
+          -- corpus-self-trained unigram LM NLL (wbx.textops.unigram_nll,
+          -- min_count 2, oov 0.5); token-less docs absent -> NULL
+          WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+          vc AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+          pr AS (SELECT doc_id, t, count(*) AS m FROM tk GROUP BY 1, 2),
+          jd AS (SELECT doc_id,
+                        CAST(sum(m) AS BIGINT) AS nll_n_toks,
+                        sum(m * ln(COALESCE(v.c, 0.5))) AS s
+                 FROM pr LEFT JOIN (SELECT t, CAST(c AS DOUBLE) AS c
+                                    FROM vc WHERE c >= 2) v USING (t)
+                 GROUP BY doc_id)
+          SELECT doc_id, nll_n_toks,
+                 round(ln((SELECT CAST(sum(c) AS DOUBLE) FROM vc))
+                       - s / nll_n_toks, 6) AS unigram_nll
+          FROM jd
         ) USING (doc_id)
         """,
         # winnow over md5_hash60 rolling hashes: window=8 tokens, guarantee=16

@@ -844,3 +844,50 @@ class TestCuratePipeline:
         from wbx.frontier import release_rank_caches
 
         release_rank_caches()
+
+
+class TestUnigramNLL:
+    def test_matches_driver_model(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from wbx.textops import unigram_nll
+
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the log"),
+            (2, "zyx qwv zyx"),  # rare tokens -> OOV backoff
+            (3, ""),  # token-less -> absent
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_toks"], r["unigram_nll"])
+            for r in unigram_nll(df, min_count=2).collect()
+        }
+        toks = {
+            i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+            for i, txt in rows
+        }
+        vocab = Counter(t for ts in toks.values() for t in ts)
+        N = sum(vocab.values())
+        for i, ts in toks.items():
+            if not ts:
+                assert i not in got
+                continue
+            s = sum(
+                math.log(vocab[t] if vocab[t] >= 2 else 0.5) for t in ts
+            )
+            exp = round(math.log(N) - s / len(ts), 6)
+            assert got[i] == (len(ts), exp), i
+        # doc 2 (all-OOV) must score strictly worse than doc 0
+        assert got[2][1] > got[0][1]
+
+    def test_deterministic_across_partitioning(self, spark):
+        from wbx.textops import unigram_nll
+
+        rows = [(i, f"alpha beta w{i % 7} gamma") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, unigram_nll(df.repartition(1)).collect()))
+        b = sorted(map(tuple, unigram_nll(df.repartition(13)).collect()))
+        assert a == b

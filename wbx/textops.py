@@ -1535,3 +1535,58 @@ def curate_corpus(
         curated, budget_tokens=budget_tokens, id_col=id_col, text_col=text_col
     ).drop("n_tokens")
     return curated.join(shards, id_col)
+
+
+def unigram_nll(
+    documents: DataFrame,
+    min_count: int = 2,
+    oov_count: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean
+    negative log-likelihood under the corpus' own unigram model —
+    (id, n_toks, unigram_nll) with nll = ln(N) − (Σ m_t·ln(c_t)) / n,
+    where c_t is the corpus count of token t (tokens below ``min_count``
+    back off to ``oov_count``) and N the corpus token total. Low nll =
+    typical language, high nll = gibberish/boilerplate-ish — the
+    perplexity gate production pipelines run next to the classifier
+    (CCNet buckets corpora by LM perplexity; a self-trained unigram
+    model is its engine-shaped core).
+
+    Determinism: counts are exact integers; the only floats are ln() of
+    integer ratios summed per doc and rounded 6dp at the end (the
+    tri_entropy precedent — rounding absorbs libm/association drift
+    between engines). Token-less documents get NULL (callers left-join).
+
+    Scale shape: one (token → count) aggregate over the corpus and one
+    (id, token, m) aggregate — both map-side combinable; the vocabulary
+    join carries (token, count) only and broadcasts when it fits (AQE;
+    at web scale hash the token to 8 bytes first and bucket both sides).
+    The corpus total rides a broadcast 1-row cross join, never a
+    collect().
+    """
+    tok = documents.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    per = tok.groupBy(id_col, "_t").agg(F.count("*").alias("_m"))
+    vocab = tok.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = vocab.agg(F.sum("_c").cast("double").alias("_N"))
+    per_doc = (
+        per.join(vocab.filter(F.col("_c") >= min_count), "_t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").cast("long").alias("n_toks"),
+            F.sum(
+                F.col("_m")
+                * F.log(F.coalesce(F.col("_c"), F.lit(float(oov_count))))
+            ).alias("_s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_toks",
+        F.round(
+            F.log(F.col("_N")) - F.col("_s") / F.col("n_toks"), 6
+        ).alias("unigram_nll"),
+    )
