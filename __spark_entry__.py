@@ -695,10 +695,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         # corpus-self-trained unigram LM signal (left join: token-less
         # docs score NULL)
-        nll = textops.unigram_nll(docs).select(
+        # one NLL computation feeds both the per-doc columns and the
+        # bucket rank; persisted so the two lineages share it (registered
+        # with the rank-cache registry; bench's clearCache also drops it)
+        from wbx.frontier import _register_rank_cache
+
+        nll_src = textops.unigram_nll(docs).persist()
+        _register_rank_cache(nll_src)
+        nll = nll_src.select(
             "doc_id",
             F.col("n_toks").alias("nll_n_toks"),
             "unigram_nll",
+        )
+        # CCNet head/middle/tail split over the NLL scores (exact NTILE
+        # semantics via the bucketed global rank)
+        buckets = textops.score_buckets(nll_src).select(
+            "doc_id",
+            F.col("bucket").alias("nll_bucket"),
+            F.col("bucket_label").alias("nll_bucket_label"),
         )
         return (
             base.join(scripts, "doc_id")
@@ -706,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(shards, "doc_id")
             .join(clf, "doc_id")
             .join(nll, "doc_id", "left")
+            .join(buckets, "doc_id", "left")
         )
 
     q["text_doc_metrics"] = text_doc_metrics_full
@@ -2801,7 +2816,7 @@ def oracle_sql() -> dict[str, str]:
                tri_entropy,
                start_offset, shard_id, shard_offset,
                clf_n_feats, clf_score_sum, clf_score, clf_keep,
-               nll_n_toks, unigram_nll
+               nll_n_toks, unigram_nll, nll_bucket, nll_bucket_label
         FROM s
         JOIN (
           -- script profile over the planted multi-script fixture:
@@ -2915,10 +2930,16 @@ def oracle_sql() -> dict[str, str]:
                  FROM pr LEFT JOIN (SELECT t, CAST(c AS DOUBLE) AS c
                                     FROM vc WHERE c >= 2) v USING (t)
                  GROUP BY doc_id)
-          SELECT doc_id, nll_n_toks,
-                 round(ln((SELECT CAST(sum(c) AS DOUBLE) FROM vc))
-                       - s / nll_n_toks, 6) AS unigram_nll
-          FROM jd
+          SELECT doc_id, nll_n_toks, unigram_nll,
+                 CAST(NTILE(3) OVER (ORDER BY unigram_nll, doc_id)
+                      AS BIGINT) AS nll_bucket,
+                 CASE NTILE(3) OVER (ORDER BY unigram_nll, doc_id)
+                      WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS nll_bucket_label
+          FROM (SELECT doc_id, nll_n_toks,
+                       round(ln((SELECT CAST(sum(c) AS DOUBLE) FROM vc))
+                             - s / nll_n_toks, 6) AS unigram_nll
+                FROM jd)
         ) USING (doc_id)
         """,
         # winnow over md5_hash60 rolling hashes: window=8 tokens, guarantee=16

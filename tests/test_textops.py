@@ -891,3 +891,48 @@ class TestUnigramNLL:
         a = sorted(map(tuple, unigram_nll(df.repartition(1)).collect()))
         b = sorted(map(tuple, unigram_nll(df.repartition(13)).collect()))
         assert a == b
+
+
+class TestScoreBuckets:
+    """score_buckets: exact NTILE parity with DuckDB at awkward N/n."""
+
+    def _duck_ntile(self, pairs, n):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, s DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+        return dict(
+            con.sql(
+                f"SELECT doc_id, NTILE({n}) OVER (ORDER BY s, doc_id) FROM t"
+            ).fetchall()
+        )
+
+    def test_ntile_parity_and_labels(self, spark):
+        from wbx.frontier import release_rank_caches
+        from wbx.textops import score_buckets
+
+        pairs = [(i, float((i * 37) % 11) + i / 100.0) for i in range(23)]
+        df = spark.createDataFrame(pairs, "doc_id long, unigram_nll double")
+        got = {
+            r["doc_id"]: (r["bucket"], r["bucket_label"])
+            for r in score_buckets(df, n_buckets=3).collect()
+        }
+        exp = self._duck_ntile(pairs, 3)
+        labels = {1: "head", 2: "middle", 3: "tail"}
+        for i, b in exp.items():
+            assert got[i] == (b, labels[b]), i
+        release_rank_caches()
+
+    def test_fewer_rows_than_buckets_and_nulls(self, spark):
+        from wbx.frontier import release_rank_caches
+        from wbx.textops import score_buckets
+
+        rows = [(0, 5.0), (1, 1.0), (2, None)]
+        df = spark.createDataFrame(rows, "doc_id long, unigram_nll double")
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in score_buckets(df, n_buckets=5, labels=None).collect()
+        }
+        assert got == {1: 1, 0: 2}  # NULL excluded; NTILE = rank when N < n
+        release_rank_caches()

@@ -1590,3 +1590,69 @@ def unigram_nll(
             F.log(F.col("_N")) - F.col("_s") / F.col("n_toks"), 6
         ).alias("unigram_nll"),
     )
+
+
+def score_buckets(
+    scored: DataFrame,
+    score_col: str = "unigram_nll",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] | None = ("head", "middle", "tail"),
+    boundary_cache: dict | None = None,
+) -> DataFrame:
+    """CCNet-style quality bucketing: rank documents by a score (ascending
+    — for NLL, low = most-typical language) and split them into
+    ``n_buckets`` equal-depth buckets with EXACT SQL NTILE semantics
+    (first N mod n buckets take the extra row), so the oracle is
+    ``NTILE(n) OVER (ORDER BY score, id)``. Output: (id, score, bucket
+    1-based, and ``bucket_label`` when ``labels`` matches n_buckets —
+    CCNet's head/middle/tail corpus split).
+
+    Scale shape: the global order comes from
+    :func:`wbx.frontier.global_rank` (bucketed two-phase — never a
+    single-reducer window), N rides a broadcast 1-row cross join, and the
+    NTILE bucket is closed-form arithmetic on (rank, N). NULL scores are
+    excluded (rank over NULL would be oracle-ambiguous); callers left-join
+    the result back if they need those rows."""
+    from wbx.frontier import global_rank
+
+    base = scored.filter(F.col(score_col).isNotNull()).select(
+        id_col, score_col
+    )
+    ranked = global_rank(
+        base,
+        [(score_col, True), (id_col, True)],
+        "_rk",
+        boundary_cache=boundary_cache,
+    )
+    total = base.agg(F.count("*").cast("long").alias("_N"))
+    n = F.lit(int(n_buckets)).cast("long")
+    rk1 = F.col("_rk") - 1  # 0-based rank
+    q = F.expr(f"_N div {int(n_buckets)}")
+    r = F.pmod("_N", n)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    # q == 0 (fewer rows than buckets): NTILE gives bucket = rank; guard
+    # first or the `div q` arm raises under ANSI
+    bucket = (
+        F.when(q == 0, rk1)
+        .when(
+            rk1 < big,
+            F.expr(f"(_rk - 1) div (_N div {int(n_buckets)} + 1)"),
+        )
+        .otherwise(r + F.expr(f"(_rk - 1 - _N % {int(n_buckets)} * (_N div {int(n_buckets)} + 1)) div (_N div {int(n_buckets)})"))
+        + F.lit(1)
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            score_col,
+            bucket.cast("long").alias("bucket"),
+        )
+    )
+    if labels is not None and len(labels) == n_buckets:
+        lab = F.array(*[F.lit(x) for x in labels])
+        out = out.withColumn(
+            "bucket_label", F.element_at(lab, F.col("bucket").cast("int"))
+        )
+    return out
