@@ -531,3 +531,61 @@ class TestStreamCurate:
             .collect()
         )
         assert got == want and 99 not in got
+
+
+class TestStreamCurateClassifier:
+    def test_classifier_and_pii_match_batch(self, spark, tmp_path):
+        """The stateless stream_curate stages (classifier gate + PII
+        scrub) must agree row-for-row with the batch kernels on the same
+        input."""
+        from wbx import streaming
+        from wbx.textops import hashed_linear_score, pii_scrub
+        import pyspark.sql.functions as F
+
+        good = TestStreamCurate.GOOD
+        rows = [
+            (1, good + " Contact me at someone@example.org for details."),
+            (2, good.replace("quick brown fox", "slow grey wolf")),
+            (3, good.replace("lazy dog", "busy cat")),
+        ]
+        src = str(tmp_path / "clf_src")
+        out = str(tmp_path / "clf_out")
+        batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+        batch_df.write.parquet(src)
+
+        thresh = -0.2
+        pages = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            streaming.stream_curate(
+                pages,
+                out,
+                checkpoint_dir=str(tmp_path / "clf_ckpt"),
+                pii=True,
+                classifier_threshold=thresh,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+        }
+        # batch expectation: classifier keep on RAW text, then c4+gopher
+        # gates, then pii scrub of the cleaned text
+        keep = {
+            r["doc_id"]
+            for r in hashed_linear_score(batch_df, threshold=thresh).collect()
+            if r["keep"]
+        }
+        from wbx.textops import c4_clean_lines, c4_doc_keep, gopher_keep
+
+        exp_df = (
+            batch_df.filter(F.col("doc_id").isin(list(keep)) if keep else F.lit(False))
+            .filter(c4_doc_keep(F.col("text")))
+            .withColumn("text", c4_clean_lines(F.col("text")))
+            .filter(gopher_keep(F.col("text")))
+            .withColumn("text", pii_scrub(F.col("text")))
+        )
+        exp = {r["doc_id"]: r["text"] for r in exp_df.collect()}
+        assert got == exp and got  # non-empty agreement
+        assert all("someone@example.org" not in t for t in got.values())

@@ -402,6 +402,9 @@ def stream_curate(
     gopher: bool = True,
     c4: bool = True,
     dedup: bool = True,
+    pii: bool = False,
+    classifier_threshold: float | None = None,
+    classifier_seed: int = 13,
 ):
     """Streaming corpus curation: the training-data twin of stream_crawl.
     A streaming DataFrame of extracted pages flows through the SAME
@@ -423,11 +426,30 @@ def stream_curate(
     digest set through the checkpoint-store delta pattern instead
     (foreachBatch + CheckpointStore, exactly as crawl_batch_processor
     maintains the URL seen-set); the gates and digest column are
-    identical either way."""
-    from wbx.textops import c4_clean_lines, c4_doc_keep, gopher_keep
+    identical either way.
+
+    ``pii`` scrubs emails/phones/IPs from the surviving text, and
+    ``classifier_threshold`` (score units, None = off) adds the hashed-
+    linear quality classifier on the RAW text — both pure Column
+    expressions (hashed_linear_struct), so streaming and batch
+    (curate_flags) agree row-for-row on every stateless stage."""
+    from wbx.textops import (
+        c4_clean_lines,
+        c4_doc_keep,
+        gopher_keep,
+        hashed_linear_struct,
+        pii_scrub,
+    )
 
     df = pages
     t = F.col(text_col)
+    if classifier_threshold is not None:
+        clf = hashed_linear_struct(t, seed=classifier_seed)
+        df = df.filter(
+            clf["score_sum"]
+            >= F.lit(int(round(classifier_threshold * 1000))).cast("long")
+            * clf["n_feats"]
+        )
     if c4:
         # gate on the RAW text (c4_doc_keep cleans internally and checks
         # raw for the '{' code tell), THEN replace text with the cleaned
@@ -435,6 +457,8 @@ def stream_curate(
         df = df.filter(c4_doc_keep(t)).withColumn(text_col, c4_clean_lines(t))
     if gopher:
         df = df.filter(gopher_keep(F.col(text_col)))
+    if pii:
+        df = df.withColumn(text_col, pii_scrub(F.col(text_col)))
     df = df.withColumn("text_md5", F.md5(F.col(text_col)))
     if dedup:
         df = df.dropDuplicates(["text_md5"])
