@@ -373,7 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """A1+A2+A4 count reports as one tagged suite: dim='total' is
         record_count over documents, dim='event_type' counts the events
         table by type, dim='http_content_type' counts HTTP response
-        content types over the rich WARC corpus."""
+        content types over the rich WARC corpus, and dim='curate_funnel'
+        is the composed curation pipeline's cumulative stage funnel
+        (curate_flags + curation_report over a planted fixture; stages
+        input/c4_ok/gopher_ok/clf_ok/exact_survivor/decon_ok)."""
         total = analytics.record_count(_t(spark, sf, "documents")).select(
             F.lit("total").alias("dim"),
             F.lit(None).cast("string").alias("key"),
@@ -658,9 +661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_doc_metrics_full(spark, sf):
         """text_doc_metrics + the round-4 signals: Unicode script profile
         over a planted multi-script fixture (text + (doc_id%4)×' мир' +
-        (doc_id%3)×' 中文' — counts and dominance vary arithmetically) and
+        (doc_id%3)×' 中文' — counts and dominance vary arithmetically),
         the char-trigram entropy gibberish signal over the raw text
-        (wbx.textops.trigram_entropy; ln-based, rounded 6dp)."""
+        (wbx.textops.trigram_entropy; ln-based, rounded 6dp),
+        training-shard packing (pack_shards: start_offset/shard_id/
+        shard_offset, budget 5000), the hashed-linear quality classifier
+        (hashed_linear_score, md5 hasher: clf_* columns), the
+        corpus-self-trained unigram LM NLL (unigram_nll: nll_n_toks/
+        unigram_nll, left-joined), and the CCNet head/middle/tail split
+        (score_buckets with exact NTILE semantics: nll_bucket/
+        nll_bucket_label)."""
         base = text_doc_metrics(spark, sf)
         docs = _t(spark, sf, "documents")
         planted = F.concat(
