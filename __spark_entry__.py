@@ -2369,6 +2369,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("text_md5"),
         )
 
+    def reg_domain_part(spark, sf):
+        """Registered-domain rollup (wbx.domains.registered_domain — the
+        eTLD+1 politeness/grouping kernel, snapshot expression path) over
+        hosts synthesized to hit every branch: plain .com, deep
+        .co.uk subdomains, the bare suffix itself, a single label, IPv4
+        literals, and a .com.au tier. key=eTLD+1 ('(none)' for hosts with
+        no registered domain), n_a=n_distinct_hosts, n_b=n_pages."""
+        from wbx.domains import registered_domain
+
+        docs = _t(spark, sf, "documents")
+        k = F.pmod("doc_id", F.lit(50))
+        v = F.pmod("doc_id", F.lit(7))
+        host = (
+            F.when(v == 0, F.concat(F.lit("www.site"), k, F.lit(".com")))
+            .when(v == 1, F.concat(F.lit("a.b.site"), k, F.lit(".co.uk")))
+            .when(v == 2, F.concat(F.lit("site"), k, F.lit(".co.uk")))
+            .when(v == 3, F.concat(F.lit("10.0.0."), k))
+            .when(v == 4, F.lit("internal"))
+            .when(v == 5, F.lit("co.uk"))
+            .otherwise(F.concat(F.lit("deep.x.site"), k, F.lit(".com.au")))
+        )
+        return (
+            docs.select(host.alias("host"))
+            .select(
+                "host",
+                F.coalesce(
+                    registered_domain(F.col("host")), F.lit("(none)")
+                ).alias("key"),
+            )
+            .groupBy("key")
+            .agg(
+                F.countDistinct("host").alias("n_a"),
+                F.count(F.lit(1)).alias("n_b"),
+            )
+            .select(
+                F.lit("reg_domain").alias("part"),
+                "key",
+                "n_a",
+                "n_b",
+                F.lit(None).cast("long").alias("n_c"),
+                F.lit(None).cast("string").alias("ts_a"),
+                F.lit(None).cast("string").alias("ts_b"),
+                F.lit(None).cast("string").alias("text_md5"),
+            )
+        )
+
     def revalidate_part(spark, sf):
         """Conditional-GET planning (wbx.frontier.revalidation_headers):
         50 URL groups, latest capture = max doc_id (timestamps strictly
@@ -2424,7 +2470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (wbx.frontier.detect_mirrors — see mirrors_part); part='revalidate'
         is conditional-GET planning (wbx.frontier.revalidation_headers —
         see revalidate_part); part='host_degree' is the weighted degree
-        summary (wbx.graph.host_degree_stats — see host_degree_part).
+        summary (wbx.graph.host_degree_stats — see host_degree_part);
+        part='reg_domain' is the eTLD+1 registered-domain rollup
+        (wbx.domains.registered_domain — see reg_domain_part).
         Same generic schema, every value oracle-pinned."""
         return (
             url_latest(spark, sf)
@@ -2436,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(mirrors_part(spark, sf))
             .unionByName(revalidate_part(spark, sf))
             .unionByName(host_degree_part(spark, sf))
+            .unionByName(reg_domain_part(spark, sf))
         )
 
     q["a_pages_reports"] = pages_reports
@@ -2683,6 +2732,57 @@ _HOST_DEGREE_UNION = """
                CASE WHEN coalesce(od, 0) = 0 THEN 'true' ELSE 'false' END AS ts_b,
                CAST(NULL AS VARCHAR) AS text_md5
         FROM o FULL OUTER JOIN i USING (host)
+        )
+        """
+
+from wbx.domains import TWO_LABEL_SUFFIX_SNAPSHOT as _RD_SNAPSHOT
+
+_SUFFIX_IN_LIST = ", ".join(f"'{s}'" for s in _RD_SNAPSHOT)
+
+# registered-domain (eTLD+1) rollup — same publicsuffix.org snapshot
+# algorithm as wbx.domains.registered_domain, in portable SQL: IPv4 → the
+# address, single label → no registered domain, known two-label suffix →
+# last three labels (or none when the host IS the suffix), else last two
+_REG_DOMAIN_UNION = f"""
+        UNION ALL
+        SELECT * FROM (
+        WITH rdh AS (
+          SELECT CASE doc_id % 7
+                   WHEN 0 THEN 'www.site' || (doc_id % 50) || '.com'
+                   WHEN 1 THEN 'a.b.site' || (doc_id % 50) || '.co.uk'
+                   WHEN 2 THEN 'site' || (doc_id % 50) || '.co.uk'
+                   WHEN 3 THEN '10.0.0.' || (doc_id % 50)
+                   WHEN 4 THEN 'internal'
+                   WHEN 5 THEN 'co.uk'
+                   ELSE 'deep.x.site' || (doc_id % 50) || '.com.au'
+                 END AS host
+          FROM documents
+        ), rdp AS (
+          SELECT host, string_split(host, '.') AS parts,
+                 len(string_split(host, '.')) AS n
+          FROM rdh
+        ), rdd AS (
+          SELECT host,
+            CASE
+              WHEN regexp_matches(host,
+                   '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') THEN host
+              WHEN n <= 1 THEN NULL
+              WHEN parts[n-1] || '.' || parts[n] IN ({_SUFFIX_IN_LIST})
+                THEN CASE WHEN n >= 3
+                          THEN parts[n-2] || '.' || parts[n-1] || '.' || parts[n]
+                          ELSE NULL END
+              ELSE parts[n-1] || '.' || parts[n]
+            END AS rdom
+          FROM rdp
+        )
+        SELECT 'reg_domain' AS part, coalesce(rdom, '(none)') AS key,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_a,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(NULL AS BIGINT) AS n_c,
+               CAST(NULL AS VARCHAR) AS ts_a,
+               CAST(NULL AS VARCHAR) AS ts_b,
+               CAST(NULL AS VARCHAR) AS text_md5
+        FROM rdd GROUP BY 1, 2
         )
         """
 
@@ -3714,7 +3814,8 @@ def oracle_sql() -> dict[str, str]:
         + _TRAPS_UNION
         + _MIRRORS_UNION
         + _REVALIDATE_UNION
-        + _HOST_DEGREE_UNION,
+        + _HOST_DEGREE_UNION
+        + _REG_DOMAIN_UNION,
     }
 
 

@@ -1156,6 +1156,8 @@ def apply_politeness(
     default_budget: int = 10,
     broadcast: bool | None = None,
     salt_buckets: int = 16,
+    key_col: str = "host",
+    budget_key: str = "host",
 ) -> DataFrame:
     """Per-host fetch budget: keep the top-`budget` URLs per host by
     (priority DESC, canon_url ASC) — an explicit total order, so the kept
@@ -1173,13 +1175,19 @@ def apply_politeness(
 
     hosts: (host, budget). ``broadcast`` as in apply_robots: at crawl scale
     this table is one row per HOST (10^7+), so the hint is opt-in; AQE
-    broadcasts it at runtime whenever it is actually small."""
-    budgets = hosts.select(F.col("host").alias("_bhost"), "budget")
+    broadcasts it at runtime whenever it is actually small.
+
+    ``key_col``/``budget_key``: the frontier-side budget key and the
+    matching column name in ``hosts`` — defaults group per host; pass a
+    registered-domain column (wbx.domains.apply_domain_politeness) to
+    budget whole site operators. The plan is key-agnostic: same single
+    window exchange, same salted two-phase shape."""
+    budgets = hosts.select(F.col(budget_key).alias("_bhost"), "budget")
     if broadcast:
         budgets = F.broadcast(budgets)
     f = frontier.join(
         budgets,
-        F.col("host") == F.col("_bhost"),
+        F.col(key_col) == F.col("_bhost"),
         "left",
     ).withColumn("_budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
     order = [F.col("priority").desc(), F.col("canon_url").asc()]
@@ -1187,14 +1195,14 @@ def apply_politeness(
         # salt from xxhash64(canon_url) (= url_hash) so no extra column is
         # required of the caller; participates in PARTITIONING only
         w_salt = Window.partitionBy(
-            "host", F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt_buckets))
+            key_col, F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt_buckets))
         ).orderBy(*order)
         f = (
             f.withColumn("_srank", F.row_number().over(w_salt))
             .filter(F.col("_srank") <= F.col("_budget"))
             .drop("_srank")
         )
-    w = Window.partitionBy("host").orderBy(*order)
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
         f.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= F.col("_budget"))
@@ -1544,6 +1552,7 @@ def crawl_round(
     seen_base: DataFrame | None = None,
     base_buckets: int | None = None,
     robots_style: str = "prefix",
+    politeness_scope: str = "host",
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
@@ -1585,7 +1594,12 @@ def crawl_round(
     (CheckpointStore.attach_seen_base); ``seen`` is then only the recent
     post-compaction deltas, and the exact membership check runs through
     :func:`filter_unseen_split` — the cumulative set never shuffles.
-    Bit-identical to passing the full union as ``seen``."""
+    Bit-identical to passing the full union as ``seen``.
+
+    ``politeness_scope``: 'host' (default — budgets per raw host) or
+    'registered_domain' (budgets per eTLD+1 via
+    wbx.domains.apply_domain_politeness, so subdomain farms share one
+    budget; ``hosts`` is then (domain, budget))."""
     if bloom is not None and cuckoo is not None:
         raise ValueError("pass at most one seen-sketch (bloom or cuckoo)")
     canon = with_canon_url(candidates.select("url", "priority")).select(
@@ -1618,7 +1632,18 @@ def crawl_round(
             unseen = apply_robots(unseen, robots, broadcast_small)
         else:
             raise ValueError("robots_style must be prefix | wildcard")
-    polite = apply_politeness(unseen, hosts, default_budget, broadcast_small)
+    if politeness_scope == "registered_domain":
+        from wbx.domains import apply_domain_politeness
+
+        polite = apply_domain_politeness(
+            unseen, hosts, default_budget, broadcast_small
+        )
+    elif politeness_scope == "host":
+        polite = apply_politeness(
+            unseen, hosts, default_budget, broadcast_small
+        )
+    else:
+        raise ValueError("politeness_scope must be host | registered_domain")
     return schedule_fetch_batch(
         polite, batch_size, boundary_cache=rank_boundary_cache
     ).select("canon_url", "url_hash", "host", "priority", "fetch_order")
