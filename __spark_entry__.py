@@ -2029,10 +2029,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Column transforms over documents, each on its own planted
         fixture): (cleaned_md5, keep) from the C4 gate, scrubbed_md5 from
         the PII pass, dedup_lines_md5 from remove_duplicate_lines over a
-        fixture with a planted repeated line, and (n_chunks, chunks_md5)
+        fixture with a planted repeated line, (n_chunks, chunks_md5)
         from chunk_documents(7, overlap 2) — the md5 of the '|'-joined
         chunk texts in chunk order, so window boundaries, overlap carry
-        and whitespace normalization are all value-pinned."""
+        and whitespace normalization are all value-pinned — and
+        (boiler_md5, n_boiler) from remove_boilerplate_lines(0.5): the one
+        CORPUS-level member (document-frequency count over hashed lines)
+        over a fixture planting two corpus-wide footer lines (stripped)
+        and a df=1/3 minority banner (kept)."""
         base = _c4_q(spark, sf).join(pii(spark, sf), "doc_id")
         docs = _t(spark, sf, "documents")
         planted = F.concat(
@@ -2067,7 +2071,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("chunks_md5"),
             )
         )
-        return base.join(rl, "doc_id").join(chunks, "doc_id")
+        bp_docs = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nShare on social media."),
+                F.lit("\nminor banner "),
+                F.pmod("doc_id", F.lit(3)),
+                F.lit("\nAll rights reserved 2024."),
+            ).alias("text"),
+        )
+        bp = textops.remove_boilerplate_lines(bp_docs, min_df_frac=0.5).select(
+            "doc_id",
+            F.md5("text").alias("boiler_md5"),
+            F.col("n_boiler_lines").alias("n_boiler"),
+        )
+        return (
+            base.join(rl, "doc_id").join(chunks, "doc_id").join(bp, "doc_id")
+        )
 
     q["text_clean"] = text_clean
 
@@ -3509,11 +3530,46 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, CAST(max(n_chunks) AS BIGINT) AS n_chunks,
                  md5(string_agg(chunk_text, '|' ORDER BY chunk_id)) AS chunks_md5
           FROM ch GROUP BY doc_id
+        ),
+        bpq AS (
+          -- remove_boilerplate_lines(min_df_frac=0.5, min_len=1): strip
+          -- every line whose document frequency reaches half the corpus
+          WITH d AS (
+            SELECT doc_id,
+                   text || chr(10) || 'Share on social media.'
+                        || chr(10) || 'minor banner ' || (doc_id % 3)
+                        || chr(10) || 'All rights reserved 2024.' AS t
+            FROM documents
+          ), tot AS (SELECT count(*) AS n FROM d),
+          lp AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+          l AS (
+            SELECT doc_id, lines[i] AS line, i AS pos
+            FROM lp, unnest(generate_series(1, len(lines))) AS g(i)
+          ),
+          fl AS (
+            SELECT line FROM (
+              SELECT line, count(DISTINCT doc_id) AS df
+              FROM l WHERE length(line) >= 1 GROUP BY line
+            ) q, tot WHERE q.df >= ceil(0.5 * tot.n)
+          ),
+          kept AS (
+            SELECT doc_id, line, pos FROM l
+            WHERE length(line) < 1 OR line NOT IN (SELECT line FROM fl)
+          ),
+          bagg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS bt,
+                   count(*) AS kn
+            FROM kept GROUP BY doc_id
+          ),
+          lcnt AS (SELECT doc_id, count(*) AS ln FROM l GROUP BY doc_id)
+          SELECT d.doc_id, md5(coalesce(bagg.bt, '')) AS boiler_md5,
+                 CAST(lcnt.ln - coalesce(bagg.kn, 0) AS BIGINT) AS n_boiler
+          FROM d LEFT JOIN bagg USING (doc_id) JOIN lcnt USING (doc_id)
         )
         SELECT doc_id, cleaned_md5, keep, scrubbed_md5, dedup_lines_md5,
-               n_chunks, chunks_md5
+               n_chunks, chunks_md5, boiler_md5, n_boiler
         FROM c4q JOIN piiq USING (doc_id) JOIN rlq USING (doc_id)
-                 JOIN chq USING (doc_id)
+                 JOIN chq USING (doc_id) JOIN bpq USING (doc_id)
         """,
         "corpus_top_tokens": f"""
         WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),

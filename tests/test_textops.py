@@ -448,6 +448,93 @@ class TestRemoveDuplicateLines:
         assert r["c2"] == r["c1"]
 
 
+class TestBoilerplateLines:
+    def _docs(self, spark):
+        # 'FOOTER' in all 6 docs; 'HALF' in 3 of 6 (exactly the 0.5
+        # threshold); 'rare i' unique per doc; blank lines everywhere
+        rows = [
+            (i, f"body {i}\nFOOTER\n" + ("HALF\n" if i % 2 == 0 else "") + f"\nrare {i}")
+            for i in range(6)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_frequent_lines_threshold(self, spark):
+        docs = self._docs(spark)
+        freq = textops.frequent_lines(docs, min_df_frac=0.5)
+        dfs = {
+            r["df"] for r in freq.collect()
+        }
+        # FOOTER df=6 and HALF df=3 (== ceil(0.5*6)) qualify; blank lines
+        # (len 0 < min_len 1) and per-doc uniques do not
+        assert dfs == {6, 3}
+        assert freq.count() == 2
+
+    def test_removal_rewrites_all_occurrences(self, spark):
+        docs = self._docs(spark)
+        out = {
+            r["doc_id"]: (r["text"], r["n_boiler_lines"])
+            for r in textops.remove_boilerplate_lines(
+                docs, min_df_frac=0.5
+            ).collect()
+        }
+        assert out[0] == ("body 0\n\nrare 0", 2)  # FOOTER + HALF dropped
+        assert out[1] == ("body 1\n\nrare 1", 1)  # FOOTER dropped
+        # blank line survives (below min_len, never counted or removed)
+
+    def test_all_lines_removed_doc(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "SAME"), (1, "SAME"), (2, "SAME\nextra")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["text"], r["n_boiler_lines"])
+            for r in textops.remove_boilerplate_lines(
+                docs, min_df_frac=0.9
+            ).collect()
+        }
+        assert out[0] == ("", 1)
+        assert out[2] == ("extra", 1)
+
+    def test_min_len_guard(self, spark):
+        # short repeated lines under min_len are immune
+        docs = spark.createDataFrame(
+            [(i, f"ok\nlong shared line\nu{i}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        out = textops.remove_boilerplate_lines(docs, min_df_frac=0.9, min_len=3)
+        got = out.filter(F.col("doc_id") == 0).first()
+        assert got["text"] == "ok\nu0"
+        assert got["n_boiler_lines"] == 1
+
+    def test_repeat_within_doc_counts_once(self, spark):
+        # one doc repeating a line 3× does not push it over a df threshold
+        docs = spark.createDataFrame(
+            [(0, "nav\nnav\nnav\nx"), (1, "a"), (2, "b"), (3, "c")],
+            "doc_id long, text string",
+        )
+        assert textops.frequent_lines(docs, min_df_frac=0.5).count() == 0
+
+    def test_out_col_and_staging_guard(self, spark):
+        docs = self._docs(spark)
+        out = textops.remove_boilerplate_lines(docs, out_col="clean")
+        assert "clean" in out.columns and "text" in out.columns
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="_bl_hashes"):
+            textops.remove_boilerplate_lines(
+                docs.withColumn("_bl_hashes", F.lit(1))
+            )
+
+    def test_count_shuffle_is_hash_only(self, spark):
+        # the df-count aggregate must not carry line text across the wire
+        docs = self._docs(spark)
+        plan = textops.frequent_lines(docs)._jdf.queryExecution().toString()
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "_line" not in m.group(1) and "text" not in m.group(1)
+
+
 class TestC4Clean:
     def test_line_rules(self, spark):
         text = (

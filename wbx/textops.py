@@ -1041,6 +1041,101 @@ def remove_duplicate_lines(text: Column) -> Column:
     )
 
 
+def _doc_line_hashes(
+    docs: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(id, line_hash) with one row per DISTINCT eligible line per document
+    — array_distinct runs map-side before the explode, so a document
+    repeating its nav header 50× still contributes df=1. Only the 8-byte
+    hash ever reaches an exchange; the line text stays in its scan task."""
+    eligible = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: F.length(l) >= F.lit(min_len),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(eligible)).alias("_line")
+    ).select(id_col, F.xxhash64("_line").alias("line_hash"))
+
+
+def frequent_lines(
+    docs: DataFrame,
+    min_df_frac: float = 0.5,
+    min_len: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(line_hash, df): lines whose DOCUMENT frequency reaches
+    ``min_df_frac`` of the corpus — the boilerplate candidates (cookie
+    banners, share bars, footers) that corpus-level curation strips
+    (CCNet / RefinedWeb run exactly this pass before quality scoring;
+    the reference engine has no corpus-level text stage at all).
+
+    Corpus-RELATIVE threshold so the same call works at any scale; lines
+    shorter than ``min_len`` never participate (the default 1 keeps blank
+    lines out — every document has those). Shuffle plan: the count groupBy
+    carries (line_hash) 8-byte keys only, with map-side combine (each doc
+    pre-distincts its lines, so partial counts are dense); the corpus size
+    joins in as a broadcast 1-row aggregate, never a driver action."""
+    counts = (
+        _doc_line_hashes(docs, id_col, text_col, min_len)
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") >= F.ceil(F.lit(min_df_frac) * F.col("_n_docs")))
+        .select("line_hash", "df")
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_df_frac: float = 0.5,
+    min_len: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: rewrite every document with the
+    :func:`frequent_lines` set stripped (ALL occurrences — unlike
+    remove_duplicate_lines, which is within-document and keeps the first).
+    Adds ``n_boiler_lines`` (how many line instances were dropped).
+
+    Scale shape: counting is hash-only (see frequent_lines). The rewrite
+    joins each document to the COMPACT per-document set of its matched
+    boilerplate hashes (collect_set over an (id, hash) semi-join — a few
+    longs per doc) and filters the line array inline; the text column
+    crosses exactly one id-keyed exchange for that join (none if the
+    corpus table is bucketed by id), the same late-rewrite class as
+    dedup_paragraphs. Membership is by 64-bit xxhash — exact up to hash
+    collision, the module-wide digest contract."""
+    out = out_col or text_col
+    if "_bl_hashes" in docs.columns:
+        raise ValueError("docs already has a '_bl_hashes' column")
+    freq = frequent_lines(docs, min_df_frac, min_len, id_col, text_col)
+    bl = (
+        _doc_line_hashes(docs, id_col, text_col, min_len)
+        .join(freq.select("line_hash"), "line_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("line_hash").alias("_bl_hashes"))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    is_boiler = lambda l: (F.length(l) >= F.lit(min_len)) & F.coalesce(
+        F.array_contains(F.col("_bl_hashes"), F.xxhash64(l)), F.lit(False)
+    )
+    kept = F.filter(lines, lambda l: ~is_boiler(l))
+    return (
+        docs.join(bl, id_col, "left")
+        .withColumn(
+            "n_boiler_lines",
+            (F.size(lines) - F.size(kept)).cast("long"),
+        )
+        .withColumn(out, F.array_join(kept, "\n"))
+        .drop("_bl_hashes")
+    )
+
+
 def c4_clean_lines(text: Column) -> Column:
     """C4-inspired line filter (Raffel et al. 2020 §2.2): keep only lines
     that end in terminal punctuation (. ! ? " '), contain at least 3
