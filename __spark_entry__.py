@@ -1923,11 +1923,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top bigram share and duplicate 5-gram character fraction; each
     # shuffle carries (doc_id, gram), never the text. Full-outer joined:
     # docs below the gram-count floor of one statistic keep a NULL there.
+    # Third member: ExactSubstr duplicate-span removal (Lee et al. ACL'22,
+    # wbx.textops.dedup_substrings) — every token covered by a 12-token
+    # window whose hash repeats corpus-wide is dropped from ALL copies; the
+    # portable md5 hasher lets the oracle pin the duplicated-window counts,
+    # removed-token counts, and the md5 of every cleaned document.
     def ngram_stats(spark, sf):
         docs = _t(spark, sf, "documents")
         top = textops.top_ngram_frac(docs, n=2)
         dup = textops.dup_ngram_char_frac(docs, n=5)
-        return top.join(dup, "doc_id", "full_outer")
+        sub = textops.dedup_substrings(
+            docs, window=12, hasher=textops.md5_hash60
+        ).select(
+            "doc_id",
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        return top.join(dup, "doc_id", "full_outer").join(
+            sub, "doc_id", "full_outer"
+        )
 
     q["text_ngram_stats"] = ngram_stats
 
@@ -3432,9 +3447,51 @@ def oracle_sql() -> dict[str, str]:
                  round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
                        / sum(cnt * length(gram)), 6) AS dup_ngram_char_frac
           FROM c GROUP BY doc_id
+        ),
+        subq AS (
+          -- ExactSubstr (Lee et al.): 12-token window grams under the
+          -- portable md5 hasher; any gram with corpus count >= 2 marks its
+          -- covered tokens for removal in every copy
+          WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                     WHERE text IS NOT NULL),
+          g AS (
+            SELECT doc_id, i.i AS pos,
+                   CAST(concat('0x', substr(md5(array_to_string(toks[i.i:i.i+11], ' ')), 1, 15)) AS BIGINT) AS gram
+            FROM t, unnest(generate_series(1, len(toks) - 11)) AS i(i)
+            WHERE len(toks) >= 12
+          ),
+          dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          hits AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+          tok AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS j
+                  FROM t WHERE len(toks) >= 1),
+          keepq AS (
+            SELECT tok.doc_id, tok.j, tok.toks[tok.j] AS w,
+                   NOT EXISTS (SELECT 1 FROM hits h
+                               WHERE h.doc_id = tok.doc_id
+                                 AND h.pos <= tok.j AND tok.j < h.pos + 12) AS keep
+            FROM tok
+          ),
+          remq AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+                   md5(coalesce(string_agg(w, ' ' ORDER BY j) FILTER (WHERE keep), '')) AS clean_md5
+            FROM keepq GROUP BY doc_id
+          ),
+          nwq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+                  FROM hits GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CASE WHEN d.text IS NULL THEN NULL
+                      ELSE coalesce(nwq.n_dup_windows, 0) END AS n_dup_windows,
+                 CASE WHEN d.text IS NULL THEN NULL
+                      ELSE coalesce(remq.n_removed, 0) END AS n_removed,
+                 CASE WHEN d.text IS NULL THEN NULL
+                      ELSE coalesce(remq.clean_md5, md5('')) END AS clean_md5
+          FROM documents d
+          LEFT JOIN nwq USING (doc_id) LEFT JOIN remq USING (doc_id)
         )
-        SELECT doc_id, top_ngram_frac, dup_ngram_char_frac
-        FROM topq FULL JOIN dupq USING (doc_id)
+        SELECT doc_id, top_ngram_frac, dup_ngram_char_frac,
+               n_dup_windows, n_removed, clean_md5
+        FROM topq FULL JOIN dupq USING (doc_id) FULL JOIN subq USING (doc_id)
         """,
         "dedup_decontaminate": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -1023,3 +1023,119 @@ class TestScoreBuckets:
         }
         assert got == {1: 1, 0: 2}  # NULL excluded; NTILE = rank when N < n
         release_rank_caches()
+
+
+def py_dedup_substrings(texts, window, min_count=2):
+    """Driver-side ExactSubstr reference: string window-grams (no hashing),
+    corpus-wide occurrence counts, all copies of duplicated spans removed."""
+    from collections import Counter
+
+    toks = {
+        i: re.findall("[a-z0-9]+", t.lower())
+        for i, t in enumerate(texts)
+        if t is not None
+    }
+    cnt = Counter()
+    grams = {}
+    for i, ts in toks.items():
+        g = [" ".join(ts[p : p + window]) for p in range(len(ts) - window + 1)]
+        grams[i] = g
+        cnt.update(g)
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        ndw = 0
+        for p, gr in enumerate(grams[i]):
+            if cnt[gr] >= min_count:
+                ndw += 1
+                covered.update(range(p, p + window))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (len(ts), ndw, len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+class TestDedupSubstrings:
+    def _run(self, spark, texts, window, **kw):
+        out = textops.dedup_substrings(docs_df(spark, texts), window=window, **kw)
+        return {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_dup_windows"],
+                r["n_removed"],
+                r["clean_text"],
+            )
+            for r in out.collect()
+        }
+
+    def test_cross_doc_span_removed_from_all_copies(self, spark):
+        shared = "one two three four five"
+        texts = [f"alpha beta {shared} gamma", f"delta {shared} epsilon zeta"]
+        got = self._run(spark, texts, window=5)
+        # the 5-token shared run is the only duplicated window; ALL copies drop
+        assert got[0] == (8, 1, 5, "alpha beta gamma")
+        assert got[1] == (8, 1, 5, "delta epsilon zeta")
+
+    def test_within_doc_repeat_counts_as_duplicate(self, spark):
+        texts = ["x y z q r mid x y z q r tail", "unrelated words here"]
+        got = self._run(spark, texts, window=5)
+        assert got[0] == (12, 2, 10, "mid tail")
+        assert got[1] == (3, 0, 0, "unrelated words here")
+
+    def test_null_and_short_docs(self, spark):
+        texts = [None, "tiny doc", "a much longer doc with enough tokens here"]
+        got = self._run(spark, texts, window=5)
+        assert got[0] == (None, None, None, None)
+        assert got[1] == (2, 0, 0, "tiny doc")
+        assert got[2][1:3] == (0, 0)
+
+    def test_matches_python_reference(self, spark):
+        # overlapping spans, triple repeats, punctuation-noise tokenization
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        texts = [
+            base + " first tail",
+            "prefix words " + base,
+            base + " " + base,  # doubled within one doc
+            "Entirely distinct content, with punctuation! And CASE.",
+            None,
+        ]
+        w = 6
+        exp = py_dedup_substrings(texts, w)
+        got = self._run(spark, texts, window=w)
+        for i, e in exp.items():
+            assert got[i] == e, (i, got[i], e)
+        assert got[4] == (None, None, None, None)
+
+    def test_partition_independence(self, spark):
+        texts = [f"doc {i % 3} shared run of common tokens here tail {i}" for i in range(30)]
+        df = docs_df(spark, texts)
+        a = sorted(
+            map(tuple, textops.dedup_substrings(df, window=6).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                textops.dedup_substrings(df.repartition(7), window=6).collect(),
+            )
+        )
+        assert a == b
+
+    def test_exchanges_carry_no_text(self, spark):
+        import contextlib
+        import io
+        import re as _re
+
+        df = textops.dedup_substrings(
+            docs_df(spark, ["a b c d e f g", "a b c d e f g h"]), window=5
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        args = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert args, plan
+        assert all("text#" not in a for a in args), plan
+
+    def test_staging_collision_raises(self, spark):
+        df = docs_df(spark, ["a b c"]).withColumn("_ss", F.lit(1))
+        with pytest.raises(ValueError, match="_ss"):
+            textops.dedup_substrings(df, window=3)

@@ -893,6 +893,112 @@ def dedup_paragraphs(
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_window_starts(
+    documents: DataFrame,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher=F.xxhash64,
+    min_count: int = 2,
+) -> DataFrame:
+    """Start positions (0-based token index) of every length-``window``
+    token span whose hash occurs >= ``min_count`` times corpus-wide —
+    within-document repeats count toward the total, matching suffix-array
+    occurrence counting.
+
+    Scale shape: the only URL-cardinality data in motion is
+    (gram int64) for the occurrence count and (id, pos, gram) for the
+    confirming semi-join — document text never leaves its scan task. Both
+    stages shuffle on `gram`, so AQE reuses one exchange; the count
+    aggregate is map-side combinable."""
+    grams = documents.select(
+        F.col(id_col),
+        F.posexplode(rolling_hashes(F.col(text_col), window, hasher)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("gram")
+    )
+    return grams.join(dup, "gram", "left_semi").select(id_col, "pos")
+
+
+def dedup_substrings(
+    documents: DataFrame,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher=F.xxhash64,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span removal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): drop every token
+    covered by a length-``window`` token span that occurs >= ``min_count``
+    times across the corpus. ALL copies are removed — the paper's ExactSubstr
+    cuts both occurrences and finds it does not hurt the model; it also makes
+    the result order- and partitioning-independent (no "first copy wins" tie
+    to break). The suffix array of the paper is replaced by fixed-granularity
+    Karp-Rabin window hashes (`rolling_hashes`): any duplicated run of
+    >= window tokens is caught exactly at token granularity; runs shorter
+    than ``window`` are below the removal threshold by definition.
+
+    Returns one row per input document:
+      (id, n_tokens, n_dup_windows, n_removed, clean_text)
+    where clean_text is the space-joined surviving tokens (the canonical
+    tokenizer normalizes whitespace/punctuation, so downstream consumers get
+    token-stream semantics, not byte-identical text). NULL text stays NULL.
+
+    Scale shape: `duplicate_window_starts` moves longs only; the per-doc
+    start positions aggregate to one int-array row per *affected* document,
+    so the final left join is broadcast-eligible (AQE decides) and untouched
+    documents stream through without their text crossing an exchange
+    (plan-guarded in tests/test_plans.py)."""
+    assert_staging_free(documents, ("_ss", "_toks", "_kept"), "dedup_substrings")
+    starts = (
+        duplicate_window_starts(
+            documents, window, text_col, id_col, hasher, min_count
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ss"))
+    )
+    staged = (
+        documents.join(starts, id_col, "left")
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn(
+            # token i survives unless some duplicated window [s, s+window)
+            # covers it; _ss is sorted but exists() is already JVM-side and
+            # O(|_ss|) only for documents that contain duplicated spans
+            "_kept",
+            F.filter(
+                F.col("_toks"),
+                lambda t, i: ~F.exists(
+                    F.coalesce(F.col("_ss"), F.array().cast("array<int>")),
+                    lambda s: (s <= i) & (i < s + F.lit(window)),
+                ),
+            ),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.coalesce(F.size("_ss"), F.lit(0)))
+        .alias("n_dup_windows"),
+        (F.size("_toks") - F.size("_kept")).alias("n_removed"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", F.col("_kept")))
+        .alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
 
