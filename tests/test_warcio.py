@@ -982,3 +982,130 @@ class TestWetExport:
         assert rows[0]["warc_type"] is None
         lines = warcio.scan_files_to_unparsable(files).collect()
         assert any(b"WARC-Target-URI" in bytes(r["bytes"]) for r in lines)
+
+
+class TestWarcDedupedExport:
+    """export_warc_deduped writes first captures verbatim and later
+    captures as slim WARC 1.1 revisit records (identical-payload-digest
+    profile), re-readable by the engine's own scanner."""
+
+    DUP = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>duplicated payload body</html>"
+    UNIQ = b"HTTP/1.1 200 OK\r\nX: u\r\n\r\nunique body"
+
+    @staticmethod
+    def _rec(uri: bytes, date: bytes, body: bytes, warc_type=b"response"):
+        """Wire record WITHOUT the CRLFCRLF terminator (write_warc_gz adds it)."""
+        return (
+            b"WARC/1.1\r\nWARC-Type: " + warc_type +
+            b"\r\nWARC-Target-URI: " + uri +
+            b"\r\nWARC-Date: " + date +
+            b"\r\nContent-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            + CRLF + body
+        )
+
+    def _records(self, spark):
+        a = warcio.write_warc_gz(
+            [
+                self._rec(b"http://e.com/1", b"2024-01-01T00:00:01Z", self.DUP),
+                self._rec(
+                    b"http://e.com/1", b"2024-01-01T00:00:01Z",
+                    b"GET /1 HTTP/1.1\r\n\r\n", warc_type=b"request",
+                ),
+                self._rec(b"http://e.com/2", b"2024-01-01T00:00:02Z", self.UNIQ),
+            ]
+        )
+        b = warcio.write_warc_gz(
+            [self._rec(b"http://e.com/3", b"2024-02-02T00:00:03Z", self.DUP)]
+        )
+        files = spark.createDataFrame(
+            [("a.warc.gz", bytearray(a)), ("b.warc.gz", bytearray(b))],
+            "source_file string, content binary",
+        )
+        return warcio.scan_files_to_records(files)
+
+    def _rescan(self, spark, out):
+        import glob
+        import os
+
+        files = spark.createDataFrame(
+            [
+                (os.path.basename(p), bytearray(open(p, "rb").read()))
+                for p in sorted(glob.glob(out + "/*.warc.gz"))
+            ],
+            "source_file string, content binary",
+        )
+        return warcio.scan_files_to_records(files).collect()
+
+    def test_roundtrip_keepers_verbatim_revisit_slim(self, spark, tmp_path):
+        from wbx.sinks import export_warc_deduped
+
+        out = str(tmp_path / "dedup")
+        manifest = export_warc_deduped(self._records(spark), out, files=1).collect()
+        assert sum(m["n_records"] for m in manifest) == 4
+
+        rows = {r["target_uri"]: r for r in self._rescan(spark, out)}
+        assert len(rows) == 4 - 1  # /1 appears as response + request
+        # first capture of the duplicated payload: byte-identical keeper
+        by_type = {}
+        for r in self._rescan(spark, out):
+            by_type.setdefault((r["target_uri"], r["warc_type"]), r)
+        keeper = by_type[("http://e.com/1", "response")]
+        assert bytes(keeper["content_block"]) == self.DUP
+        uniq = by_type[("http://e.com/2", "response")]
+        assert bytes(uniq["content_block"]) == self.UNIQ
+        req = by_type[("http://e.com/1", "request")]
+        assert bytes(req["content_block"]) == b"GET /1 HTTP/1.1\r\n\r\n"
+
+        # later capture became a slim revisit: HTTP headers kept, body gone
+        rev = by_type[("http://e.com/3", "revisit")]
+        assert bytes(rev["content_block"]) == (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        )
+        assert rev["content_length"] == len(bytes(rev["content_block"]))
+        hdr = bytes(rev["header_bytes"]).decode()
+        assert (
+            "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+            "identical-payload-digest" in hdr
+        )
+        import hashlib
+
+        assert f"WARC-Payload-Digest: sha1:{hashlib.sha1(self.DUP).hexdigest()}" in hdr
+        assert "WARC-Refers-To-Target-URI: http://e.com/1" in hdr
+        assert "WARC-Refers-To-Date: 2024-01-01T00:00:01Z" in hdr
+        assert "WARC-Refers-To-Filename: a.warc.gz" in hdr
+        assert "WARC-Refers-To-File-Offset: 0" in hdr
+        assert rev["warc_date"] == "2024-02-02T00:00:03Z"
+
+        # the duplicated payload body exists exactly ONCE in the export
+        # (the keeper's copy) — that is the dedup: at real duplication
+        # rates the dropped bodies dwarf the ~300 bytes of revisit headers
+        import glob
+        import gzip as _gz
+
+        blob = b"".join(
+            _gz.decompress(open(p, "rb").read())
+            for p in sorted(glob.glob(out + "/*.warc.gz"))
+        )
+        assert blob.count(b"<html>duplicated payload body</html>") == 1
+
+    def test_deterministic_across_partitionings(self, spark, tmp_path):
+        from wbx.sinks import export_warc_deduped
+
+        out1 = str(tmp_path / "d1")
+        out2 = str(tmp_path / "d2")
+        export_warc_deduped(self._records(spark), out1, files=1).collect()
+        export_warc_deduped(
+            self._records(spark).repartition(5), out2, files=1
+        ).collect()
+        import glob
+
+        b1 = b"".join(open(p, "rb").read() for p in sorted(glob.glob(out1 + "/*")))
+        b2 = b"".join(open(p, "rb").read() for p in sorted(glob.glob(out2 + "/*")))
+        assert b1 == b2 and len(b1) > 0
+
+    def test_missing_columns_raise(self, spark):
+        from wbx.sinks import export_warc_deduped
+
+        with pytest.raises(ValueError, match="warc_date"):
+            export_warc_deduped(self._records(spark).drop("warc_date"), "/tmp/x")

@@ -627,11 +627,16 @@ def mark_revisits(records: DataFrame) -> DataFrame:
     of archive bytes).
 
     Adds (digest, is_revisit, refers_to_file, refers_to_start) to every
-    row; non-response records pass through unmarked (digest NULL). The
-    window and its self-annotation shuffle ONLY (digest, file, start) —
-    payload columns stay with their rows and never ride the exchange
-    twice: the digest is computed map-side, the winner lookup is a
-    first() window on the digest key."""
+    row; non-response records pass through unmarked (digest NULL). When
+    the input also carries (target_uri, warc_date) — the scanner's
+    standard projection — the first capture's uri/date are annotated as
+    (refers_to_uri, refers_to_date) through the same window, so a revisit
+    writer (sinks.export_warc_deduped) can emit the WARC 1.1
+    WARC-Refers-To-Target-URI / WARC-Refers-To-Date headers without a
+    second lookup. The window and its self-annotation shuffle ONLY
+    (digest, file, start) — payload columns stay with their rows and
+    never ride the exchange twice: the digest is computed map-side, the
+    winner lookup is a first() window on the digest key."""
     is_resp = F.col("warc_type") == "response"
     staged = records.withColumn(
         "digest", F.when(is_resp, F.sha1(F.col("content_block")))
@@ -642,7 +647,7 @@ def mark_revisits(records: DataFrame) -> DataFrame:
     not_first = (F.col("source_file") != first_file) | (
         F.col("record_start") != first_start
     )
-    return (
+    out = (
         staged.withColumn(
             "is_revisit",
             F.when(F.col("digest").isNotNull() & not_first, F.lit(True)).otherwise(
@@ -656,3 +661,12 @@ def mark_revisits(records: DataFrame) -> DataFrame:
             "refers_to_start", F.when(F.col("is_revisit"), first_start)
         )
     )
+    if {"target_uri", "warc_date"} <= set(records.columns):
+        out = out.withColumn(
+            "refers_to_uri",
+            F.when(F.col("is_revisit"), F.first("target_uri").over(w)),
+        ).withColumn(
+            "refers_to_date",
+            F.when(F.col("is_revisit"), F.first("warc_date").over(w)),
+        )
+    return out
