@@ -564,3 +564,28 @@ class TestCurateCommand:
         from wbx.frontier import release_rank_caches
 
         release_rank_caches()
+
+
+class TestDedupWarcCli:
+    def test_manifest_and_revisit_roundtrip(self, warc_dir, tmp_path, capsys):
+        """dedup-warc end-to-end: b.warc's two identical 'BB' payloads
+        collapse to one keeper + one revisit; the deduped dir re-enters
+        the engine through plain `summarize`."""
+        out_dir = str(tmp_path / "deduped")
+        out = json.loads(
+            run_cli(
+                capsys,
+                [
+                    "dedup-warc", "--input", warc_dir,
+                    "--output-dir", out_dir, "--files", "1",
+                ],
+            )
+        )
+        rows = out["dedup_warc"]
+        assert sum(r["n_records"] for r in rows) == 6
+        assert all(r["path"].startswith(out_dir) for r in rows)
+
+        out2 = json.loads(run_cli(capsys, ["summarize", "--input", out_dir]))
+        assert out2["record_count"] == 6
+        types = {t["warc_type"]: t["n"] for t in out2["record_types"]}
+        assert types == {"response": 5, "revisit": 1}

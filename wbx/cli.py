@@ -362,6 +362,22 @@ def cmd_cdx(args) -> None:
     _emit({"cdx": [r.asDict() for r in rows]}, args.format)
 
 
+def cmd_dedup_warc(args) -> None:
+    """Deduplicated WARC export: first capture of each distinct response
+    payload written verbatim, repeats as slim WARC 1.1 revisit records
+    (identical-payload-digest profile); prints the manifest."""
+    from wbx.sinks import export_warc_deduped
+
+    spark = _spark("dedup-warc")
+    records = load_records(
+        spark, args.input, args.input_format, args.style,
+        gz_style=args.gz_style, split_target_bytes=_split_bytes(args),
+    )
+    manifest = export_warc_deduped(records, args.output_dir, files=args.files)
+    rows = manifest.orderBy("path").collect()
+    _emit({"dedup_warc": [r.asDict() for r in rows]}, args.format)
+
+
 def cmd_wet(args) -> None:
     """WET export: Common-Crawl-style conversion-record sidecars from a
     pages parquet table (input_hint shape: url, warc_ts, text); prints the
@@ -574,6 +590,13 @@ def main(argv=None) -> int:
     s = sub.add_parser("cdx")
     common(s)
     s.set_defaults(fn=cmd_cdx)
+
+    s = sub.add_parser("dedup-warc")
+    common(s)
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--files", type=int, default=None,
+                   help="repartition to N deterministic output files")
+    s.set_defaults(fn=cmd_dedup_warc)
 
     s = sub.add_parser("wet")
     s.add_argument("--input", required=True,
