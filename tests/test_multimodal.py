@@ -16,12 +16,17 @@ PAYLOADS = [
     (1, b"\xff\xd8\xff\xe0" + b"\x00" * 50, "image", "jpeg"),
     (2, b"GIF89a" + b"\x01\x02" * 8, "image", "gif"),
     (3, b"GIF87a" + b"x", "image", "gif"),
-    (4, b"RIFF\x24\x00WAVE", "audio", "riff"),
+    (4, b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio", "wav"),
     (5, b"ID3\x03" + b"mp3" * 5, "audio", "mp3"),
     (6, b"\x00\x00\x00\x18ftypmp42", "video", "mp4"),
     (7, b"just plain text", "unknown", "unknown"),
     (8, b"", "unknown", "empty"),
     (9, None, "unknown", "empty"),
+    # RIFF is a container family — the fourcc at offset 8 discriminates
+    (10, b"RIFF\x10\x00\x00\x00WEBPVP8L", "image", "webp"),
+    (11, b"RIFF\x10\x00\x00\x00AVI LIST", "video", "avi"),
+    (12, b"RIFF\x04\x00\x00\x00JUNK", "unknown", "riff"),
+    (13, b"RIFFtrunc", "unknown", "riff"),  # too short for a fourcc
 ]
 
 
@@ -161,6 +166,78 @@ class TestDecodeSeam:
             pytest.skip("Pillow present: JPEG path exercised by Pillow")
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
+
+
+def _webp_bytes(width, height, pixels):
+    """Losslessly encode RGB8 pixels with the system libwebp encoder —
+    fixture built through a different code path (VP8L encode) than the one
+    under test (WebPDecodeRGBInto), so the roundtrip is a real check."""
+    import ctypes
+
+    lib = ctypes.CDLL("libwebp.so.7")
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    out = ctypes.c_void_p()
+    n = lib.WebPEncodeLosslessRGB(
+        bytes(pixels), width, height, width * 3, ctypes.byref(out)
+    )
+    assert n > 0
+    data = ctypes.string_at(out.value, n)
+    lib.WebPFree(out)
+    return data
+
+
+class TestWebPDecode:
+    """Real WebP decode through the system libwebp ctypes binding."""
+
+    @pytest.mark.skipif(
+        multimodal._libwebp is None, reason="no system libwebp on host"
+    )
+    def test_lossless_roundtrip_exact_pixels(self):
+        px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]  # 2x2 RGB
+        data = _webp_bytes(2, 2, px)
+        assert multimodal.sniff_bytes(data) == ("image", "webp")
+        w, h, mode, out = multimodal.decode_image(data)
+        assert (w, h, mode) == (2, 2, "RGB")
+        assert list(out) == px
+
+    @pytest.mark.skipif(
+        multimodal._libwebp is None, reason="no system libwebp on host"
+    )
+    def test_corrupt_webp_raises_decode_error(self):
+        good = _webp_bytes(4, 3, list(range(36)))
+        bad = good[:20] + b"\x00" * (len(good) - 20)
+        with pytest.raises(multimodal.ImageDecodeError):
+            multimodal.decode_image(bad)
+        # truncated mid-header: malformed, never a crash
+        with pytest.raises(multimodal.ImageDecodeError):
+            multimodal.decode_image(good[:16])
+
+    @pytest.mark.skipif(
+        multimodal._libwebp is None, reason="no system libwebp on host"
+    )
+    def test_decode_images_stage_mixed_containers(self, spark):
+        """PNG and WebP decode side by side in one mapInPandas stage;
+        corrupt rows degrade to error rows."""
+        px = [1, 2, 3, 4, 5, 6]
+        rows = [
+            (1, bytearray(_png_bytes(2, 1, px))),
+            (2, bytearray(_webp_bytes(2, 1, px))),
+            (3, bytearray(b"RIFF\x10\x00\x00\x00WEBPgarbage!")),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in multimodal.decode_images(df).collect()}
+        for mid in (1, 2):
+            assert (got[mid]["width"], got[mid]["height"]) == (2, 1)
+            assert list(got[mid]["pixels"]) == px
+            assert got[mid]["error"] is None
+        assert got[3]["pixels"] is None and got[3]["error"]
 
 
 class TestResize:

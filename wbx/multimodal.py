@@ -8,10 +8,12 @@ partition sizing, UDF signatures) is real and tested:
 - :func:`media_features` — deterministic fake featurizer standing in for a
   decode→embed kernel, same signature/batching a real one would have;
 - :func:`decode_image` — REAL for PNG (system libpng via ctypes, the
-  wbx.codecs binding pattern; Pillow is used instead when importable);
-  other formats raise NotImplementedError from the clearly-marked seam
-  (libjpeg's classic API needs setjmp error hooks ctypes cannot provide —
-  see the _PngImage comment);
+  wbx.codecs binding pattern) and WebP (system libwebp — its pure
+  return-code API is exactly as ctypes-safe as libpng's simplified read,
+  and WebP is the modern web's dominant image container); Pillow is used
+  instead when importable. JPEG raises NotImplementedError from the
+  clearly-marked seam (libjpeg's classic API needs setjmp error hooks
+  ctypes cannot provide — see the _PngImage comment);
 - :func:`decode_audio` / :func:`decode_audios` — REAL for WAV (stdlib
   RIFF parse; PCM reduced to rate/duration/RMS/peak features inside the
   Arrow batch, raw audio never leaves the task).
@@ -48,15 +50,25 @@ _MAGIC = [
     (b"\xff\xd8\xff", "image", "jpeg"),
     (b"GIF87a", "image", "gif"),
     (b"GIF89a", "image", "gif"),
-    (b"RIFF", "audio", "riff"),
     (b"ID3", "audio", "mp3"),
     (b"\x00\x00\x00", "video", "mp4"),  # ftyp boxes start with size prefix
 ]
+
+# RIFF is a family, not a format: the fourcc at offset 8 names the payload.
+# A bare "RIFF" prefix match would call every WebP image and AVI video an
+# audio file.
+_RIFF_FOURCC = {
+    b"WEBP": ("image", "webp"),
+    b"WAVE": ("audio", "wav"),
+    b"AVI ": ("video", "avi"),
+}
 
 
 def sniff_bytes(data: bytes | None) -> tuple[str, str]:
     if not data:
         return "unknown", "empty"
+    if bytes(data[:4]) == b"RIFF":
+        return _RIFF_FOURCC.get(bytes(data[8:12]), ("unknown", "riff"))
     for magic, kind, container in _MAGIC:
         if data.startswith(magic):
             return kind, container
@@ -153,6 +165,50 @@ def _load_libpng():
 
 _libpng = _load_libpng()
 
+
+def _load_libwebp():
+    """libwebp's decode API is pure return codes (NULL on corrupt input,
+    verified: no longjmp, no exit()), so it is as ctypes-safe as libpng's
+    simplified read — unlike libjpeg (see _PngImage)."""
+    import ctypes.util
+
+    for name in ("libwebp.so.7", "libwebp.so"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    else:
+        found = ctypes.util.find_library("webp")
+        if not found:
+            return None
+        try:
+            lib = ctypes.CDLL(found)
+        except OSError:
+            return None
+    try:
+        lib.WebPGetInfo.restype = ctypes.c_int
+        lib.WebPGetInfo.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.WebPDecodeRGBInto.restype = ctypes.c_void_p
+        lib.WebPDecodeRGBInto.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+        ]
+    except AttributeError:
+        return None
+    return lib
+
+
+_libwebp = _load_libwebp()
+
 try:  # Pillow decodes everything when present; libpng covers PNG otherwise
     from PIL import Image as _PILImage  # type: ignore[import-not-found]
 except ImportError:  # pragma: no cover
@@ -164,12 +220,12 @@ def decode_image(data: bytes) -> tuple[int, int, str, bytes]:
     pixels row-major RGB8, stride = width*3.
 
     Decoder probe order: Pillow when importable (any container), else the
-    system libpng via ctypes (PNG only — see _PngImage for why libjpeg's
-    classic C API can't be bound the same way). Raises ImageDecodeError on
-    corrupt input and NotImplementedError only when NO decoder for the
-    container exists on the host — the pipeline around this seam
-    (sniffing, batching, resize geometry, feature shape) is real and
-    tested either way."""
+    system libpng / libwebp via ctypes (PNG and WebP — see _PngImage for
+    why libjpeg's classic C API can't be bound the same way). Raises
+    ImageDecodeError on corrupt input and NotImplementedError only when NO
+    decoder for the container exists on the host — the pipeline around
+    this seam (sniffing, batching, resize geometry, feature shape) is real
+    and tested either way."""
     if data is None or len(data) == 0:
         raise ImageDecodeError("empty payload")
     if _PILImage is not None:
@@ -203,10 +259,26 @@ def decode_image(data: bytes) -> tuple[int, int, str, bytes]:
                 f"libpng: {img.message.decode('utf-8', 'replace')}"
             )
         return int(img.width), int(img.height), "RGB", out.raw
+    is_webp = (
+        len(data) >= 12
+        and bytes(data[:4]) == b"RIFF"
+        and bytes(data[8:12]) == b"WEBP"
+    )
+    if is_webp and _libwebp is not None:
+        buf = bytes(data)
+        w, h = ctypes.c_int(), ctypes.c_int()
+        if not _libwebp.WebPGetInfo(buf, len(buf), ctypes.byref(w), ctypes.byref(h)):
+            raise ImageDecodeError("libwebp: malformed WebP header")
+        n_out = w.value * h.value * 3
+        out = ctypes.create_string_buffer(n_out)
+        # returns the output pointer on success, NULL on corrupt payload
+        if not _libwebp.WebPDecodeRGBInto(buf, len(buf), out, n_out, w.value * 3):
+            raise ImageDecodeError("libwebp: corrupt WebP payload")
+        return w.value, h.value, "RGB", out.raw
     raise NotImplementedError(
         "no decoder available for this payload on this host: Pillow is not "
-        "installed and the system libpng simplified API "
-        f"{'cannot decode non-PNG containers' if _libpng is not None else 'is unavailable'}"
+        "installed and the system libpng/libwebp bindings "
+        f"{'cover only PNG and WebP' if (_libpng or _libwebp) is not None else 'are unavailable'}"
     )
 
 
