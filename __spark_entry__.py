@@ -1731,8 +1731,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + resize geometry as one per-media row (sniff_media's (kind,
         container, n_bytes) joined with resize_images' (width, height,
         n_pixels)); part='frame_plan' is the video frame-sampling fan-out
-        plan (media_id, frame_index) with the other columns NULL. Every
-        underlying value stays individually oracle-pinned."""
+        plan (media_id, frame_index) with the other columns NULL;
+        part='dims' is media_dimensions' header-only geometry parse
+        (container, width, height — no pixel decode) over four constant
+        REAL image headers picked by doc_id%4 (PNG IHDR, JPEG SOF0, GIF
+        screen descriptor, WebP VP8X canvas), so the parsed geometry is
+        oracle-pinned per container. Every underlying value stays
+        individually oracle-pinned."""
+        import struct as _struct
+        import zlib as _zlib
+
         from wbx import multimodal
 
         media = _media(spark, sf)
@@ -1765,7 +1773,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("long").alias("n_pixels"),
             F.col("frame_index").cast("long").alias("frame_index"),
         )
-        return meta.unionByName(frames)
+        # four constant REAL image headers — valid container metadata, so
+        # media_dimensions parses true geometry (no pixel decode involved)
+        def _chk(typ, data):
+            return (
+                _struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data))
+            )
+
+        png = b"\x89PNG\r\n\x1a\n" + _chk(
+            b"IHDR", _struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        )
+        jpeg = (
+            b"\xff\xd8\xff\xe0" + _struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+            + b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08"
+            + _struct.pack(">HH", 480, 640)
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        gif = b"GIF89a" + _struct.pack("<HH", 7, 5) + b"\x00\x00\x00"
+        vp8x = (
+            b"\x00\x00\x00\x00"
+            + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+        )
+        webp = (
+            b"RIFF" + (4 + 8 + len(vp8x)).to_bytes(4, "little") + b"WEBP"
+            + b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+        )
+        hdr = (
+            F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(png))
+            .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(jpeg))
+            .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(gif))
+            .otherwise(F.lit(webp))
+        )
+        dims_media = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id"), hdr.alias("payload")
+        )
+        dims = multimodal.media_dimensions(dims_media).select(
+            "media_id",
+            F.lit("dims").alias("part"),
+            F.lit(None).cast("string").alias("kind"),
+            "container",
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.lit(None).cast("long").alias("n_pixels"),
+            F.lit(None).cast("long").alias("frame_index"),
+        )
+        return meta.unionByName(frames).unionByName(dims)
 
     q["multimodal_meta"] = mm_meta
 
@@ -3361,6 +3416,19 @@ def oracle_sql() -> dict[str, str]:
                                       WHEN 2 THEN 6 ELSE 3 END)) / 1000.0) AS BIGINT),
                           1) AS n
           FROM documents)
+        UNION ALL
+        SELECT doc_id AS media_id, 'dims' AS part,
+               CAST(NULL AS VARCHAR) AS kind,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'gif' ELSE 'webp' END AS container,
+               CAST(NULL AS BIGINT) AS n_bytes,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 640
+                                    WHEN 2 THEN 7 ELSE 100 END AS BIGINT) AS width,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 480
+                                    WHEN 2 THEN 5 ELSE 50 END AS BIGINT) AS height,
+               CAST(NULL AS BIGINT) AS n_pixels,
+               CAST(NULL AS BIGINT) AS frame_index
+        FROM documents
         """,
         "a_windowed_counts": """
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -331,3 +331,86 @@ class TestAudioDecode:
         )
         r = decode_audios(media).collect()[0]
         assert r["error"] is None and r["n_frames"] == 800 and r["rms"] > 0
+
+
+def _jpeg_header_bytes(width, height):
+    """Minimal JPEG prefix: SOI + APP0 stub + SOF0 — enough for header
+    geometry (a full entropy-coded body isn't needed to test the SOF walk)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof
+
+
+class TestImageDimensions:
+    """Header-only geometry parse — no decoder, covers JPEG too."""
+
+    def test_png_gif_jpeg_goldens(self):
+        from wbx.multimodal import image_dimensions
+
+        assert image_dimensions(_png_bytes(5, 3, [0] * 45)) == (5, 3, "png")
+        gif = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 3
+        assert image_dimensions(gif) == (7, 9, "gif")
+        assert image_dimensions(_jpeg_header_bytes(640, 480)) == (640, 480, "jpeg")
+        # JPEG dimensions are the one geometry libjpeg-free parsing CAN
+        # deliver; pixels still raise the declared seam
+        if multimodal._PILImage is None:
+            with pytest.raises(NotImplementedError):
+                multimodal.decode_image(_jpeg_header_bytes(2, 2))
+
+    @pytest.mark.skipif(
+        multimodal._libwebp is None, reason="no system libwebp on host"
+    )
+    def test_webp_vp8l_matches_real_decode(self):
+        from wbx.multimodal import decode_image, image_dimensions
+
+        data = _webp_bytes(6, 4, list(range(6 * 4 * 3)))
+        w, h, container = image_dimensions(data)
+        assert (w, h, container) == (6, 4, "webp")
+        dw, dh, _, _ = decode_image(data)
+        assert (dw, dh) == (w, h)
+
+    def test_webp_vp8x_canvas(self):
+        from wbx.multimodal import image_dimensions
+
+        payload = b"\x00" + b"\x00" * 3 + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+        chunk = b"VP8X" + len(payload).to_bytes(4, "little") + payload
+        data = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+        assert image_dimensions(data) == (100, 50, "webp")
+
+    def test_malformed_inputs_raise(self):
+        from wbx.multimodal import ImageDecodeError, image_dimensions
+
+        for bad in (
+            b"",
+            b"\x89PNG\r\n\x1a\nIH",  # truncated before IHDR
+            b"GIF89a\x07",  # truncated descriptor
+            b"\xff\xd8\xff\xe0\x00\x04\x00\x00",  # no SOF
+            b"RIFF\x10\x00\x00\x00WEBPJUNK" + b"\x00" * 10,
+            b"plain text, not an image",
+        ):
+            with pytest.raises(ImageDecodeError):
+                image_dimensions(bad)
+
+    def test_media_dimensions_stage(self, spark):
+        from wbx.multimodal import media_dimensions
+
+        rows = [
+            (1, bytearray(_png_bytes(2, 1, [1, 2, 3, 4, 5, 6]))),
+            (2, bytearray(_jpeg_header_bytes(320, 200))),
+            (3, bytearray(b"not an image")),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r["media_id"]: r for r in media_dimensions(df).collect()}
+        assert (got[1]["container"], got[1]["width"], got[1]["height"]) == ("png", 2, 1)
+        assert (got[2]["container"], got[2]["width"], got[2]["height"]) == ("jpeg", 320, 200)
+        assert got[3]["error"] and got[3]["width"] is None
+        assert got[4]["error"] and got[4]["container"] is None

@@ -282,6 +282,113 @@ def decode_image(data: bytes) -> tuple[int, int, str, bytes]:
     )
 
 
+def image_dimensions(data: bytes) -> tuple[int, int, str]:
+    """Header-only image geometry: (width, height, container) parsed from
+    container metadata WITHOUT decoding pixels — pure Python, no native
+    libs, covers JPEG too (its SOF segment is a plain big-endian parse;
+    only pixel decode needs libjpeg's setjmp contract).
+
+    This is the at-scale filtering primitive: dimension gates (icon/banner
+    removal, aspect-ratio filters) over 100 TB of crawled media should read
+    a few hundred header bytes per payload, never run a decoder. Raises
+    ImageDecodeError on truncated/non-image payloads.
+
+    Formats: PNG (IHDR), GIF (logical screen descriptor), JPEG (first SOF0-
+    SOF15 marker), WebP (VP8 key-frame / VP8L stream header / VP8X canvas).
+    """
+    import struct
+
+    if data is None or len(data) == 0:
+        raise ImageDecodeError("empty payload")
+    b = bytes(data)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 24 or b[12:16] != b"IHDR":
+            raise ImageDecodeError("png: truncated before IHDR")
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            raise ImageDecodeError("gif: truncated screen descriptor")
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, "gif"
+    if b[:3] == b"\xff\xd8\xff":
+        # walk marker segments to the first start-of-frame
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # standalone RSTn/SOI/EOI
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    break
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + seg_len
+        raise ImageDecodeError("jpeg: no SOF marker found")
+    if len(b) >= 30 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        fourcc, payload = b[12:16], b[20:]
+        if fourcc == b"VP8 " and payload[3:6] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", payload[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[8:10])[0] & 0x3FFF
+            return w, h, "webp"
+        if fourcc == b"VP8L" and payload[0] == 0x2F:
+            bits = struct.unpack("<I", payload[1:5])[0]
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
+        if fourcc == b"VP8X":
+            w = int.from_bytes(payload[4:7], "little") + 1
+            h = int.from_bytes(payload[7:10], "little") + 1
+            return w, h, "webp"
+        raise ImageDecodeError("webp: unrecognized stream header")
+    raise ImageDecodeError("not a recognized image container")
+
+
+DIMENSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def media_dimensions(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Header-only dimension extraction as a pipeline stage: payload →
+    (container, width, height) via :func:`image_dimensions`; malformed
+    payloads degrade to (NULLs, error) rows. Payload bytes are consumed at
+    the scan — only the few-column geometry rows move on, the
+    never-shuffle-payloads shape shared by every operator in this module."""
+
+    def dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "container", "width", "height", "error"]
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                try:
+                    w, h, container = image_dimensions(
+                        bytes(data) if data is not None else b""
+                    )
+                    row.update(container=container, width=w, height=h)
+                except ImageDecodeError as e:
+                    row["error"] = str(e)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(dims, schema=DIMENSIONS_SCHEMA)
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
