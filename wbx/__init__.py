@@ -23,7 +23,7 @@ Modules:
   checkpoint  snapshot commit/resume (parquet-manifest backend; Iceberg in prod)
   textops     dedup (exact/minhash/simhash/jaccard), langid, quality, tokens
   simsearch   embedding similarity: brute-force cosine top-k + LSH-bucketed ANN
-  multimodal  opaque binary columns + real PNG/WAV decode + feature/resize stages
+  multimodal  opaque binary columns + real PNG/WebP/WAV decode, header-only dims + feature/resize stages
   streaming   Structured Streaming variants (windowed aggs, stateful pairing)
   codecs      brotli/zstd decompression via ctypes over system shared libraries
   sinks       file-extraction sink (S9) + inspect projection + WET export
