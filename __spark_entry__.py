@@ -1587,10 +1587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def warc_roundtrip_suite(spark, sf):
         """S1/S2 scan + H2-H6 extraction as one style-tagged suite: the
         content-length strategy, the delimiter strategy (with its
-        last-record truncation quirk pinned by the oracle), and the mixed
+        last-record truncation quirk pinned by the oracle), the mixed
         Content-Encoding corpus (gzip/br/zstd bodies through the ctypes
-        codecs). Extracted text must be byte-identical to the source column
-        in every branch."""
+        codecs), and the digest integrity audit (style='digest_audit':
+        audit_digests verdicts over planted hex/base32/corrupt
+        WARC-Block-Digest declarations). Extracted text must be
+        byte-identical to the source column in every scan branch."""
         a = _warc_roundtrip(spark, sf, "content_length").select(
             F.lit("content_length").alias("style"), "*"
         )
@@ -1598,7 +1600,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("delimiter").alias("style"), "*"
         )
         c = roundtrip_codecs(spark, sf).select(F.lit("codecs").alias("style"), "*")
-        return a.unionByName(b).unionByName(c)
+        # style='digest_audit': wbx.analytics.audit_digests verdict logic
+        # over a planted records fixture — doc_id%2 picks the declared text
+        # form (hex / RFC 4648 base32), doc_id%5==0 rows declare a digest of
+        # DIFFERENT content (text + '!corrupt'), so the oracle predicts
+        # (encoding, ok) from doc_id arithmetic; text_out carries
+        # 'encoding:ok'. The sha1/base32 kernels themselves are pinned
+        # against hashlib/base64 in tests/test_analytics.py.
+        from wbx.analytics import audit_digests, sha1_base32
+
+        docs = _t(spark, sf, "documents")
+        payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        wrong = F.encode(
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("!corrupt")),
+            "utf-8",
+        )
+        basis = F.when(F.pmod("doc_id", F.lit(5)) == 0, wrong).otherwise(payload)
+        declared = F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.concat(F.lit("sha1:"), F.sha1(basis)),
+        ).otherwise(F.concat(F.lit("sha1:"), sha1_base32(basis)))
+        recs = docs.select(
+            F.lit("synthetic").alias("source_file"),
+            F.col("doc_id").alias("record_start"),
+            F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias(
+                "target_uri"
+            ),
+            F.create_map(
+                F.lit("WARC-Block-Digest"), F.array(declared)
+            ).alias("headers"),
+            payload.alias("content_block"),
+        )
+        d = audit_digests(recs).select(
+            F.lit("digest_audit").alias("style"),
+            F.col("record_start").alias("doc_id"),
+            "target_uri",
+            F.lit(None).cast("long").alias("http_status"),
+            F.concat(
+                F.col("encoding"), F.lit(":"), F.col("ok").cast("string")
+            ).alias("text_out"),
+        )
+        return a.unionByName(b).unionByName(c).unionByName(d)
 
     q["warc_roundtrip"] = warc_roundtrip_suite
 
@@ -3362,6 +3404,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'delimiter', * FROM ({_WARC_DELIM_ORACLE})
         UNION ALL
         SELECT 'codecs', * FROM ({_WARC_ROUNDTRIP_ORACLE})
+        UNION ALL
+        SELECT 'digest_audit' AS style, doc_id,
+               'https://docs.example/' || doc_id AS target_uri,
+               CAST(NULL AS BIGINT) AS http_status,
+               (CASE doc_id % 2 WHEN 0 THEN 'hex' ELSE 'base32' END) || ':'
+                 || (CASE WHEN doc_id % 5 = 0 THEN 'false' ELSE 'true' END)
+                 AS text_out
+        FROM documents
         """,
         "warc_text": f"""
         SELECT 'fused' AS mode, * FROM ({_WARC_ROUNDTRIP_ORACLE})

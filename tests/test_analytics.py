@@ -563,3 +563,104 @@ class TestMarkRevisits:
         assert a == b
         n_rev = sum(1 for r in a if r[-3])
         assert n_rev == 36  # 4 distinct payloads, 40 captures
+
+
+class TestDigestAudit:
+    """sha1_base32 Column kernel vs hashlib/base64 ground truth, and the
+    archive integrity audit over both digest text forms."""
+
+    def test_sha1_base32_matches_python(self, spark):
+        import base64
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from wbx.analytics import sha1_base32
+
+        payloads = [
+            b"",
+            b"a",
+            b"hello warc",
+            bytes(range(256)),
+            "unicode é … ü".encode("utf-8"),
+            b"\x00" * 1000,
+            b"x" * 65537,
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "i long, payload binary",
+        )
+        got = {
+            r["i"]: r["b32"]
+            for r in df.select("i", sha1_base32(F.col("payload")).alias("b32")).collect()
+        }
+        for i, p in enumerate(payloads):
+            want = base64.b32encode(hashlib.sha1(p).digest()).decode()
+            assert got[i] == want, f"payload {i}"
+            assert "=" not in got[i] and len(got[i]) == 32
+
+    def test_sha1_base32_property(self, spark):
+        """Hash-avalanche sweep: 64 derived payloads, all must match the
+        Python encoder bit-for-bit (catches any limb/shift slicing bug)."""
+        import base64
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from wbx.analytics import sha1_base32
+
+        payloads = [f"doc-{i}-{'y' * (i % 17)}".encode() for i in range(64)]
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "i long, payload binary",
+        )
+        got = {
+            r["i"]: r["b32"]
+            for r in df.select("i", sha1_base32(F.col("payload")).alias("b32")).collect()
+        }
+        for i, p in enumerate(payloads):
+            assert got[i] == base64.b32encode(hashlib.sha1(p).digest()).decode()
+
+    def _records(self, spark):
+        import base64
+        import hashlib
+
+        def rec(i, content, declared):
+            headers = {"WARC-Block-Digest": [declared]} if declared else {}
+            return ("f.warc", i * 100, f"http://e/{i}", headers, bytearray(content))
+
+        hex_ok = hashlib.sha1(b"alpha").hexdigest()
+        b32_ok = base64.b32encode(hashlib.sha1(b"beta").digest()).decode()
+        rows = [
+            rec(0, b"alpha", f"sha1:{hex_ok}"),            # hex, matches
+            rec(1, b"beta", f"sha1:{b32_ok}"),             # base32, matches
+            rec(2, b"gamma", f"sha1:{hex_ok}"),            # hex, WRONG content
+            rec(3, b"delta", f"sha1:{b32_ok.lower()}"),    # lowercased → unknown-form
+            rec(4, b"epsilon", "sha256:" + "0" * 64),      # unsupported algo
+            rec(5, b"zeta", None),                         # no digest → excluded
+            rec(6, b"alpha", hex_ok.upper()),              # unlabeled hex, case-insensitive
+        ]
+        return spark.createDataFrame(
+            rows,
+            "source_file string, record_start long, target_uri string, "
+            "headers map<string,array<string>>, content_block binary",
+        )
+
+    def test_audit_digests_verdicts(self, spark):
+        from wbx.analytics import audit_digests
+
+        got = {
+            r["record_start"] // 100: r
+            for r in audit_digests(self._records(spark)).collect()
+        }
+        assert set(got) == {0, 1, 2, 3, 4, 6}  # no-digest record excluded
+        assert (got[0]["encoding"], got[0]["ok"]) == ("hex", True)
+        assert (got[1]["encoding"], got[1]["ok"]) == ("base32", True)
+        assert (got[2]["encoding"], got[2]["ok"]) == ("hex", False)
+        assert (got[3]["encoding"], got[3]["ok"]) == ("unknown-form", None)
+        assert (got[4]["encoding"], got[4]["ok"]) == ("unsupported-algo", None)
+        assert (got[6]["encoding"], got[6]["ok"]) == ("hex", True)
+        # recomputed hex is reported for every audited record
+        import hashlib
+
+        assert got[2]["computed_hex"] == hashlib.sha1(b"gamma").hexdigest()

@@ -589,3 +589,51 @@ class TestDedupWarcCli:
         assert out2["record_count"] == 6
         types = {t["warc_type"]: t["n"] for t in out2["record_types"]}
         assert types == {"response": 5, "revisit": 1}
+
+
+class TestAuditCommand:
+    def test_audit_summary_and_not_ok_rows(self, tmp_path, spark, capsys):
+        import base64
+        import hashlib
+
+        def rec(uri, body, declared):
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+            header = (
+                "WARC/1.1\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"WARC-Block-Digest: {declared}\r\n"
+                "Content-Type: application/http;msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n"
+            ).encode()
+            return header + b"\r\n" + http
+
+        def block(body):
+            return b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+
+        d = tmp_path / "audit_archives"
+        os.makedirs(d)
+        good_hex = "sha1:" + hashlib.sha1(block(b"alpha")).hexdigest()
+        good_b32 = "sha1:" + base64.b32encode(
+            hashlib.sha1(block(b"beta")).digest()
+        ).decode()
+        bad_hex = "sha1:" + hashlib.sha1(b"other").hexdigest()
+        (d / "c.warc").write_bytes(
+            write_warc(
+                [
+                    rec("https://a.example/0", b"alpha", good_hex),
+                    rec("https://a.example/1", b"beta", good_b32),
+                    rec("https://a.example/2", b"gamma", bad_hex),
+                ]
+            )
+        )
+        out = json.loads(run_cli(capsys, ["audit", "--input", str(d)]))
+        assert out["audit"]["summary"] == {
+            "hex:true": 1,
+            "base32:true": 1,
+            "hex:false": 1,
+        }
+        bad = out["audit"]["not_ok"]
+        assert len(bad) == 1
+        assert bad[0]["target_uri"] == "https://a.example/2"
+        assert bad[0]["encoding"] == "hex"

@@ -1109,3 +1109,67 @@ class TestWarcDedupedExport:
 
         with pytest.raises(ValueError, match="warc_date"):
             export_warc_deduped(self._records(spark).drop("warc_date"), "/tmp/x")
+
+
+class TestDigestEncodingExport:
+    """WET/WAT exports with digest_encoding='base32' re-enter the scanner
+    and audit clean — the interop form real replay tooling verifies."""
+
+    def _pages(self, spark):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [
+                (
+                    f"http://h{i}.example/p/{i}",
+                    datetime(2024, 1, 1, 0, 0, i),
+                    f"text body {i}\n",
+                    bytearray(f"<html><a href=\"/x{i}\">x</a></html>".encode()),
+                )
+                for i in range(5)
+            ],
+            "url string, warc_ts timestamp, text string, html binary",
+        )
+
+    def _audit(self, spark, out):
+        import glob
+        import os
+
+        from wbx.analytics import audit_digests
+
+        files = spark.createDataFrame(
+            [
+                (os.path.basename(p), bytearray(open(p, "rb").read()))
+                for p in sorted(glob.glob(out + "/*.warc.gz"))
+            ],
+            "source_file string, content binary",
+        )
+        return audit_digests(warcio.scan_files_to_records(files)).collect()
+
+    def test_wet_base32_audits_ok(self, spark, tmp_path):
+        from wbx.sinks import export_wet
+
+        out = str(tmp_path / "wet32")
+        export_wet(self._pages(spark), out, files=1, digest_encoding="base32").collect()
+        rows = self._audit(spark, out)
+        assert len(rows) == 5
+        assert all(r["encoding"] == "base32" and r["ok"] for r in rows)
+
+    def test_wat_hex_default_audits_ok(self, spark, tmp_path):
+        from wbx.sinks import export_wat
+
+        out = str(tmp_path / "wat16")
+        export_wat(self._pages(spark), out, files=1).collect()
+        rows = self._audit(spark, out)
+        assert len(rows) == 5
+        assert all(r["encoding"] == "hex" and r["ok"] for r in rows)
+
+    def test_bad_encoding_rejected(self, spark, tmp_path):
+        import pytest
+
+        from wbx.sinks import export_wet
+
+        with pytest.raises(ValueError, match="digest_encoding"):
+            export_wet(
+                self._pages(spark), str(tmp_path / "x"), digest_encoding="b64"
+            ).collect()

@@ -31,7 +31,7 @@ Modules:
   sampling    deterministic hash sampling / stratified mixing / holdout splits
   cuckoo      deletable seen-set sketch (cuckoo filter) alternative to Bloom
   replay      HTTP replay server over reassembled captures (S10)
-  cli         `wbx` command line (summarize/filter/compare/extract/crawl/wet/cdx/dedup-warc/chunk/pack/curate)
+  cli         `wbx` command line (summarize/filter/compare/extract/crawl/wet/cdx/audit/dedup-warc/chunk/pack/curate)
   fixtures    deterministic derived test fixtures (pages/records from documents)
 """
 

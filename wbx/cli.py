@@ -362,6 +362,33 @@ def cmd_cdx(args) -> None:
     _emit({"cdx": [r.asDict() for r in rows]}, args.format)
 
 
+def cmd_audit(args) -> None:
+    """Archive integrity audit: recompute each record's content-block sha1
+    and compare with its declared WARC-Block-Digest (hex or RFC 4648
+    base32); prints a summary plus every non-ok row."""
+    from pyspark.sql import functions as F
+
+    from wbx.analytics import audit_digests
+
+    spark = _spark("audit")
+    records = load_records(
+        spark, args.input, args.input_format, args.style,
+        gz_style=args.gz_style, split_target_bytes=_split_bytes(args),
+    )
+    audited = audit_digests(records)
+    summary = {
+        r["encoding"] + ("" if r["ok"] is None else ":" + str(r["ok"]).lower()): r["n"]
+        for r in audited.groupBy("encoding", "ok").agg(F.count("*").alias("n")).collect()
+    }
+    bad = [
+        r.asDict()
+        for r in audited.where(~F.coalesce(F.col("ok"), F.lit(False)))
+        .orderBy("source_file", "record_start")
+        .collect()
+    ]
+    _emit({"audit": {"summary": summary, "not_ok": bad}}, args.format)
+
+
 def cmd_dedup_warc(args) -> None:
     """Deduplicated WARC export: first capture of each distinct response
     payload written verbatim, repeats as slim WARC 1.1 revisit records
@@ -590,6 +617,10 @@ def main(argv=None) -> int:
     s = sub.add_parser("cdx")
     common(s)
     s.set_defaults(fn=cmd_cdx)
+
+    s = sub.add_parser("audit")
+    common(s)
+    s.set_defaults(fn=cmd_audit)
 
     s = sub.add_parser("dedup-warc")
     common(s)

@@ -36,6 +36,24 @@ from wbx.extract import (
 )
 from wbx.filters import http_response_content_type_filter
 
+
+def _digest_text(payload, digest_encoding: str):
+    """Digest text form for WARC-Block-Digest: 'hex' (default — Spark's
+    native sha1 output, deterministic and spec-legal; the documented
+    engine convention) or 'base32' (RFC 4648 over the raw digest — the
+    Heritrix/warcio interop form real replay tooling verifies against).
+    Both audit as ok=true under wbx.analytics.audit_digests."""
+    if digest_encoding == "hex":
+        return F.sha1(payload)
+    if digest_encoding == "base32":
+        from wbx.analytics import sha1_base32
+
+        return sha1_base32(payload)
+    raise ValueError(
+        f"digest_encoding must be 'hex' or 'base32', got {digest_encoding!r}"
+    )
+
+
 EXTRACT_MANIFEST_SCHEMA = (
     "source_file string, record_start long, path string, n_bytes long, "
     "decoded boolean, decode_error string"
@@ -120,6 +138,7 @@ def export_wet(
     ts_col: str = "warc_ts",
     text_col: str = "text",
     files: int | None = None,
+    digest_encoding: str = "hex",
 ) -> DataFrame:
     """Common-Crawl-style WET export: one WARC ``conversion`` record per
     page (WARC-Target-URI/Date/Record-ID/Block-Digest headers + the
@@ -134,7 +153,9 @@ def export_wet(
     this mirrors). Deviations from CC, chosen for determinism: Record-ID
     is a content-derived urn (xxhash64 of url+date — never uuid4, the
     export must be bit-identical across runs and cluster sizes) and
-    Block-Digest is hex sha1 (Spark's native form) rather than base32.
+    Block-Digest is hex sha1 (Spark's native form) by default; pass
+    digest_encoding='base32' for the RFC 4648 form Heritrix/warcio-family
+    consumers verify against (wbx.analytics.sha1_base32, same codegen pass).
 
     Scale shape: every header is composed JVM-side as one codegen'd
     binary column; the Arrow kernel per partition only concatenates
@@ -164,7 +185,7 @@ def export_wet(
         F.lit("\r\nWARC-Record-ID: <urn:wbx:"),
         F.lower(F.hex(F.xxhash64(F.col(url_col), wdate))),
         F.lit(">\r\nWARC-Block-Digest: sha1:"),
-        F.sha1(payload),
+        _digest_text(payload, digest_encoding),
         F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
         F.length(payload).cast("string"),
         F.lit("\r\n\r\n"),
@@ -222,6 +243,7 @@ def export_wat(
     ts_col: str = "warc_ts",
     html_col: str = "html",
     files: int | None = None,
+    digest_encoding: str = "hex",
 ) -> DataFrame:
     """Common-Crawl-style WAT export — the metadata sidecar completing the
     engine's WARC/WET/CDX family: one WARC ``metadata`` record per page
@@ -286,7 +308,7 @@ def export_wat(
         F.lit("\r\nWARC-Record-ID: <urn:wbx:"),
         F.lower(F.hex(F.xxhash64(F.col(url_col), wdate))),
         F.lit(">\r\nWARC-Block-Digest: sha1:"),
-        F.sha1(payload),
+        _digest_text(payload, digest_encoding),
         F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
         F.length(payload).cast("string"),
         F.lit("\r\n\r\n"),
