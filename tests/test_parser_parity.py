@@ -90,3 +90,125 @@ def test_strategies_agree_on_newline_terminated_bodies():
         (x["record_start"], x["record_end"]) for x in b.records
     ]
     assert len(a.records) == 4 and not a.warnings and not b.warnings
+
+
+# --- live differential parity vs the reference parser (when present) --------
+
+_REF_SRC = "/root/reference/src"
+
+
+def _reference_scan(data: bytes, style: str):
+    """Run harvard-lil/warcbench's own parser on the bytes. Only used as a
+    test oracle when the reference checkout exists — the engine itself has
+    no dependency on it, and the repo stays standalone (skipped otherwise).
+    """
+    import io
+    import sys
+    import types
+
+    # the reference imports brotli/zstandard unconditionally; neither pip
+    # package exists in this container, so satisfy the import with shims
+    # over the engine's own ctypes codecs (offsets-only comparison here
+    # never decodes bodies, but the shims are real anyway)
+    if "brotli" not in sys.modules:
+        from wbx import codecs
+
+        brotli = types.ModuleType("brotli")
+        brotli.decompress = codecs.brotli_decompress
+        sys.modules["brotli"] = brotli
+    if "pyzstd" not in sys.modules:
+        from wbx import codecs
+
+        pyzstd = types.ModuleType("pyzstd")
+        pyzstd.decompress = codecs.zstd_decompress
+        sys.modules["pyzstd"] = pyzstd
+
+    sys.path.insert(0, _REF_SRC)
+    try:
+        from warcbench import WARCParser
+        from warcbench.config import WARCCachingConfig, WARCParsingConfig
+
+        # content_block_bytes=True matters for content_length parity: the
+        # reference's lazy path seek()s past EOF on a truncated final
+        # record (reporting a record end beyond the file), while the
+        # read() path clamps to the actual data — the engine always
+        # materializes bytes, so the bytes-cached configuration is the
+        # semantically matching one. Delimiter mode stays lazy: the
+        # reference's own bytes-cached delimiter path crashes on
+        # negative-length truncated splits (read length must be
+        # non-negative), and its delimiter offsets don't depend on the
+        # cache config anyway.
+        cache = WARCCachingConfig(unparsable_lines=True)
+        if style == "content_length":
+            cache = WARCCachingConfig(
+                unparsable_lines=True, content_block_bytes=True, header_bytes=True
+            )
+        p = WARCParser(
+            io.BufferedReader(io.BytesIO(data)),  # .peek() needed
+            parsing_options=WARCParsingConfig(style=style),
+            cache=cache,
+        )
+        p.parse(cache_records=True)
+        return (
+            [(r.start, r.end) for r in p.records],
+            [(u.start, u.end) for u in p.unparsable_lines],
+            list(p.warnings),
+        )
+    finally:
+        sys.path.remove(_REF_SRC)
+
+
+def _fuzz_archive(seed: int) -> bytes:
+    """Deterministic adversarial archive: bodies chosen to stress every
+    delimiter-scan state (embedded CRLFCRLF, trailing CRLF runs, empty
+    bodies), plus optional leading junk and a truncated tail."""
+    import random
+
+    rng = random.Random(seed)
+    tricky_bodies = [
+        "plain text",
+        "",
+        "ends with newline\n",
+        "embedded\r\n\r\nseparator",
+        "trailing crlf\r\n",
+        "double trailing\r\n\r\n",
+        "\r\n",
+        "a\n\n",
+        "unicode é … ü",
+        "x" * rng.randint(1, 300),
+    ]
+    parts = []
+    if rng.random() < 0.3:
+        parts.append(b"leading junk line\r\n")
+    n = rng.randint(1, 6)
+    for i in range(n):
+        body = rng.choice(tricky_bodies)
+        parts.append(warc_record_bytes(i, body, rng.random() < 0.3))
+        parts.append(SEP)
+    if rng.random() < 0.3:
+        parts.append(b"trailing junk")
+    data = b"".join(parts)
+    if rng.random() < 0.2 and len(data) > 40:
+        data = data[: rng.randint(30, len(data) - 1)]  # truncated tail
+    return data
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_SRC),
+    reason="reference checkout not present (repo is standalone)",
+)
+@pytest.mark.parametrize("style", ["content_length", "delimiter"])
+def test_differential_fuzz_vs_reference(style):
+    """64 seeded adversarial archives, byte-for-byte parity on record
+    offsets, unparsable-line offsets, AND warning strings — the live
+    generalization of the embedded GOLDEN literals above."""
+    for seed in range(64):
+        data = _fuzz_archive(seed)
+        want = _reference_scan(data, style)
+        r = scan_warc(data, "x", style)
+        got = (
+            [(x["record_start"], x["record_end"]) for x in r.records],
+            [(u["start"], u["end"]) for u in r.unparsable],
+            list(r.warnings),
+        )
+        assert got == want, f"seed {seed} style {style}: {got} != {want}"

@@ -429,6 +429,41 @@ def scan_warc_delimiter(
                 f"Could not split the record between {record_start + base} and "
                 f"{record_end + base} into header and content block components."
             )
+            # Reference parity (found by the differential fuzz): the
+            # unsplittable record is still a record — models.Record(start,
+            # end) with header=None / content_block=None is returned as
+            # current_record and cached in parser.records (ref
+            # parsers/warc.py:358-399). NULL split offsets, empty byte
+            # columns so every fused consumer stays total.
+            result.records.append(
+                {
+                    "source_file": source,
+                    "record_start": record_start + base,
+                    "record_end": record_end + base,
+                    "header_start": None,
+                    "header_end": None,
+                    "content_start": None,
+                    "content_end": None,
+                    "warc_version": (
+                        m[:-2].decode("ascii")
+                        if (m := _at_magic(data, record_start))
+                        else None
+                    ),
+                    "headers": {},
+                    "warc_type": None,
+                    "target_uri": None,
+                    "warc_date": None,
+                    "content_type": None,
+                    "content_length": None,
+                    "header_bytes": b"",
+                    "content_block": b"",
+                    "http_status": None,
+                    "http_verb": None,
+                    "http_content_type": None,
+                    "content_length_ok": None,
+                    "is_warc": True,
+                }
+            )
 
         pos = _scavenge_junk(result, source, data, record_end + len(CRLF * 2), base)
 
