@@ -97,19 +97,14 @@ def test_strategies_agree_on_newline_terminated_bodies():
 _REF_SRC = "/root/reference/src"
 
 
-def _reference_scan(data: bytes, style: str):
-    """Run harvard-lil/warcbench's own parser on the bytes. Only used as a
-    test oracle when the reference checkout exists — the engine itself has
-    no dependency on it, and the repo stays standalone (skipped otherwise).
-    """
-    import io
+def _install_codec_shims():
+    """The reference imports brotli/pyzstd unconditionally; neither pip
+    package exists in this container, so satisfy the import with shims over
+    the engine's own ctypes codecs (the offsets-only comparisons here never
+    decode bodies, but the shims are real anyway)."""
     import sys
     import types
 
-    # the reference imports brotli/zstandard unconditionally; neither pip
-    # package exists in this container, so satisfy the import with shims
-    # over the engine's own ctypes codecs (offsets-only comparison here
-    # never decodes bodies, but the shims are real anyway)
     if "brotli" not in sys.modules:
         from wbx import codecs
 
@@ -123,6 +118,16 @@ def _reference_scan(data: bytes, style: str):
         pyzstd.decompress = codecs.zstd_decompress
         sys.modules["pyzstd"] = pyzstd
 
+
+def _reference_scan(data: bytes, style: str):
+    """Run harvard-lil/warcbench's own parser on the bytes. Only used as a
+    test oracle when the reference checkout exists — the engine itself has
+    no dependency on it, and the repo stays standalone (skipped otherwise).
+    """
+    import io
+    import sys
+
+    _install_codec_shims()
     sys.path.insert(0, _REF_SRC)
     try:
         from warcbench import WARCParser
@@ -212,3 +217,106 @@ def test_differential_fuzz_vs_reference(style):
             list(r.warnings),
         )
         assert got == want, f"seed {seed} style {style}: {got} != {want}"
+
+
+def _reference_gz_member_scan(data: bytes):
+    """Reference WARCGZParser, decompression_style='member' — member
+    boundaries (compressed + uncompressed), per-member record spans, and
+    warnings."""
+    import io
+    import sys
+
+    _install_codec_shims()
+    sys.path.insert(0, _REF_SRC)
+    try:
+        from warcbench import WARCGZParser
+        from warcbench.config import WARCGZCachingConfig, WARCGZParsingConfig
+
+        # bytes-cached config again (cf. _reference_scan): BOTH member-mode
+        # warnings are cache-dependent in the reference — the non-WARC-
+        # member warning is emitted only under non_warc_member_bytes=True,
+        # and the (inverted) delimiter-quirk warning only fires when
+        # content bytes were actually read so the cursor sits at
+        # content_end. The engine always materializes bytes, so this is
+        # the semantically matching reference configuration.
+        p = WARCGZParser(
+            io.BufferedReader(io.BytesIO(data)),
+            enable_lazy_loading_of_bytes=False,
+            parsing_options=WARCGZParsingConfig(decompression_style="member"),
+            cache=WARCGZCachingConfig(
+                non_warc_member_bytes=True,
+                content_block_bytes=True,
+                header_bytes=True,
+            ),
+        )
+        p.parse(cache_members=True)
+        members, records = [], []
+        for m in p.members:
+            members.append(
+                (m.start, m.end, m.uncompressed_start, m.uncompressed_end)
+            )
+            r = m.uncompressed_warc_record
+            if r is not None:
+                records.append((r.start, r.end))
+        return members, records, list(p.warnings)
+    finally:
+        sys.path.remove(_REF_SRC)
+
+
+def _fuzz_gz_archive(seed: int) -> bytes:
+    """Deterministic member-style archive: WARC-record members mixed with
+    non-WARC members (plain gz'd text), members with trailing garbage after
+    the record, and members missing the CRLFCRLF tail."""
+    import gzip
+    import random
+
+    rng = random.Random(10_000 + seed)
+    parts = []
+    n = rng.randint(1, 6)
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.55:  # spec-conformant record member
+            payload = warc_record_bytes(i, f"body {i}\n" * rng.randint(1, 3), False) + SEP
+        elif kind < 0.7:  # record member missing the CRLFCRLF tail
+            payload = warc_record_bytes(i, "tailless", False)
+        elif kind < 0.85:  # record member with trailing junk after the record
+            payload = (
+                warc_record_bytes(i, "pre-junk", False) + SEP + b"trailing junk bytes"
+            )
+        else:  # non-WARC member
+            payload = rng.choice([b"just text\r\n", b"", b"\x00\x01\x02" * 10])
+        parts.append(gzip.compress(payload, mtime=0))
+    return b"".join(parts)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_SRC),
+    reason="reference checkout not present (repo is standalone)",
+)
+def test_differential_gz_member_fuzz_vs_reference():
+    """48 seeded member-style archives: member boundaries, record spans,
+    and warning strings byte-for-byte against the reference's
+    GzippedWARCMemberParser (including its inverted delimiter-warning
+    quirk, gzipped_warc.py:553-557)."""
+    from wbx.warcio import scan_warc_gz_member
+
+    for seed in range(48):
+        data = _fuzz_gz_archive(seed)
+        want_members, want_records, want_warnings = _reference_gz_member_scan(data)
+        result, non_warc = scan_warc_gz_member(data, "x")
+        got_records = [
+            (r["record_start"], r["record_end"]) for r in result.records
+        ]
+        got_members = sorted(
+            [
+                (r["member_start"], r["member_end"], r["unc_start"], r["unc_end"])
+                for r in result.records
+            ]
+            + [
+                (m["member_start"], m["member_end"], m["unc_start"], m["unc_end"])
+                for m in non_warc
+            ]
+        )
+        assert got_members == sorted(want_members), f"seed {seed} members"
+        assert got_records == want_records, f"seed {seed} records"
+        assert list(result.warnings) == want_warnings, f"seed {seed} warnings"
