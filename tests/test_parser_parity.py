@@ -320,3 +320,136 @@ def test_differential_gz_member_fuzz_vs_reference():
         assert got_members == sorted(want_members), f"seed {seed} members"
         assert got_records == want_records, f"seed {seed} records"
         assert list(result.warnings) == want_warnings, f"seed {seed} warnings"
+
+
+def _reference_extract_text(content_block: bytes, header_bytes: bytes):
+    """The reference's Record.get_decompressed_http_body on a hand-built
+    Record, decoded utf-8-replace (its handlers' Sc6 convention) —
+    classification-based so cross-engine exception types compare sanely:
+    ('ok', text|None) or ('error',)."""
+    import sys
+
+    _install_codec_shims()
+    sys.path.insert(0, _REF_SRC)
+    try:
+        from warcbench.models import ContentBlock, Header, Record
+
+        rec = Record(start=0, end=0)
+        h = Header(start=0, end=len(header_bytes))
+        h._bytes = header_bytes
+        cb = ContentBlock(start=0, end=len(content_block))
+        cb._bytes = content_block
+        rec.header = h
+        rec.content_block = cb
+        try:
+            body = rec.get_decompressed_http_body()
+        except Exception:
+            return ("error",)
+        return ("ok", body.decode("utf-8", errors="replace") if body is not None else None)
+    finally:
+        sys.path.remove(_REF_SRC)
+
+
+def _fuzz_http_record(seed: int):
+    """(content_block, header_bytes) with adversarial encoding chains."""
+    import gzip
+    import random
+    import zlib
+
+    from wbx import codecs
+
+    rng = random.Random(20_000 + seed)
+    body = rng.choice(
+        [
+            b"plain body text\n",
+            b"",
+            "unicode \xe9 … body".encode("utf-8"),
+            b"invalid utf8 \xff\xfe tail",
+            b"x" * rng.randint(1, 500),
+        ]
+    )
+
+    def chunked(data: bytes) -> bytes:
+        out, i = [], 0
+        while i < len(data):
+            n = rng.randint(1, 40)
+            chunk = data[i : i + n]
+            out.append(f"{len(chunk):x}".encode() + b"\r\n" + chunk + b"\r\n")
+            i += n
+        out.append(b"0\r\n\r\n")
+        return b"".join(out)[: -len(b"\r\n")]  # reference joins odd segments
+
+    choice = rng.random()
+    http_headers = [b"HTTP/1.1 200 OK"]
+    if choice < 0.15:
+        payload = body
+    elif choice < 0.3:
+        http_headers.append(b"Content-Encoding: gzip")
+        payload = gzip.compress(body, mtime=0)
+    elif choice < 0.4:
+        http_headers.append(b"Content-Encoding: deflate")
+        co = zlib.compressobj(wbits=-15)
+        payload = co.compress(body) + co.flush()
+    elif choice < 0.5 and codecs.brotli_available():
+        http_headers.append(b"Content-Encoding: br")
+        payload = codecs.brotli_compress(body)
+    elif choice < 0.6 and codecs.zstd_available():
+        http_headers.append(b"Content-Encoding: zstd")
+        payload = codecs.zstd_compress(body)
+    elif choice < 0.7 and codecs.zstd_available():
+        # the reference de-chunks ONLY when zstd is among the encodings
+        http_headers.append(b"Content-Encoding: zstd")
+        http_headers.append(b"Transfer-Encoding: chunked")
+        payload = chunked(codecs.zstd_compress(body))
+    elif choice < 0.8:
+        # comma form: tokens split on ' ' -> 'gzip,' is unrecognized
+        http_headers.append(b"Content-Encoding: gzip, br")
+        payload = gzip.compress(body, mtime=0)
+    elif choice < 0.9:
+        # double encoding, applied right-to-left on decode
+        http_headers.append(b"Content-Encoding: br gzip")
+        payload = (
+            codecs.brotli_compress(gzip.compress(body, mtime=0))
+            if codecs.brotli_available()
+            else gzip.compress(body, mtime=0)
+        )
+    else:
+        http_headers.append(b"Content-Encoding: gzip")
+        payload = b"corrupt, not gzip at all"
+
+    sep = rng.choice([b"\r\n\r\n", b"\r\n\r\n"])
+    content = b"\r\n".join(http_headers) + sep + payload
+    shape = rng.random()
+    if shape < 0.08:
+        content = b"\r\n\r\n" + payload  # find()==0 truthiness quirk
+    elif shape < 0.16:
+        content = b"no-crlfcrlf-anywhere " + payload.replace(b"\r\n\r\n", b"")
+    ct = b"application/http;msgtype=response" if rng.random() > 0.1 else b"text/plain"
+    header = (
+        b"WARC/1.1\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/\r\n"
+        b"Content-Type: " + ct + b"\r\n"
+        b"Content-Length: " + str(len(content)).encode() + b"\r\n"
+    )
+    return content, header
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_SRC),
+    reason="reference checkout not present (repo is standalone)",
+)
+def test_differential_text_extraction_vs_reference():
+    """96 seeded (content_block, header) pairs through every encoding
+    chain: the engine's extracted_text must agree with the reference's
+    get_decompressed_http_body + utf-8-replace — same text when both
+    succeed, error-for-error otherwise. This is the live form of the
+    input_hint's byte-identical-text invariant."""
+    from wbx.extract import DecodingError, extracted_text
+
+    for seed in range(96):
+        content, header = _fuzz_http_record(seed)
+        want = _reference_extract_text(content, header)
+        try:
+            got = ("ok", extracted_text(content, header))
+        except Exception:
+            got = ("error",)
+        assert got == want, f"seed {seed}: {got!r} != {want!r}"
