@@ -658,8 +658,10 @@ def audit_digests(records: DataFrame) -> DataFrame:
     Scale shape: a pure projection — header-map lookup + two sha1 forms
     run JVM-side at the scan, payload bytes never shuffle, and column
     pruning keeps non-audit columns unread."""
-    value = F.element_at(
-        F.element_at(F.col("headers"), F.lit("WARC-Block-Digest")), 1
+    # F.get is total (NULL when the values array is empty) — element_at(_, 1)
+    # would ANSI-throw on a pathological empty header-values array
+    value = F.get(
+        F.element_at(F.col("headers"), F.lit("WARC-Block-Digest")), 0
     )
     has_label = value.contains(":")
     label = F.when(has_label, F.lower(F.substring_index(value, ":", 1)))
