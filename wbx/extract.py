@@ -75,7 +75,11 @@ CONTENT_TYPE_RE = re.compile(rb"Content-Type:\s*(.*)((\r\n)|$)", re.IGNORECASE)
 CONTENT_ENCODING_RE = re.compile(rb"Content-Encoding:\s*(.*)((\r\n)|$)", re.IGNORECASE)
 CHUNKED_RE = re.compile(rb"Transfer-Encoding:\s*chunked((\r\n)|$)", re.IGNORECASE)
 HTTP_STATUS_RE = re.compile(rb"HTTP/1.1\s*(\d+)")  # reference pins "HTTP/1.1"
-HTTP_VERB_RE = re.compile(rb"([A-Z]+)\s+.*HTTP/.*((\r\n)|$)")
+# [A-Za-z]: the reference's verb filter searches its pattern
+# case-insensitively (find_pattern_in_bytes defaults ci=True) and compares
+# the extracted token ci-exactly, so lowercase request lines ("get /p
+# HTTP/1.1") are matched — pinned by the filter differential fuzz
+HTTP_VERB_RE = re.compile(rb"([A-Za-z]+)\s+.*HTTP/.*((\r\n)|$)")
 
 
 def utf8_replace(data: bytes | None) -> str | None:
