@@ -321,3 +321,33 @@ class TestCrawlReport:
             assert 0 < r["top_host_frac"] <= 1.0
             assert 0 < r["max_partition_frac"] <= 1.0
             assert r["n_partitions"] >= 1
+
+    def test_report_keeps_pathological_rounds(self, spark, tmp_path):
+        """A round with an EMPTY fetch_log and no seen_added metric —
+        exactly the round an operator must see — still gets a report row
+        (left joins + coalesced zeros, not inner joins)."""
+        from wbx.checkpoint import crawl_report
+
+        store = CheckpointStore(str(tmp_path / "rep2"))
+        run_crawl(
+            spark, store, seeds_df(spark), make_expand(spark),
+            hosts_df(spark), rounds=2,
+        )
+        dead_metrics = spark.createDataFrame(
+            [(3, 0, "urls_scheduled", 0.0)],
+            "round int, partition_id int, metric string, value double",
+        )
+        empty_log = store.load(spark, "fetch_log", 2).limit(0)
+        store.commit(3, {"metrics": dead_metrics, "fetch_log": empty_log})
+        # round 4: scheduled ZERO urls — per-partition metrics of an empty
+        # batch have no rows at all, so only rooting the report on the
+        # committed-round manifest keeps it visible
+        store.commit(4, {"metrics": dead_metrics.limit(0), "fetch_log": empty_log})
+        rows = {r["round"]: r for r in crawl_report(spark, store).collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        for rid in (3, 4):
+            dead = rows[rid]
+            assert dead["urls_scheduled"] == 0
+            assert dead["seen_added"] == 0
+            assert dead["n_hosts"] == 0
+            assert dead["top_host"] is None

@@ -1724,6 +1724,11 @@ class TestScopeAndRetry:
                 ("u5", 0, 2),
                 # u6: exhausted (4 failures > max_attempts=3)
                 ("u6", 500, 1), ("u6", 500, 2), ("u6", 500, 3), ("u6", 500, 4),
+                # u7: exactly max_attempts retryable failures — retries
+                # exhausted, NOT scheduled a (max_attempts+1)-th time
+                ("u7", 500, 1), ("u7", 503, 2), ("u7", 500, 3),
+                # u8: one shy of the cap -> still retries
+                ("u8", 500, 1), ("u8", 503, 2),
             ],
             "canon_url string, status int, round int",
         )
@@ -1731,7 +1736,7 @@ class TestScopeAndRetry:
             r["url"]: (r["attempts"], r["retry_after_round"])
             for r in retry_candidates(log, max_attempts=3).collect()
         }
-        assert out == {"u1": (1, 5), "u2": (2, 8), "u5": (1, 4)}
+        assert out == {"u1": (1, 5), "u2": (2, 8), "u5": (1, 4), "u8": (2, 6)}
 
     def test_retry_determinism_across_parallelism(self, spark):
         from wbx.frontier import retry_candidates

@@ -359,6 +359,12 @@ class TestImageDimensions:
         gif = b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 3
         assert image_dimensions(gif) == (7, 9, "gif")
         assert image_dimensions(_jpeg_header_bytes(640, 480)) == (640, 480, "jpeg")
+        # rare-but-valid marker sequences before SOF: the parameterless
+        # TEM marker (0xFF01) and a byte-stuffed 0xFF00 must be skipped
+        # as standalone, not parsed as length-bearing segments
+        base = _jpeg_header_bytes(12, 34)
+        with_tem = base[:2] + b"\xff\x01" + b"\xff\x00" + base[2:]
+        assert image_dimensions(with_tem) == (12, 34, "jpeg")
         # JPEG dimensions are the one geometry libjpeg-free parsing CAN
         # deliver; pixels still raise the declared seam
         if multimodal._PILImage is None:

@@ -1064,6 +1064,9 @@ class TestWarcDedupedExport:
         )
         assert rev["content_length"] == len(bytes(rev["content_block"]))
         hdr = bytes(rev["header_bytes"]).decode()
+        # version line must agree with the 1.1 profile URI + 1.1-only
+        # Refers-To headers (strict validators flag a mismatch)
+        assert hdr.startswith("WARC/1.1\r\n")
         assert (
             "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
             "identical-payload-digest" in hdr

@@ -332,7 +332,11 @@ def crawl_report(spark: SparkSession, store: "CheckpointStore") -> DataFrame:
         .agg(
             F.sum("value").cast("long").alias("urls_scheduled"),
             F.count("*").cast("long").alias("n_partitions"),
-            (F.max("value") / F.sum("value")).alias("max_partition_frac"),
+            # try_divide: a committed round that scheduled 0 urls has
+            # sum(value)=0 — NULL skew, not an ANSI divide-by-zero abort
+            F.try_divide(F.max("value"), F.sum("value")).alias(
+                "max_partition_frac"
+            ),
         )
     )
     seen = (
@@ -352,16 +356,32 @@ def crawl_report(spark: SparkSession, store: "CheckpointStore") -> DataFrame:
         F.col("_top.host").alias("top_host"),
         (F.col("_top._n") / F.col("_total")).alias("top_host_frac"),
     )
+    # LEFT joins rooted on the store's committed-round list: a round whose
+    # fetch_log is empty — or that scheduled ZERO urls, in which case even
+    # its urls_scheduled metric has no per-partition rows — is exactly the
+    # pathological round an operator needs to see; inner joins (or rooting
+    # on the metrics rollup) would silently drop it from the health report.
+    # The round list is a driver-side manifest read, O(#rounds) ≪ O(data).
+    committed = spark.createDataFrame(
+        [(r,) for r in range(1, store.latest_round() + 1)], "round int"
+    )
     return (
-        per.join(seen, "round")
-        .join(hosts, "round")
+        committed.join(per, "round", "left")
+        .join(seen, "round", "left")
+        .join(hosts, "round", "left")
         .select(
             "round",
-            "urls_scheduled",
-            "seen_added",
+            F.coalesce(F.col("urls_scheduled"), F.lit(0).cast("long")).alias(
+                "urls_scheduled"
+            ),
+            F.coalesce(F.col("seen_added"), F.lit(0).cast("long")).alias(
+                "seen_added"
+            ),
             "n_partitions",
             "max_partition_frac",
-            "n_hosts",
+            F.coalesce(F.col("n_hosts"), F.lit(0).cast("long")).alias(
+                "n_hosts"
+            ),
             "top_host",
             "top_host_frac",
         )

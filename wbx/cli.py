@@ -477,24 +477,26 @@ def cmd_curate(args) -> None:
     stage funnel and the per-shard manifest on stdout (wbx.textops
     curate_flags/curate_corpus + wbx.sinks.write_packed_shards)."""
     from wbx.sinks import write_packed_shards
-    from wbx.textops import curate_corpus, curate_flags, curation_report
+    from wbx.textops import curate_flags, curate_from_flags, curation_report
 
     spark = _spark("curate")
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    # build the flags frame ONCE and cache it: the funnel report and the
+    # curated corpus both derive from it, so without the persist the
+    # dedup/decontamination joins and classifier would run twice
     flags = curate_flags(
         docs, bench, classifier_threshold=args.classifier_threshold
-    )
-    funnel = [
-        r.asDict() for r in curation_report(flags).collect()
-    ]
-    curated = curate_corpus(
-        docs, bench, classifier_threshold=args.classifier_threshold
-    )
-    manifest = write_packed_shards(
-        curated, args.output_dir, budget_tokens=args.budget_tokens
-    )
-    shards = [r.asDict() for r in manifest.collect()]
+    ).persist()
+    try:
+        funnel = [r.asDict() for r in curation_report(flags).collect()]
+        curated = curate_from_flags(flags)
+        manifest = write_packed_shards(
+            curated, args.output_dir, budget_tokens=args.budget_tokens
+        )
+        shards = [r.asDict() for r in manifest.collect()]
+    finally:
+        flags.unpersist()
     _emit({"funnel": funnel, "shards": shards, "output": args.output_dir},
           args.format)
 

@@ -2501,7 +2501,7 @@ def retry_candidates(
         (last_status >= 500) | (last_status == 429) | (last_status <= 0)
     )
     return (
-        agg.filter(last_retryable & (F.col("attempts") <= max_attempts))
+        agg.filter(last_retryable & (F.col("attempts") < max_attempts))
         .select(
             "url",
             F.col("attempts").cast("int").alias("attempts"),

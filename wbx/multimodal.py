@@ -321,7 +321,12 @@ def image_dimensions(data: bytes) -> tuple[int, int, str]:
             if marker == 0xFF:  # fill byte
                 i += 1
                 continue
-            if 0xD0 <= marker <= 0xD9:  # standalone RSTn/SOI/EOI
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                # standalone RSTn/SOI/EOI and the parameterless TEM
+                # marker (0x01) carry no length word
+                i += 2
+                continue
+            if marker == 0x00:  # byte-stuffed literal 0xFF, not a marker
                 i += 2
                 continue
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]

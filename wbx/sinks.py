@@ -401,7 +401,10 @@ def export_warc_deduped(
         "ISO-8859-1",
     )
     slim_header = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "),
+        # WARC/1.1, not 1.0: the profile URI below and the
+        # WARC-Refers-To-Target-URI/-Date headers are 1.1-only, and strict
+        # validators flag a version/profile mismatch
+        F.lit("WARC/1.1\r\nWARC-Type: revisit\r\nWARC-Target-URI: "),
         F.coalesce(F.col("target_uri"), F.lit("")),
         F.lit("\r\nWARC-Date: "),
         F.coalesce(F.col("warc_date"), F.lit("")),

@@ -1722,6 +1722,23 @@ def curate_corpus(
         text_col=text_col,
         hasher=hasher,
     )
+    return curate_from_flags(
+        flags, budget_tokens=budget_tokens, id_col=id_col, text_col=text_col
+    )
+
+
+def curate_from_flags(
+    flags: DataFrame,
+    budget_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter a curate_flags frame down to survivors (all stage flags
+    true), promoting clean_text to ``text_col``; with ``budget_tokens``
+    also assigns pack_shards' shard layout. Split out so callers that
+    already built (and possibly cached) the flags frame — e.g. the CLI,
+    which also renders the funnel report from it — don't re-run the
+    dedup/decontamination joins and classifier a second time."""
     keep = F.lit(True)
     for s in _CURATE_STAGES:
         keep = keep & F.coalesce(F.col(s), F.lit(False))
