@@ -771,15 +771,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
+    # VALUES-oracled (was rows-only through round 4): with blocks=9
+    # (width-7 chunks) the pigeonhole guarantee covers max_hamming=8 —
+    # any pair with ≤8 differing bits has a clean chunk, so the blocked
+    # equi-join's recall is exactly 1.0 and the output EQUALS the
+    # all-pairs hamming≤8 ground truth DuckDB computes directly
+    # (bit_count(xor(sig_a, sig_b))). md5_hash60 signatures make the
+    # fingerprints bit-identical across engines (the text_simhash trick);
+    # production keeps the xxhash64 default + blocks=4 speed/recall
+    # trade, pinned by pytest ground-truth tests.
     q["dedup_simhash_pairs"] = lambda spark, sf: textops.simhash_near_pairs(
-        textops.simhash(_t(spark, sf, "documents")), max_hamming=8
+        textops.simhash(_t(spark, sf, "documents"), hasher=textops.md5_hash60),
+        max_hamming=8,
+        blocks=9,
     )
 
     # simhash VALUES, oracle-checked (the winnow trick): the signature
     # given token hashes is pure arithmetic, so running it over md5_hash60
     # — a hash both engines compute bit-identically — lets the oracle pin
-    # the actual 64-bit fingerprints. Production keeps the xxhash64 default
-    # (dedup_simhash_pairs above exercises the blocking recall path).
+    # the actual 64-bit fingerprints. Production keeps the xxhash64 default.
     q["text_simhash"] = lambda spark, sf: textops.simhash(
         _t(spark, sf, "documents"), hasher=textops.md5_hash60
     )
@@ -3209,6 +3219,37 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT DISTINCT doc_id, fp FROM w WHERE i <= greatest(nh - 8, 1)
+        """,
+        # blocks=9 pigeonhole recall is exactly 1.0 at max_hamming=8, so
+        # the oracle is the straight all-pairs popcount query over the
+        # same md5_hash60 signatures — no blocking to mirror
+        "dedup_simhash_pairs": f"""
+        WITH tok AS (
+          SELECT doc_id, t.t
+          FROM documents, unnest({_TOKS}) AS t(t)
+          WHERE text IS NOT NULL
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
+          FROM tok
+        ),
+        b AS (
+          SELECT doc_id, g.i,
+                 sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM h, unnest(generate_series(0, 59)) AS g(i)
+          GROUP BY doc_id, g.i
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                      AS BIGINT) AS simhash
+          FROM b GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.simhash, c.simhash)) <= 8
         """,
         "text_simhash": f"""
         WITH tok AS (
