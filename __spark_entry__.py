@@ -1067,9 +1067,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         unquoted caps) and the page-level <meta name=robots>
         nofollow/none gate; dim='meta' — wbx.frontier.
         page_robots_directives flattened to one row per asserted
-        directive. Every row pinned closed-form by the oracle."""
+        directive; dim='atext' (round 5) — wbx.frontier.
+        extract_anchor_texts: followable anchors WITH their
+        whitespace-normalized leading text node (url=resolved target,
+        link=label) over a third fixture mixing the quoting forms, an
+        unquoted rel=nofollow drop, and a padded label; dim='atext_top'
+        — wbx.frontier.anchor_text_summary per-target rollup encoded as
+        link = top_text#n_anchors#n_texts (count-desc / text-asc
+        tie-break). Every row pinned by the oracle (the rollup via the
+        same aggregation in SQL)."""
         from wbx.frontier import (
+            anchor_text_summary,
             extract_anchor_links,
+            extract_anchor_texts,
             extract_links,
             page_robots_directives,
         )
@@ -1158,7 +1168,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select(F.lit("meta").alias("dim"), "url", "link")
         )
-        return doc_rows.unionByName(anchor_rows).unionByName(meta_rows)
+        # anchor-text fixture: two followable anchors to the same /t/
+        # target with doc-varying labels (duplicates within a page when
+        # doc_id%4 < 2), an unquoted-href rel=nofollow drop, and a
+        # padded-label anchor to a unique /u/ target
+        html3 = F.concat(
+            F.lit('<html><body><a href="/t/'),
+            F.pmod("doc_id", F.lit(3)),
+            F.lit('">w'),
+            F.pmod("doc_id", F.lit(2)),
+            F.lit("</a><a href='/t/"),
+            F.pmod("doc_id", F.lit(3)),
+            F.lit("'>w"),
+            F.pmod("doc_id", F.lit(4)),
+            F.lit("</a><a href=/t/"),
+            F.pmod("doc_id", F.lit(3)),
+            F.lit(' rel=nofollow>skip</a><a href="/u/'),
+            F.col("doc_id"),
+            F.lit('">  padded   label </a></body></html>'),
+        )
+        pages3 = docs.select(
+            F.concat(
+                F.lit("https://t"),
+                F.pmod("doc_id", F.lit(9)),
+                F.lit(".example/p/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.encode(html3, "utf-8").alias("html"),
+        )
+        atext = extract_anchor_texts(pages3)
+        atext_rows = atext.select(
+            F.lit("atext").alias("dim"),
+            F.col("link").alias("url"),
+            F.col("anchor_text").alias("link"),
+        )
+        top_rows = anchor_text_summary(atext).select(
+            F.lit("atext_top").alias("dim"),
+            F.col("link").alias("url"),
+            F.concat(
+                F.col("top_text"),
+                F.lit("#"),
+                F.col("n_anchors").cast("string"),
+                F.lit("#"),
+                F.col("n_texts").cast("string"),
+            ).alias("link"),
+        )
+        return (
+            doc_rows.unionByName(anchor_rows)
+            .unionByName(meta_rows)
+            .unionByName(atext_rows)
+            .unionByName(top_rows)
+        )
 
     q["frontier_extract_links"] = links
 
@@ -3849,7 +3909,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT dim, url, link FROM doc_rows
         UNION ALL SELECT dim, url, link FROM anchor_rows
         UNION ALL SELECT dim, url, link FROM meta_rows
-        """,
+        UNION ALL SELECT dim, url, link FROM atext_rows
+        UNION ALL SELECT dim, url, link FROM top_rows
+        """.replace(
+            "WITH doc_rows AS (",
+            """WITH atext AS (
+          SELECT doc_id AS d,
+                 t.target, t.txt
+          FROM documents,
+               unnest([
+                 {'target': 'https://t' || (doc_id % 9) || '.example/t/' || (doc_id % 3),
+                  'txt': 'w' || (doc_id % 2)},
+                 {'target': 'https://t' || (doc_id % 9) || '.example/t/' || (doc_id % 3),
+                  'txt': 'w' || (doc_id % 4)},
+                 {'target': 'https://t' || (doc_id % 9) || '.example/u/' || doc_id,
+                  'txt': 'padded label'}
+               ]) AS u(t)),
+        atext_rows AS (
+          SELECT 'atext' AS dim, target AS url, txt AS link FROM atext),
+        -- same rollup the engine runs: per-(target,txt) counts, then the
+        -- top label by (count desc, txt asc) via the zero-padded
+        -- inverted-count string-min key
+        pt AS (
+          SELECT target, txt, count(*) AS n FROM atext GROUP BY target, txt),
+        top_rows AS (
+          SELECT 'atext_top' AS dim, target AS url,
+                 substr(min(lpad(CAST(999999999999 - n AS VARCHAR), 12, '0') || txt), 13)
+                   || '#' || CAST(sum(n) AS BIGINT)
+                   || '#' || CAST(count(*) AS BIGINT) AS link
+          FROM pt GROUP BY target),
+        doc_rows AS (""",
+        ),
         # canonical target per doc is closed-form; winner per target =
         # max(doc_id) because warc_ts increases strictly with doc_id
         "dedup_canonical": """

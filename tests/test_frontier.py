@@ -1548,6 +1548,78 @@ class TestAnchorLinks:
         assert self._links(pages) == [("http://ex.com/", "http://ex.com/ok")]
 
 
+class TestAnchorTexts:
+    """extract_anchor_texts / anchor_text_summary: the per-target anchor
+    label signal (leading text node, whitespace-normalized)."""
+
+    def _pages(self, spark, *rows):
+        return spark.createDataFrame(
+            [(u, h.encode() if isinstance(h, str) else h) for u, h in rows],
+            "url string, html binary",
+        )
+
+    def test_texts_and_normalization(self, spark):
+        html = (
+            '<a href="/a">plain</a>'
+            '<a href="/b">  runs \n\t of   space  </a>'
+            '<a href="/c"><b>markup-first</b> tail</a>'
+            '<a href="/d"></a>'
+            '<a href="/no" rel="nofollow">dropped</a>'
+        )
+        out = sorted(
+            (r["link"], r["anchor_text"])
+            for r in frontier.extract_anchor_texts(
+                self._pages(spark, ("http://ex.com/", html))
+            ).collect()
+        )
+        # the declared contract: leading text node only — an anchor whose
+        # first child is markup reports ''
+        assert out == [
+            ("http://ex.com/a", "plain"),
+            ("http://ex.com/b", "runs of space"),
+            ("http://ex.com/c", ""),
+            ("http://ex.com/d", ""),
+        ]
+
+    def test_links_agree_with_extract_anchor_links(self, spark):
+        html = (
+            '<meta name=robots content=none><a href="/x">gated</a>'
+        )
+        p1 = self._pages(spark, ("http://nf.com/", html))
+        assert frontier.extract_anchor_texts(p1).count() == 0
+        html2 = '<a href="sib.html">1</a><a href="JAVASCRIPT:x()">2</a>'
+        p2 = self._pages(spark, ("https://ex.com/dir/page.html", html2))
+        assert {
+            r["link"] for r in frontier.extract_anchor_texts(p2).collect()
+        } == {r["link"] for r in frontier.extract_anchor_links(p2).collect()}
+
+    def test_summary_counts_and_tie_breaks(self, spark):
+        rows = [
+            ("u1", "http://t/1", "home"),
+            ("u2", "http://t/1", "home"),
+            ("u3", "http://t/1", "start"),
+            ("u4", "http://t/2", "b"),
+            ("u5", "http://t/2", "a"),  # tie at n=1 -> lexicographic min
+        ]
+        anchors = spark.createDataFrame(
+            rows, "url string, link string, anchor_text string"
+        )
+        out = {
+            r["link"]: (r["n_anchors"], r["n_texts"], r["top_text"])
+            for r in frontier.anchor_text_summary(anchors).collect()
+        }
+        assert out == {
+            "http://t/1": (3, 2, "home"),
+            "http://t/2": (2, 2, "a"),
+        }
+        # deterministic at any parallelism
+        b = {
+            r["link"]: (r["n_anchors"], r["n_texts"], r["top_text"])
+            for r in frontier.anchor_text_summary(anchors.repartition(7)).collect()
+        }
+        assert b == out
+
+
 class TestPageRobotsDirectives:
     def _one(self, spark, html):
         df = spark.createDataFrame(

@@ -1999,6 +1999,122 @@ def extract_anchor_links(
     )
 
 
+# anchor fragment: the open tag PLUS the text run up to the first nested
+# tag / closing tag. [^<]* deliberately stops at nested markup — the
+# declared contract is "anchor text = the leading text node" (an
+# <a><b>bold</b> tail</a> reports 'bold'-less ''), which keeps the
+# pattern RE2-safe and oracle-chainable; full rich-text flattening is a
+# text-extraction (html_to_text) concern, not a link-signal one.
+ANCHOR_FRAG_RE = r"(?is)(<a[\s][^>]*>[^<]*)"
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    base_col: str = "url",
+    html_col: str = "html",
+    respect_nofollow: bool = True,
+    respect_meta: bool = True,
+) -> DataFrame:
+    """(url, link, anchor_text) — one row per FOLLOWABLE anchor with its
+    visible label: :func:`extract_anchor_links` plus the anchor's leading
+    text node, whitespace-normalized (runs collapse to one space,
+    trimmed; an anchor whose leading child is markup reports '').
+
+    The anchor-text signal is what search/link-graph pipelines aggregate
+    per TARGET url (how the web describes a page — a ranking and
+    query-document training signal the page's own text can't provide);
+    :func:`anchor_text_summary` is that rollup.
+
+    Scale shape: identical to extract_anchor_links — one
+    regexp_extract_all over the page, the explode carries only
+    (url, fragment) where a fragment is one open tag + its leading text,
+    never the html column; nofollow/meta gates and href quoting forms are
+    the same expressions. No shuffle here at all."""
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+    page_nf = (
+        _meta_robots_content(decoded).rlike(r"(?i)\b(nofollow|none)\b")
+        if respect_meta
+        else F.lit(False)
+    )
+    staged = pages.select(
+        F.col(base_col).alias("url"),
+        page_nf.alias("_page_nf"),
+        F.regexp_extract_all(decoded, F.lit(ANCHOR_FRAG_RE), F.lit(1)).alias(
+            "_frags"
+        ),
+    )
+    frags = staged.filter(~F.col("_page_nf")) if respect_meta else staged
+    frags = frags.select("url", F.explode("_frags").alias("_frag"))
+    tag = F.regexp_extract(F.col("_frag"), r"(?is)^(<a[\s][^>]*>)", 1)
+    text = F.regexp_extract(F.col("_frag"), r"(?is)^<a[\s][^>]*>([^<]*)", 1)
+    frags = frags.select("url", tag.alias("_tag"), text.alias("_text"))
+    if respect_nofollow:
+        frags = frags.filter(~F.col("_tag").rlike(REL_NOFOLLOW_RE))
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    t = F.col("_tag")
+    href = F.coalesce(
+        nn(F.regexp_extract(t, HREF_RE, 1)),
+        nn(F.regexp_extract(t, HREF_RE_SQ, 1)),
+        nn(F.regexp_extract(t, HREF_RE_UQ, 1)),
+    )
+    norm = F.trim(F.regexp_replace(F.col("_text"), r"\s+", " "))
+    staged2 = frags.select("url", href.alias("_href"), norm.alias("anchor_text"))
+    h = F.col("_href")
+    keep = (
+        h.isNotNull()
+        & (F.length(h) > 0)
+        & ~F.lower(h).startswith("javascript:")
+        & ~F.lower(h).startswith("mailto:")
+        & ~F.lower(h).startswith("data:")
+    )
+    return staged2.filter(keep).select(
+        "url", resolve_href(F.col("url"), h).alias("link"), "anchor_text"
+    )
+
+
+def anchor_text_summary(anchors: DataFrame) -> DataFrame:
+    """Per-TARGET anchor rollup over extract_anchor_texts output:
+    (link, n_anchors, n_texts, top_text) — how many followable anchors
+    point at each url, how many distinct labels the web uses for it, and
+    the most common label (ties break to the lexicographically smallest —
+    deterministic at any parallelism).
+
+    Scale shape: two map-side-combinable hash aggregates whose shuffles
+    carry only (link, anchor_text) short strings — at 10^10 links the
+    heavy reduction (per-(link,text) counting) happens map-side; the
+    top-text pick is min() of a single sortable string key rather than a
+    window (no sort, no second pass) or min(struct(...)) (which forces
+    SortAggregate — the retry_candidates packing precedent): the key
+    prefixes the text with the zero-padded DESCENDING count so plain
+    string-min == (count desc, text asc)."""
+    per_text = anchors.groupBy("link", "anchor_text").agg(
+        F.count("*").alias("_n")
+    )
+    # 12 digits bounds per-(link,text) counts at 10^12-1; inverted so the
+    # lexicographic min is the largest count, then smallest text
+    key = F.concat(
+        F.lpad((F.lit(10**12 - 1) - F.col("_n")).cast("string"), 12, "0"),
+        F.col("anchor_text"),
+    )
+    return (
+        per_text.groupBy("link")
+        .agg(
+            F.sum("_n").cast("long").alias("n_anchors"),
+            F.count("*").cast("long").alias("n_texts"),
+            F.min(key).alias("_k"),
+        )
+        .select(
+            "link",
+            "n_anchors",
+            "n_texts",
+            F.substring(F.col("_k"), 13, 2**30).alias("top_text"),
+        )
+    )
+
+
 # rel=canonical discovery: both attribute orders occur in real HTML; the
 # patterns are RE2-safe (no lookaround/backreferences) so the DuckDB oracle
 # can chain them verbatim, and [^>] bounds keep each match inside one tag.
