@@ -465,6 +465,36 @@ class TestRound4OperatorPlans:
         ]
         assert gen and all("html" not in ln for ln in gen)
 
+    def test_anchor_text_summary_volume_agg_stays_hash(self, spark):
+        # the volume-bearing reduction (raw anchors -> per-(link,text)
+        # counts) must be a HashAggregate with map-side partial counting;
+        # the string-key top pick on the reduced set is allowed to be a
+        # (map-side-combinable) SortAggregate; html never enters an
+        # exchange
+        from wbx import frontier
+
+        pages = spark.createDataFrame(
+            [("http://e.com/", b'<a href="/x">label</a>')],
+            "url string, html binary",
+        )
+        plan = plan_str(
+            frontier.anchor_text_summary(frontier.extract_anchor_texts(pages)),
+            "simple",
+        )
+        lines = plan.splitlines()
+        # the volume reduction is the aggregate KEYED on (link, text)
+        count_aggs = [
+            ln
+            for ln in lines
+            if "Aggregate" in ln and "keys=[link" in ln and "anchor_text" in ln
+        ]
+        assert count_aggs and all("HashAggregate" in ln for ln in count_aggs)
+        assert any("partial_count" in ln for ln in count_aggs)
+        assert any("partial_min" in ln for ln in lines)  # combinable pick
+        for ln in lines:
+            if "Exchange" in ln:
+                assert "html" not in ln
+
     def test_retry_candidates_single_partial_agg_shuffle(self, spark):
         from wbx import frontier
 

@@ -2082,14 +2082,17 @@ def anchor_text_summary(anchors: DataFrame) -> DataFrame:
     the most common label (ties break to the lexicographically smallest —
     deterministic at any parallelism).
 
-    Scale shape: two map-side-combinable hash aggregates whose shuffles
-    carry only (link, anchor_text) short strings — at 10^10 links the
-    heavy reduction (per-(link,text) counting) happens map-side; the
-    top-text pick is min() of a single sortable string key rather than a
-    window (no sort, no second pass) or min(struct(...)) (which forces
-    SortAggregate — the retry_candidates packing precedent): the key
-    prefixes the text with the zero-padded DESCENDING count so plain
-    string-min == (count desc, text asc)."""
+    Scale shape: the VOLUME-bearing aggregate — raw anchor rows down to
+    per-(link, text) counts, the 10^10-row side — is a pure
+    HashAggregate with map-side partial counting, shuffling only
+    (link, anchor_text) short strings (plan-guarded). The top-text pick
+    then runs on the already-reduced distinct (link, text) set as min()
+    of ONE sortable string key (text prefixed with the zero-padded
+    DESCENDING count, so string-min == count desc, text asc); a string
+    extremum is inherently SortAggregate in Spark, but it is still
+    map-side combinable (partial_min before the exchange) and its input
+    is the reduced set, not the anchor volume — and one packed key beats
+    a window (no second pass, no per-link row_number sort of its own)."""
     per_text = anchors.groupBy("link", "anchor_text").agg(
         F.count("*").alias("_n")
     )
