@@ -1593,6 +1593,20 @@ class TestAnchorTexts:
             r["link"] for r in frontier.extract_anchor_texts(p2).collect()
         } == {r["link"] for r in frontier.extract_anchor_links(p2).collect()}
 
+    def test_truncated_open_tag_has_no_text_row(self, spark):
+        # declared divergence: an unclosed open tag still yields a LINK
+        # (extract_anchor_links) but has no text node to report here
+        p = self._pages(
+            spark, ("http://e.com/", '<a href="/ok">t</a><a href="/trunc"')
+        )
+        assert sorted(
+            r["link"] for r in frontier.extract_anchor_links(p).collect()
+        ) == ["http://e.com/ok", "http://e.com/trunc"]
+        assert [
+            (r["link"], r["anchor_text"])
+            for r in frontier.extract_anchor_texts(p).collect()
+        ] == [("http://e.com/ok", "t")]
+
     def test_summary_counts_and_tie_breaks(self, spark):
         rows = [
             ("u1", "http://t/1", "home"),

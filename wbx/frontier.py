@@ -2019,6 +2019,9 @@ def extract_anchor_texts(
     visible label: :func:`extract_anchor_links` plus the anchor's leading
     text node, whitespace-normalized (runs collapse to one space,
     trimmed; an anchor whose leading child is markup reports '').
+    One deliberate divergence from extract_anchor_links: a TRUNCATED
+    open tag (page cut off before its '>') has no text node to report,
+    so it yields a link row there but no row here (pinned in tests).
 
     The anchor-text signal is what search/link-graph pipelines aggregate
     per TARGET url (how the web describes a page — a ranking and
