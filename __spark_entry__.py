@@ -1074,10 +1074,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         unquoted rel=nofollow drop, and a padded label; dim='atext_top'
         — wbx.frontier.anchor_text_summary per-target rollup encoded as
         link = top_text#n_anchors#n_texts (count-desc / text-asc
-        tie-break). Every row pinned by the oracle (the rollup via the
-        same aggregation in SQL)."""
+        tie-break); dims 'hreflang'/'feed' (round 5) — wbx.frontier.
+        discover_alternates over a fourth fixture: hreflang language
+        editions (both attribute orders + unquoted form, BCP 47
+        lowercasing) and RSS/Atom feed autodiscovery by doc parity, with
+        a stylesheet and a text/html alternate pinned as NON-emissions;
+        link = alt|resolved_href. Every row pinned by the oracle (the
+        rollup via the same aggregation in SQL)."""
         from wbx.frontier import (
             anchor_text_summary,
+            discover_alternates,
             extract_anchor_links,
             extract_anchor_texts,
             extract_links,
@@ -1213,11 +1219,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("n_texts").cast("string"),
             ).alias("link"),
         )
+        # alternates fixture: hreflang in both attribute orders + the
+        # unquoted form, RSS/Atom feed type by parity, a stylesheet and a
+        # text/html alternate that must NOT be emitted
+        html4 = F.concat(
+            F.lit('<html><head><link rel="alternate" hreflang="en" href="/en/'),
+            F.col("doc_id"),
+            F.lit("\"><link hreflang='DE-de' rel=alternate href='/de/"),
+            F.col("doc_id"),
+            F.lit("'>"),
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 0,
+                F.concat(
+                    F.lit("<link rel=alternate type=application/rss+xml href=/feed/"),
+                    F.pmod("doc_id", F.lit(5)),
+                    F.lit(">"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<link rel="alternate" type="application/atom+xml" href="/atom/'),
+                    F.pmod("doc_id", F.lit(5)),
+                    F.lit('">'),
+                )
+            ),
+            F.lit(
+                '<link rel="stylesheet" href="/css">'
+                '<link rel="alternate" type="text/html" href="/mobile">'
+                "</head><body>x</body></html>"
+            ),
+        )
+        pages4 = docs.select(
+            F.concat(
+                F.lit("https://m"),
+                F.pmod("doc_id", F.lit(8)),
+                F.lit(".example/p/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.encode(html4, "utf-8").alias("html"),
+        )
+        alt_rows = discover_alternates(pages4).select(
+            F.col("rel_type").alias("dim"),
+            "url",
+            F.concat(F.col("alt"), F.lit("|"), F.col("link")).alias("link"),
+        )
         return (
             doc_rows.unionByName(anchor_rows)
             .unionByName(meta_rows)
             .unionByName(atext_rows)
             .unionByName(top_rows)
+            .unionByName(alt_rows)
         )
 
     q["frontier_extract_links"] = links
@@ -1356,8 +1406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         padded whitespace and &amp;-escaped query strings;
         src='entry' rows are FULL sitemap-protocol entries
         (parse_sitemap_entries: lastmod/changefreq/priority, every third
-        doc metadata-free to pin the NULLs, priority = (doc_id%10)/10).
-        The oracle pins all three closed-form; non-entry dims carry NULL
+        doc metadata-free to pin the NULLs, priority = (doc_id%10)/10);
+        src='feed' rows (round 5) are RSS item / Atom entry links
+        (wbx.frontier.parse_feed; RSS for even doc_id with an escaped
+        ampersand and a linkless item, Atom for odd — the channel-level
+        homepage <link> is pinned as a NON-candidate).
+        The oracle pins all four closed-form; non-entry dims carry NULL
         metadata columns."""
         from wbx.frontier import (
             parse_sitemap,
@@ -1452,7 +1506,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "changefreq",
             "priority",
         )
-        return r.unionByName(x).unionByName(e)
+        # src='feed' (round 5): parse_feed over per-doc RSS (even doc_id)
+        # / Atom (odd) bodies — the channel/feed-level homepage link and a
+        # linkless item are pinned as NON-candidates
+        from wbx.frontier import parse_feed
+
+        d = F.col("doc_id")
+        feed_xml = F.when(
+            F.pmod(d, F.lit(2)) == 0,
+            F.concat(
+                F.lit("<rss><channel><link>https://h"),
+                k,
+                F.lit(".example.net/</link><item><link> https://h"),
+                k,
+                F.lit(".example.net/rss/"),
+                d,
+                F.lit("&amp;s=1 </link></item><item><title>x</title></item>"
+                      "</channel></rss>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<feed><link href="https://h'),
+                k,
+                F.lit('.example.net/"/><entry><link rel="alternate" href="https://h'),
+                k,
+                F.lit(".example.net/atom/"),
+                d,
+                F.lit('"/></entry></feed>'),
+            )
+        )
+        feeds = docs.select(
+            F.concat(F.lit("https://h"), k, F.lit(".example.net/feed.xml")).alias(
+                "feed_url"
+            ),
+            F.encode(feed_xml, "utf-8").alias("body"),
+        )
+        f = parse_feed(feeds).select(
+            F.lit("feed").alias("src"),
+            F.col("feed_url").alias("origin"),
+            F.col("item_url").alias("url"),
+            ns.alias("lastmod"),
+            ns.alias("changefreq"),
+            nd.alias("priority"),
+        )
+        return r.unionByName(x).unionByName(e).unionByName(f)
 
     q["frontier_sitemaps"] = sitemaps_q
 
@@ -3911,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT dim, url, link FROM meta_rows
         UNION ALL SELECT dim, url, link FROM atext_rows
         UNION ALL SELECT dim, url, link FROM top_rows
+        UNION ALL SELECT dim, url, link FROM alt_rows
         """.replace(
             "WITH doc_rows AS (",
             """WITH atext AS (
@@ -3938,6 +4036,20 @@ def oracle_sql() -> dict[str, str]:
                    || '#' || CAST(sum(n) AS BIGINT)
                    || '#' || CAST(count(*) AS BIGINT) AS link
           FROM pt GROUP BY target),
+        alt_rows AS (
+          SELECT u.a.dim AS dim,
+                 'https://m' || (doc_id % 8) || '.example/p/' || doc_id AS url,
+                 u.a.alt || '|https://m' || (doc_id % 8) || '.example' || u.a.path AS link
+          FROM documents,
+               unnest([
+                 {'dim': 'hreflang', 'alt': 'en', 'path': '/en/' || doc_id},
+                 {'dim': 'hreflang', 'alt': 'de-de', 'path': '/de/' || doc_id},
+                 {'dim': 'feed',
+                  'alt': CASE WHEN doc_id % 2 = 0 THEN 'application/rss+xml'
+                              ELSE 'application/atom+xml' END,
+                  'path': CASE WHEN doc_id % 2 = 0 THEN '/feed/' || (doc_id % 5)
+                               ELSE '/atom/' || (doc_id % 5) END}
+               ]) AS u(a)),
         doc_rows AS (""",
         ),
         # canonical target per doc is closed-form; winner per target =
@@ -4071,6 +4183,15 @@ def oracle_sql() -> dict[str, str]:
                                     'monthly','yearly','never')[(doc_id % 7) + 1] END,
                CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS DOUBLE)
                     ELSE (doc_id % 10) / 10.0 END
+        FROM documents
+        UNION ALL
+        -- RSS item (even doc_id, &amp; decoded) / Atom entry (odd) links;
+        -- the channel-level homepage link and the linkless item emit nothing
+        SELECT 'feed', 'https://h' || (doc_id % 13) || '.example.net/feed.xml',
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'https://h' || (doc_id % 13) || '.example.net/rss/' || doc_id || '&s=1'
+                    ELSE 'https://h' || (doc_id % 13) || '.example.net/atom/' || doc_id END,
+               NULL, NULL, NULL
         FROM documents
         """,
         "warc_main_text": """

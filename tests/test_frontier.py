@@ -595,6 +595,54 @@ class TestSitemaps:
         assert all(r["sitemap_url"] == "https://a.com/sitemap.xml" for r in got)
 
 
+class TestParseFeed:
+    """parse_feed: RSS item / Atom entry links only — the channel-level
+    <link> (the site homepage) is never a candidate."""
+
+    def _feed(self, spark, body):
+        return spark.createDataFrame(
+            [("https://a.com/feed", bytearray(body.encode()))],
+            "feed_url string, body binary",
+        )
+
+    def test_rss_items_not_channel_link(self, spark):
+        xml = (
+            "<rss><channel><link>https://a.com/</link>"
+            "<item><title>t1</title><link> https://a.com/post/1&amp;v=2 </link></item>"
+            "<item><link>https://a.com/post/2</link></item>"
+            "<item><title>no-link</title></item>"
+            "</channel></rss>"
+        )
+        got = sorted(r["item_url"] for r in frontier.parse_feed(self._feed(spark, xml)).collect())
+        assert got == ["https://a.com/post/1&v=2", "https://a.com/post/2"]
+
+    def test_atom_entries(self, spark):
+        xml = (
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            '<link href="https://a.com/"/>'
+            '<entry><link href="https://a.com/e/1"/></entry>'
+            "<entry><link rel='alternate' href='https://a.com/e/2'/></entry>"
+            "<entry><link href=https://a.com/e/3></link></entry>"
+            "</feed>"
+        )
+        got = sorted(r["item_url"] for r in frontier.parse_feed(self._feed(spark, xml)).collect())
+        assert got == [
+            "https://a.com/e/1",
+            "https://a.com/e/2",
+            "https://a.com/e/3",
+        ]
+
+    def test_malformed_bytes_safe(self, spark):
+        raw = b"<rss><channel><item><link>https://a.com/x</link></item>\xff</channel></rss>"
+        df = spark.createDataFrame(
+            [("https://a.com/feed", bytearray(raw))],
+            "feed_url string, body binary",
+        )
+        assert [r["item_url"] for r in frontier.parse_feed(df).collect()] == [
+            "https://a.com/x"
+        ]
+
+
 class TestRobotsParser:
     def _files(self, spark, body=ROBOTS_TXT, host="h.com"):
         return spark.createDataFrame([(host, body)], "host string, body string")
@@ -1632,6 +1680,61 @@ class TestAnchorTexts:
             for r in frontier.anchor_text_summary(anchors.repartition(7)).collect()
         }
         assert b == out
+
+
+class TestDiscoverAlternates:
+    """discover_alternates: hreflang language editions + RSS/Atom feed
+    autodiscovery from <link rel=alternate> tags."""
+
+    def _pages(self, spark, *rows):
+        return spark.createDataFrame(
+            [(u, h.encode() if isinstance(h, str) else h) for u, h in rows],
+            "url string, html binary",
+        )
+
+    def _rows(self, df):
+        return sorted(
+            (r["rel_type"], r["alt"], r["link"])
+            for r in frontier.discover_alternates(df).collect()
+        )
+
+    def test_hreflang_forms_and_case(self, spark):
+        html = (
+            '<link rel="alternate" hreflang="en" href="/en/p">'
+            "<link hreflang='DE-de' rel=alternate href='/de/p'>"
+            "<link rel=alternate hreflang=fr href=/fr/p>"
+            '<link rel="stylesheet" href="/css">'
+            '<link rel="alternate" type="text/html" href="/m/p">'
+        )
+        out = self._rows(self._pages(spark, ("https://ex.com/a/b", html)))
+        # attribute orders, all three quoting styles, BCP47 lowercasing;
+        # stylesheet and non-feed text/html alternates dropped
+        assert out == [
+            ("hreflang", "de-de", "https://ex.com/de/p"),
+            ("hreflang", "en", "https://ex.com/en/p"),
+            ("hreflang", "fr", "https://ex.com/fr/p"),
+        ]
+
+    def test_feed_autodiscovery(self, spark):
+        html = (
+            '<link rel="alternate" type="application/rss+xml" href="feed.xml">'
+            "<link type='APPLICATION/ATOM+XML' rel='alternate' href='/atom'>"
+            '<link rel="alternate" type="application/json" href="/api">'
+        )
+        out = self._rows(self._pages(spark, ("https://ex.com/dir/page", html)))
+        assert out == [
+            ("feed", "application/atom+xml", "https://ex.com/atom"),
+            ("feed", "application/rss+xml", "https://ex.com/dir/feed.xml"),
+        ]
+
+    def test_malformed_utf8_and_drops(self, spark):
+        raw = (
+            b'<link rel="alternate" hreflang="en" href="javascript:x()">'
+            b"\xff\xfe"
+            b'<link rel="alternate" hreflang="sv" href="/sv">'
+        )
+        out = self._rows(self._pages(spark, ("http://e.com/", raw)))
+        assert out == [("hreflang", "sv", "http://e.com/sv")]
 
 
 class TestPageRobotsDirectives:

@@ -1721,6 +1721,54 @@ CHANGEFREQ_SECONDS = {
 }
 
 
+def parse_feed(
+    feeds: DataFrame, url_col: str = "feed_url", body_col: str = "body"
+) -> DataFrame:
+    """(feed_url, item_url) — entry links of fetched RSS 2.0 / Atom feed
+    XML (body: binary), closing the loop :func:`discover_alternates`
+    opens (discover feed → fetch → parse → frontier candidates), exactly
+    as robots_sitemaps → parse_sitemap does for sitemaps.
+
+    Scoping contract: RSS links come only from inside ``<item>`` blocks
+    and Atom links from inside ``<entry>`` blocks — the channel/feed-level
+    ``<link>`` (the site's own homepage) is deliberately NOT a candidate.
+    Per block, the item URL is the first ``<link>text</link>`` (RSS) else
+    the first ``<link ... href=...>`` (Atom); entries with neither are
+    dropped. Same robustness contract as parse_sitemap: permissive
+    decode, trimmed whitespace, XML-escaped ampersands decoded in one
+    alternation pass. Two regexp_extract_all stages (blocks, then one
+    extract per block) — the explode carries (feed_url, block), never the
+    whole body; pure expressions, no shuffle, no Python."""
+    decoded = F.make_valid_utf8(F.col(body_col).cast("string"))
+    blocks = F.concat(
+        F.regexp_extract_all(decoded, F.lit(r"(?is)<item[\s>](.*?)</item>"), F.lit(1)),
+        F.regexp_extract_all(
+            decoded, F.lit(r"(?is)<entry[\s>](.*?)</entry>"), F.lit(1)
+        ),
+    )
+    exploded = feeds.select(
+        F.col(url_col).alias("feed_url"), F.explode(blocks).alias("_b")
+    )
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    b = F.col("_b")
+    rss = nn(
+        F.regexp_extract(b, r"(?is)<link[^>]*>\s*([^<\s][^<]*?)\s*</link>", 1)
+    )
+    atom = nn(
+        F.regexp_extract(b, r"""(?is)<link[^>]*?href\s*=\s*["']?([^"'\s<>]+)""", 1)
+    )
+    item = F.coalesce(rss, atom)
+    return exploded.select(
+        "feed_url",
+        F.regexp_replace(item, r"&amp;|&AMP;|&#0*38;|&#[xX]0*26;", "&").alias(
+            "item_url"
+        ),
+    ).filter(F.col("item_url").isNotNull())
+
+
 def parse_sitemap_entries(
     sitemaps: DataFrame, url_col: str = "sitemap_url", body_col: str = "body"
 ) -> DataFrame:
@@ -2158,6 +2206,87 @@ def html_canonical_url(
     )
     resolved = F.when(ok, resolve_href(F.col(url_col), href))
     return pages.select(F.col(url_col).alias("url"), resolved.alias("canonical"))
+
+
+# <link rel=alternate> discovery: one tag-scoped pass like the anchor
+# extractors. LINK_TAG_RE mirrors ANCHOR_TAG_RE; REL_ALTERNATE_RE mirrors
+# REL_NOFOLLOW_RE's token-in-attribute-value shape. hreflang values are
+# BCP 47 tags and feed types are MIME names, so one unquoted-tolerant
+# character-class pattern each covers all three quoting forms. RE2-safe.
+LINK_TAG_RE = r"(?is)(<link[\s][^>]*)"
+REL_ALTERNATE_RE = r"""(?is)rel\s*=\s*["']?[^"'>]*?\balternate\b"""
+HREFLANG_RE = r"""(?is)hreflang\s*=\s*["']?([A-Za-z0-9-]+)"""
+LINK_TYPE_RE = r"""(?is)type\s*=\s*["']?([A-Za-z0-9/+.-]+)"""
+FEED_TYPES = ("application/rss+xml", "application/atom+xml")
+
+
+def discover_alternates(
+    pages: DataFrame, base_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, rel_type, alt, link) — the two ``<link rel="alternate">``
+    discovery signals a production crawl consumes:
+
+    - rel_type='hreflang': language/region editions (alt = the lowercased
+      BCP 47 tag, link = resolved href) — the cluster key multilingual
+      corpus pipelines use to balance or dedup language editions of the
+      same page;
+    - rel_type='feed': RSS/Atom autodiscovery (alt = lowercased MIME
+      type, link = resolved feed URL) — feed URLs are high-yield crawl
+      seeds next to sitemaps.
+
+    A rel=alternate link with neither an hreflang attribute nor a feed
+    MIME type (e.g. ``type="text/html"`` mobile alternates) is not
+    emitted. Tags are scoped like extract_anchor_texts: one
+    regexp_extract_all over the page, the explode carries only
+    (url, tag text) — never html; hreflang casing is normalized (BCP 47
+    is case-insensitive); href quoting/resolution/drops shared with
+    extract_links via the HREF_RE family and :func:`resolve_href`. Pure
+    per-row expressions, no shuffle."""
+    decoded = F.make_valid_utf8(F.col(html_col).cast("string"))
+    tags = pages.select(
+        F.col(base_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(decoded, F.lit(LINK_TAG_RE), F.lit(1))
+        ).alias("_tag"),
+    ).filter(F.col("_tag").rlike(REL_ALTERNATE_RE))
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    t = F.col("_tag")
+    href = F.coalesce(
+        nn(F.regexp_extract(t, HREF_RE, 1)),
+        nn(F.regexp_extract(t, HREF_RE_SQ, 1)),
+        nn(F.regexp_extract(t, HREF_RE_UQ, 1)),
+    )
+    hl = nn(F.regexp_extract(t, HREFLANG_RE, 1))
+    mime = nn(F.lower(F.regexp_extract(t, LINK_TYPE_RE, 1)))
+    staged = tags.select(
+        "url", hl.alias("_hl"), mime.alias("_mime"), href.alias("_href")
+    )
+    h = F.col("_href")
+    ok = (
+        h.isNotNull()
+        & (F.length(h) > 0)
+        & ~F.lower(h).startswith("javascript:")
+        & ~F.lower(h).startswith("mailto:")
+        & ~F.lower(h).startswith("data:")
+    )
+    staged = staged.filter(ok)
+    resolved = resolve_href(F.col("url"), h)
+    hreflang_rows = staged.filter(F.col("_hl").isNotNull()).select(
+        "url",
+        F.lit("hreflang").alias("rel_type"),
+        F.lower(F.col("_hl")).alias("alt"),
+        resolved.alias("link"),
+    )
+    feed_rows = staged.filter(F.col("_mime").isin(*FEED_TYPES)).select(
+        "url",
+        F.lit("feed").alias("rel_type"),
+        F.col("_mime").alias("alt"),
+        resolved.alias("link"),
+    )
+    return hreflang_rows.unionByName(feed_rows)
 
 
 def dedup_by_canonical(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
