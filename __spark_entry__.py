@@ -1558,7 +1558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         charset (HTML5 short form and http-equiv content= form), <html
         lang> tag (case variants, quoted and unquoted), and
         whitespace-collapsed <title>; every third/fourth doc omits the
-        attribute to pin the NULL normalization."""
+        attribute to pin the NULL normalization. Round 5: OpenGraph
+        page-card columns (wbx.extract.og_meta) — og_title (both
+        attribute orders, inner-whitespace collapse), og_description
+        (single-quoted form), og_image (raw URL) by doc_id%6, absent
+        classes pinned NULL."""
         from wbx.extract import html_meta
 
         docs = _t(spark, sf, "documents")
@@ -1581,11 +1585,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(m4 == 2, F.lit(" lang=FR"))
             .otherwise(F.lit(""))
         )
+        # OpenGraph fixture (round 5): property-first with og:image,
+        # content-first (attribute order swapped), single-quoted
+        # og:description, or no og tags at all — by doc_id%6
+        m6 = F.pmod("doc_id", F.lit(6))
+        ds = F.col("doc_id").cast("string")
+        og_part = (
+            F.when(
+                m6 == 0,
+                F.concat(
+                    F.lit('<meta property="og:title" content="OG  '),
+                    ds,
+                    F.lit('"><meta property="og:image" content="https://img.example/i/'),
+                    F.pmod("doc_id", F.lit(9)),
+                    F.lit('.jpg">'),
+                ),
+            )
+            .when(
+                m6 == 1,
+                F.concat(F.lit('<meta content="OG '), ds, F.lit('" property=og:title>')),
+            )
+            .when(
+                m6 == 2,
+                F.concat(
+                    F.lit("<meta property='og:description' content='Sum "),
+                    F.pmod("doc_id", F.lit(7)),
+                    F.lit("'>"),
+                ),
+            )
+            .otherwise(F.lit(""))
+        )
         html = F.concat(
             F.lit("<html"),
             lang_part,
             F.lit("><head>"),
             charset_part,
+            og_part,
             F.lit("<title>  Doc "),
             F.col("doc_id"),
             F.lit("\n of corpus </title></head><body>x</body></html>"),
@@ -1620,9 +1655,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(m5 == 3, F.lit("x-unknown-enc"))
             .otherwise(F.lit(None).cast("string"))
         )
+        from wbx.extract import og_meta
+
+        og = og_meta(html)
         return docs.select(
             "doc_id",
             *[v.alias(kk) for kk, v in meta.items()],
+            *[v.alias(kk) for kk, v in og.items()],
             F.lower(body_cs).alias("body_charset"),
             decode_payload(body, body_cs).alias("decoded_text"),
         )
@@ -4209,6 +4248,13 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 1 THEN 'de-de'
                                WHEN 2 THEN 'fr' END AS lang_tag,
                'Doc ' || doc_id || ' of corpus' AS title,
+               -- OpenGraph fixture classes by doc_id%6 (0: prop-first
+               -- with double-space collapse + image; 1: content-first;
+               -- 2: single-quoted description; else: no og tags)
+               CASE WHEN doc_id % 6 IN (0, 1) THEN 'OG ' || doc_id END AS og_title,
+               CASE WHEN doc_id % 6 = 2 THEN 'Sum ' || (doc_id % 7) END AS og_description,
+               CASE WHEN doc_id % 6 = 0
+                    THEN 'https://img.example/i/' || (doc_id % 9) || '.jpg' END AS og_image,
                CASE doc_id % 5 WHEN 0 THEN 'utf-8'
                                WHEN 1 THEN 'iso-8859-1'
                                WHEN 2 THEN 'windows-1252'

@@ -590,3 +590,54 @@ def html_meta(html: "Column") -> dict[str, "Column"]:
             )
         ),
     }
+
+
+# OpenGraph <meta property="og:..." content="..."> — both attribute orders
+# occur in real HTML (the rel=canonical / meta-robots precedent); patterns
+# are RE2-safe so the oracle can chain them verbatim
+def _og_res(name: str) -> tuple[str, str]:
+    # prop_first terminates the property value with quote/whitespace ONLY
+    # (not '/>' ) — including '>' would let [^>]*? hop across the tag
+    # boundary and steal the NEXT tag's content=. A property-last
+    # unquoted tag ( ...property=og:title> ) falls through to the
+    # content-first form, which needs nothing after the property.
+    prop_first = (
+        r"""(?is)<meta[^>]*?property\s*=\s*["']?og:""" + name
+        + r"""["'\s][^>]*?content\s*=\s*["']?([^"'>]*)"""
+    )
+    # content-first needs one pattern per quoting form: a single pattern
+    # with an optional closing quote truncates quoted values at their
+    # first inner space (the lazy capture stops as soon as ["']?\s can
+    # match inside the value)
+    tail = r"""[^>]*?property\s*=\s*["']?og:""" + name + r"""["'\s/>]"""
+    cf_dq = r"""(?is)<meta[^>]*?content\s*=\s*"([^"]*)\"""" + tail
+    cf_sq = r"""(?is)<meta[^>]*?content\s*=\s*'([^']*)'""" + tail
+    cf_uq = r"""(?is)<meta[^>]*?content\s*=\s*([^"'\s>]+)\s""" + tail
+    return prop_first, cf_dq, cf_sq, cf_uq
+
+
+def og_meta(html: "Column") -> dict[str, "Column"]:
+    """OpenGraph page-card columns from an HTML string: og_title,
+    og_description (both whitespace-collapsed — display strings) and
+    og_image (raw URL — feed it to the multimodal fetch path). The og:
+    family is the de-facto page-preview metadata and a practical quality
+    / title-fallback signal in web corpora; property-first is preferred
+    when both attribute orders somehow match. Empty/absent → NULL. Pure
+    Column expressions, same contract as :func:`html_meta`."""
+
+    def nn(c):
+        return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+    def grab(name, collapse=True):
+        v = F.coalesce(
+            *[nn(F.regexp_extract(html, p, 1)) for p in _og_res(name)]
+        )
+        if collapse:
+            v = nn(F.trim(F.regexp_replace(v, r"\s+", " ")))
+        return v
+
+    return {
+        "og_title": grab("title"),
+        "og_description": grab("description"),
+        "og_image": grab("image", collapse=False),
+    }
