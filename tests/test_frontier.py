@@ -642,6 +642,17 @@ class TestParseFeed:
             "https://a.com/x"
         ]
 
+    def test_feed_candidates_shape(self, spark):
+        items = spark.createDataFrame(
+            [("f", "https://a.com/post/1")], "feed_url string, item_url string"
+        )
+        got = frontier.feed_candidates(items).collect()
+        assert [(r["url"], r["priority"]) for r in got] == [
+            ("https://a.com/post/1", 0.7)
+        ]
+        # drops straight into crawl_round's candidate schema
+        assert got[0].asDict().keys() == {"url", "priority"}
+
 
 class TestRobotsParser:
     def _files(self, spark, body=ROBOTS_TXT, host="h.com"):

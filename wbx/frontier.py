@@ -1832,6 +1832,19 @@ def sitemap_candidates(
     )
 
 
+def feed_candidates(items: DataFrame, priority: float = 0.7) -> DataFrame:
+    """:func:`parse_feed` output → crawl_round candidates
+    (url, priority). Feeds carry no per-item priority hint, so every item
+    gets one flat ``priority`` — defaulted ABOVE sitemap_candidates' 0.5
+    because feed entries are the host's declaration of what just changed
+    (freshness-biased scheduling, the reason crawlers poll feeds at
+    all)."""
+    return items.select(
+        F.col("item_url").alias("url"),
+        F.lit(float(priority)).alias("priority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # link discovery (the expand step: pages -> candidate URLs)
 # ---------------------------------------------------------------------------
