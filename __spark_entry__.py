@@ -613,18 +613,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_all"] = dedup_exact_all
 
     # --- per-document text metrics suite ----------------------------------
-    def text_doc_metrics(spark, sf):
-        """Per-document scalar text metrics in one wide row (all five are
-        independent Column kernels over the same scan): tokenizer-stream
-        fingerprint, quality stats (token count / stopword hits / alnum
-        chars), language id, BPE-ish pretokenizer count, and the rolling-
-        hash count (the winnowing primitive's windowing arithmetic; the
-        hash VALUES are pinned by text_winnow)."""
+    def text_doc_metrics_full(spark, sf):
+        """text_doc_metrics + the round-4 signals: Unicode script profile
+        over a planted multi-script fixture (text + (doc_id%4)×' мир' +
+        (doc_id%3)×' 中文' — counts and dominance vary arithmetically),
+        the char-trigram entropy gibberish signal over the raw text
+        (wbx.textops.trigram_entropy; ln-based, rounded 6dp),
+        training-shard packing (pack_shards: start_offset/shard_id/
+        shard_offset, budget 5000), the hashed-linear quality classifier
+        (hashed_linear_struct/derived, md5 hasher: clf_* columns), the
+        corpus-self-trained unigram LM NLL (unigram_nll: nll_n_toks/
+        unigram_nll, left-joined), and the CCNet head/middle/tail split
+        (score_buckets with exact NTILE semantics: nll_bucket/
+        nll_bucket_label).
+
+        Plan shape (r6 optimization — guide §2.4): the scalar metrics
+        (base + script profile + classifier) are all independent per-row
+        Column kernels, so they are fused into ONE projection over ONE
+        scan instead of three per-row DataFrames inner-joined back by
+        doc_id — same rows, same values, 3 joins and their exchanges
+        removed. Only the genuinely aggregating signals (tri_entropy,
+        pack_shards, unigram_nll, score_buckets) remain joins; a final
+        select pins the exact pre-fusion column order."""
         docs = _t(spark, sf, "documents")
+        planted = F.concat(
+            F.col("text"),
+            F.repeat(F.lit(" мир"), F.pmod("doc_id", F.lit(4))),
+            F.repeat(F.lit(" 中文"), F.pmod("doc_id", F.lit(3))),
+        )
+        prof = textops.script_profile(planted)
+        clf = textops.hashed_linear_derived(F.col("_clf_s"), threshold=0.0)
         toks = textops.tokens(F.col("text"))
         en = textops._LANG_MARKERS["en"]
-        return docs.select(
+        base = docs.withColumn(
+            "_clf_s",
+            textops.hashed_linear_struct(
+                F.col("text"), seed=13, hasher=sampling.md5_seeded
+            ),
+        ).select(
             "doc_id",
+            # --- text_doc_metrics scalar suite (same expressions) ---------
             textops.fingerprint(F.col("text")).alias("fp"),
             F.size(toks).cast("long").alias("n_tokens"),
             F.size(F.filter(toks, lambda t: t.isin(en)))
@@ -638,10 +666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(textops.rolling_hashes(F.col("text"), window=8))
             .cast("long")
             .alias("n_hashes"),
-            # deterministic sampling surface (wbx.sampling), oracled via
-            # the portable md5 hasher (winnow trick; production default is
-            # xxhash64): the bucket VALUE, the train/holdout tag, and a
-            # per-source stratified-mix keep decision
             sampling.sample_bucket(
                 F.col("doc_id"), seed=7, hasher=sampling.md5_seeded
             ).alias("sample_bucket"),
@@ -656,53 +680,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sampling.keep_fraction(
                 F.col("doc_id"), 0.25, seed=11, hasher=sampling.md5_seeded
             ).alias("mix_keep"),
-        )
-
-    def text_doc_metrics_full(spark, sf):
-        """text_doc_metrics + the round-4 signals: Unicode script profile
-        over a planted multi-script fixture (text + (doc_id%4)×' мир' +
-        (doc_id%3)×' 中文' — counts and dominance vary arithmetically),
-        the char-trigram entropy gibberish signal over the raw text
-        (wbx.textops.trigram_entropy; ln-based, rounded 6dp),
-        training-shard packing (pack_shards: start_offset/shard_id/
-        shard_offset, budget 5000), the hashed-linear quality classifier
-        (hashed_linear_score, md5 hasher: clf_* columns), the
-        corpus-self-trained unigram LM NLL (unigram_nll: nll_n_toks/
-        unigram_nll, left-joined), and the CCNet head/middle/tail split
-        (score_buckets with exact NTILE semantics: nll_bucket/
-        nll_bucket_label)."""
-        base = text_doc_metrics(spark, sf)
-        docs = _t(spark, sf, "documents")
-        planted = F.concat(
-            F.col("text"),
-            F.repeat(F.lit(" мир"), F.pmod("doc_id", F.lit(4))),
-            F.repeat(F.lit(" 中文"), F.pmod("doc_id", F.lit(3))),
-        )
-        prof = textops.script_profile(planted)
-        scripts = docs.select(
-            "doc_id",
+            # --- script profile -------------------------------------------
             prof["n_latin"].alias("n_latin"),
             prof["n_cyrillic"].alias("n_cyrillic"),
             prof["n_cjk"].alias("n_cjk"),
             prof["script_dom"].alias("script_dom"),
             F.round(prof["script_dom_frac"], 6).alias("script_dom_frac"),
+            # --- hashed-linear classifier (struct staged once) ------------
+            clf["n_feats"].alias("clf_n_feats"),
+            clf["score_sum"].alias("clf_score_sum"),
+            clf["quality_score"].alias("clf_score"),
+            clf["keep"].alias("clf_keep"),
         )
         ent = textops.trigram_entropy(docs)
         # training-shard packing over the same corpus (budget sized so
         # sf0.01 produces many shards): global exclusive prefix sum of
         # whitespace token counts → shard containing the doc's start
         shards = textops.pack_shards(docs, budget_tokens=5000).drop("n_tokens")
-        # hashed-linear quality classifier (portable md5 hasher so the
-        # oracle pins the exact integer score, not just the rate)
-        clf = textops.hashed_linear_score(
-            docs, seed=13, threshold=0.0, hasher=sampling.md5_seeded
-        ).select(
-            "doc_id",
-            F.col("n_feats").alias("clf_n_feats"),
-            F.col("score_sum").alias("clf_score_sum"),
-            F.col("quality_score").alias("clf_score"),
-            F.col("keep").alias("clf_keep"),
-        )
         # corpus-self-trained unigram LM signal (left join: token-less
         # docs score NULL)
         # one NLL computation feeds both the per-doc columns and the
@@ -725,12 +719,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("bucket_label").alias("nll_bucket_label"),
         )
         return (
-            base.join(scripts, "doc_id")
-            .join(ent, "doc_id")
+            base.join(ent, "doc_id")
             .join(shards, "doc_id")
-            .join(clf, "doc_id")
             .join(nll, "doc_id", "left")
             .join(buckets, "doc_id", "left")
+            # exact pre-fusion column order (schema is part of the contract)
+            .select(
+                "doc_id", "fp", "n_tokens", "stop_hits", "alnum_chars",
+                "lang_pred", "n_bpe_tokens", "n_hashes", "sample_bucket",
+                "split", "mix_keep", "n_latin", "n_cyrillic", "n_cjk",
+                "script_dom", "script_dom_frac", "tri_entropy",
+                "start_offset", "shard_id", "shard_offset", "clf_n_feats",
+                "clf_score_sum", "clf_score", "clf_keep", "nll_n_toks",
+                "unigram_nll", "nll_bucket", "nll_bucket_label",
+            )
         )
 
     q["text_doc_metrics"] = text_doc_metrics_full

@@ -1180,8 +1180,18 @@ def apply_politeness(
     ``key_col``/``budget_key``: the frontier-side budget key and the
     matching column name in ``hosts`` — defaults group per host; pass a
     registered-domain column (wbx.domains.apply_domain_politeness) to
-    budget whole site operators. The plan is key-agnostic: same single
-    window exchange, same salted two-phase shape."""
+    budget whole site operators. The plan is key-agnostic: same window
+    exchange(s), same salted two-phase shape.
+
+    r6 plan fix (guide §2.5): the salted phase now REPARTITIONS explicitly
+    on (key, salt). Before, the salt lived only in the window's
+    partitionBy — and EnsureRequirements satisfied BOTH windows with one
+    hashpartitioning(key) exchange (hash(key) clusters (key, salt) too),
+    so the hot host still landed on one reducer and phase 1 was a pure
+    extra sort+window of the full input with zero spreading. Salting is
+    therefore only worth its second full exchange when one key truly
+    dominates; pass ``salt_buckets=0`` for the single-exchange plan
+    (crawl_round's default — see its docstring)."""
     budgets = hosts.select(F.col(budget_key).alias("_bhost"), "budget")
     if broadcast:
         budgets = F.broadcast(budgets)
@@ -1193,14 +1203,18 @@ def apply_politeness(
     order = [F.col("priority").desc(), F.col("canon_url").asc()]
     if salt_buckets and salt_buckets > 1:
         # salt from xxhash64(canon_url) (= url_hash) so no extra column is
-        # required of the caller; participates in PARTITIONING only
-        w_salt = Window.partitionBy(
-            key_col, F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt_buckets))
-        ).orderBy(*order)
+        # required of the caller; participates in PARTITIONING only. The
+        # explicit repartition is what actually spreads a hot key over
+        # salt_buckets reducers (see docstring); the window then runs on
+        # the exchange-provided (key, salt) clustering with no further
+        # shuffle.
+        salt = F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt_buckets))
+        f = f.withColumn("_psalt", salt).repartition(F.col(key_col), F.col("_psalt"))
+        w_salt = Window.partitionBy(key_col, "_psalt").orderBy(*order)
         f = (
             f.withColumn("_srank", F.row_number().over(w_salt))
             .filter(F.col("_srank") <= F.col("_budget"))
-            .drop("_srank")
+            .drop("_srank", "_psalt")
         )
     w = Window.partitionBy(key_col).orderBy(*order)
     return (
@@ -1400,11 +1414,24 @@ def _bucket_staged(
     boundary_cache: dict | None,
 ) -> tuple[DataFrame, int, list]:
     """Shared stage-1 of the bucketed two-phase order operators
-    (global_rank / global_prefix_sum): persist the input, sample boundary
-    key tuples, and attach the monotone ``_rbucket`` column. Returns
-    (staged df, bucket count, window order columns). Boundary sampling,
-    memoization, and the O(buckets) per-row bucket expression are exactly
-    the scheme documented on :func:`global_rank`."""
+    (global_rank / global_prefix_sum): persist the input, derive boundary
+    values, and attach the monotone ``_rbucket`` column. Returns
+    (staged df, bucket count, window order columns).
+
+    Boundary derivation (r6 — guide §1.2 "per-task work after shape"):
+    boundaries steer partition BALANCE only (the rank is offset + local
+    position, both pure functions of the data), so they need not be exact
+    or even sampled rows. When the FIRST sort key is numeric — every
+    in-repo caller: priority, unigram_nll, doc_id — the boundaries are
+    one ``approx_percentile`` aggregate over that key: ONE driver
+    pre-job (which doubles as the persist materialization) instead of the
+    old count() + sample().collect() pair, no row collection, and the
+    per-row bucket expression compares ≤255 double literals instead of
+    struct tuples with string tie-breaks. Ties on the first key share a
+    bucket (balance within a tie class is then up to the local sort,
+    which is exactly the situation the old tuple boundaries produced for
+    duplicated sample tuples). Non-numeric first keys keep the original
+    sampled-tuple scheme."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
@@ -1416,12 +1443,31 @@ def _bucket_staged(
         F.col(k).asc_nulls_last() if asc else F.col(k).desc_nulls_last()
         for k, asc in keys
     ]
+    first_key, first_asc = keys[0]
+    first_type = df.schema[first_key].dataType.simpleString()
+    numeric_first = first_type in (
+        "double", "float", "int", "bigint", "smallint", "tinyint"
+    )
 
     cache_key = (tuple(keys), n_part, sample_per_part)
     if boundary_cache is not None and cache_key in boundary_cache:
         bvals = boundary_cache[cache_key]
+    elif numeric_first:
+        # --- one-job percentile sketch over the first key ---------------
+        fracs = [i / n_part for i in range(1, n_part)]
+        row = df.agg(
+            F.percentile_approx(
+                F.col(first_key).cast("double"),
+                F.array(*[F.lit(x) for x in fracs]),
+                F.lit(10000),
+            ).alias("_p")
+        ).collect()[0]
+        qs = [q for q in (row["_p"] or []) if q is not None]
+        bvals = ("num", sorted(set(qs), reverse=not first_asc))
+        if boundary_cache is not None:
+            boundary_cache[cache_key] = bvals
     else:
-        # --- boundary sample (driver-side, ≤ sample_per_part*n_part rows) --
+        # --- sampled-tuple boundaries (non-numeric first key) ------------
         n = df.count()  # materializes the cache; sizes the sample fraction
         target = sample_per_part * n_part
         if n > target:
@@ -1447,20 +1493,21 @@ def _bucket_staged(
         import functools
 
         rows.sort(key=functools.cmp_to_key(_cmp))
-        bvals = []
+        tvals = []
         m = len(rows)
         for i in range(1, n_part):
             if not m:
                 break
             t = rows[(m * i) // n_part]
-            if not bvals or t != bvals[-1]:
-                bvals.append(t)
+            if not tvals or t != tvals[-1]:
+                tvals.append(t)
+        bvals = ("tup", tvals)
         if boundary_cache is not None:
             boundary_cache[cache_key] = bvals
 
     # --- monotone bucket column -------------------------------------------
-    # the literal boundary array is ~n_part structs = thousands of py4j
-    # calls to rebuild (measured 0.4s/round warm) for a byte-identical
+    # the literal boundary array is up to ~n_part elements = hundreds of
+    # py4j calls to rebuild (measured 0.4s/round warm) for a byte-identical
     # expression, so the built Column memoizes alongside the boundaries,
     # keyed by key datatypes + JVM identity (cross-context Columns are dead)
     types = tuple(
@@ -1469,7 +1516,18 @@ def _bucket_staged(
     col_key = (cache_key, types, "bucket_col", _jvm_token())
     bucket = boundary_cache.get(col_key) if boundary_cache is not None else None
     if bucket is None:
-        if bvals:
+        kind, vals = bvals
+        if not vals:
+            bucket = F.lit(0)
+        elif kind == "num":
+            barr = F.array(*[F.lit(float(v)) for v in vals])
+            c = F.col(first_key).cast("double")
+            after = (lambda b: c > b) if first_asc else (lambda b: c < b)
+            # nulls sort last in both directions → past every boundary
+            bucket = F.when(c.isNull(), F.lit(len(vals))).otherwise(
+                F.size(F.filter(barr, after))
+            )
+        else:
             fields = df.select(*key_names).schema.fields
             barr = F.array(
                 *[
@@ -1479,7 +1537,7 @@ def _bucket_staged(
                             for v, f in zip(t, fields)
                         ]
                     )
-                    for t in bvals
+                    for t in vals
                 ]
             )
 
@@ -1499,8 +1557,6 @@ def _bucket_staged(
                 return cond
 
             bucket = F.size(F.filter(barr, row_after))
-        else:
-            bucket = F.lit(0)
         if boundary_cache is not None:
             boundary_cache[col_key] = bucket
 
@@ -1553,6 +1609,8 @@ def crawl_round(
     base_buckets: int | None = None,
     robots_style: str = "prefix",
     politeness_scope: str = "host",
+    politeness_salt: int = 0,
+    dedup_first: bool = False,
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
@@ -1599,31 +1657,70 @@ def crawl_round(
     ``politeness_scope``: 'host' (default — budgets per raw host) or
     'registered_domain' (budgets per eTLD+1 via
     wbx.domains.apply_domain_politeness, so subdomain farms share one
-    budget; ``hosts`` is then (domain, budget))."""
+    budget; ``hosts`` is then (domain, budget)).
+
+    ``politeness_salt``: salt_buckets for apply_politeness. Default 0 —
+    one exchange + one sort + one window for the budget cap. Pass >1 only
+    when one host truly dominates the batch (≫1/parallelism of all rows):
+    the salted phase now costs a real second full exchange (see
+    apply_politeness: the previous implicit form was collapsed by the
+    planner into a no-spread extra sort, so this default changes the
+    physical plan from [sort+window+sort+window] to [sort+window] on the
+    same single exchange — strictly less work at any scale until a single
+    reducer's host volume is the straggler).
+
+    ``dedup_first``: plain-path aggregation order. Default False — the
+    seen anti-join runs on the raw canonicalized rows and the max-priority
+    dedup aggregates AFTER it, reusing the join's (url_hash, canon_url)
+    clustering: one exchange, one aggregate pass over only the unseen
+    survivors, and no 6M-row pre-join hash map build. True restores
+    aggregate-before-join (partial map-side dedup shrinks the exchange
+    when candidate batches carry heavy intra-partition duplication — the
+    right trade when dup_factor × row_width ≫ exchange bandwidth).
+    Results are identical either way: an anti-join distributes over the
+    duplicate rows of a group (all kept or all dropped together), so
+    max(priority) per group is unchanged (pinned by tests)."""
     if bloom is not None and cuckoo is not None:
         raise ValueError("pass at most one seen-sketch (bloom or cuckoo)")
     canon = with_canon_url(candidates.select("url", "priority")).select(
         "canon_url", "priority"
     ).withColumn("url_hash", url_hash(F.col("canon_url")))
-    deduped = canon.groupBy("url_hash", "canon_url").agg(
-        F.max("priority").alias("priority")
-    )
-    if bloom is not None:
-        unseen = filter_unseen_with_bloom(
-            deduped, seen, bloom, bloom_partitions, bloom_mode,
-            seen_base=seen_base, base_buckets=base_buckets,
+    plain = bloom is None and cuckoo is None and seen_base is None
+    if plain and not dedup_first:
+        # membership-then-dedup: SHUFFLE_HASH keeps the big anti-join
+        # sort-free (guide §3.1 — the seen side builds a per-partition
+        # hash table instead of both sides paying a full sort; AQE still
+        # re-plans partition counts). The groupBy after the join needs no
+        # exchange: hashpartitioning(url_hash, canon_url) from the join
+        # already satisfies the aggregate's clustering.
+        kept = canon.join(
+            seen.select("url_hash", "canon_url").hint("shuffle_hash"),
+            ["url_hash", "canon_url"],
+            "left_anti",
         )
-    elif cuckoo is not None:
-        from wbx.cuckoo import filter_unseen_with_cuckoo
-
-        unseen = filter_unseen_with_cuckoo(
-            deduped, seen, cuckoo, bloom_partitions, bloom_mode,
-            seen_base=seen_base, base_buckets=base_buckets,
+        unseen = kept.groupBy("url_hash", "canon_url").agg(
+            F.max("priority").alias("priority")
         )
-    elif seen_base is not None:
-        unseen = filter_unseen_split(deduped, seen_base, seen, base_buckets)
     else:
-        unseen = filter_unseen(deduped, seen)
+        deduped = canon.groupBy("url_hash", "canon_url").agg(
+            F.max("priority").alias("priority")
+        )
+        if bloom is not None:
+            unseen = filter_unseen_with_bloom(
+                deduped, seen, bloom, bloom_partitions, bloom_mode,
+                seen_base=seen_base, base_buckets=base_buckets,
+            )
+        elif cuckoo is not None:
+            from wbx.cuckoo import filter_unseen_with_cuckoo
+
+            unseen = filter_unseen_with_cuckoo(
+                deduped, seen, cuckoo, bloom_partitions, bloom_mode,
+                seen_base=seen_base, base_buckets=base_buckets,
+            )
+        elif seen_base is not None:
+            unseen = filter_unseen_split(deduped, seen_base, seen, base_buckets)
+        else:
+            unseen = filter_unseen(deduped, seen)
     unseen = with_url_host(unseen)
     if robots is not None:
         if robots_style == "wildcard":
@@ -1636,11 +1733,13 @@ def crawl_round(
         from wbx.domains import apply_domain_politeness
 
         polite = apply_domain_politeness(
-            unseen, hosts, default_budget, broadcast_small
+            unseen, hosts, default_budget, broadcast_small,
+            salt_buckets=politeness_salt,
         )
     elif politeness_scope == "host":
         polite = apply_politeness(
-            unseen, hosts, default_budget, broadcast_small
+            unseen, hosts, default_budget, broadcast_small,
+            salt_buckets=politeness_salt,
         )
     else:
         raise ValueError("politeness_scope must be host | registered_domain")

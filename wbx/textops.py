@@ -1577,24 +1577,32 @@ def hashed_linear_score(
     units; the keep decision compares integers (score_sum ≥
     round(1000·threshold)·n_feats), never floats.
     """
-    thresh_milli = int(round(threshold * 1000))
     scored = hashed_linear_struct(F.col(text_col), seed, bigrams, hasher)
+    derived = hashed_linear_derived(F.col("_s"), threshold)
     return documents.select(F.col(id_col), scored.alias("_s")).select(
-        id_col,
-        F.col("_s.n_feats").alias("n_feats"),
-        F.col("_s.score_sum").alias("score_sum"),
+        id_col, *[c.alias(n) for n, c in derived.items()]
+    )
+
+
+def hashed_linear_derived(s: Column, threshold: float = 0.0) -> dict[str, Column]:
+    """The four classifier output columns derived from a STAGED
+    hashed_linear_struct column ``s`` (stage it with withColumn first so
+    the struct is evaluated once, not once per reference — CollapseProject
+    keeps multi-referenced non-cheap aliases staged). Shared by
+    hashed_linear_score and callers that fuse the classifier into a wider
+    per-row projection (one scan instead of a join-back by id)."""
+    thresh_milli = int(round(threshold * 1000))
+    return {
+        "n_feats": s["n_feats"],
+        "score_sum": s["score_sum"],
         # NULL text propagates NULL (falls through both whens); empty
         # feature set scores a neutral 0.0
-        F.when(F.col("_s.n_feats") > 0, F.round(
-            F.col("_s.score_sum")
-            / (F.lit(1000.0) * F.col("_s.n_feats")),
-            6,
-        )).when(F.col("_s.n_feats") == 0, F.lit(0.0)).alias("quality_score"),
-        (
-            F.col("_s.score_sum")
-            >= F.lit(thresh_milli).cast("long") * F.col("_s.n_feats")
-        ).alias("keep"),
-    )
+        "quality_score": F.when(
+            s["n_feats"] > 0,
+            F.round(s["score_sum"] / (F.lit(1000.0) * s["n_feats"]), 6),
+        ).when(s["n_feats"] == 0, F.lit(0.0)),
+        "keep": s["score_sum"] >= F.lit(thresh_milli).cast("long") * s["n_feats"],
+    }
 
 
 # ---------------------------------------------------------------------------
