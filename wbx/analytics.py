@@ -131,7 +131,18 @@ def match_pairs(records: DataFrame, exclude_file_uris: bool = False) -> DataFram
     record for its URI. The queue invariant means the k-th request (in file
     order, per URI) always pairs with the k-th response (per URI) — so the
     exact same pairing is produced by ranking each side with row_number()
-    and full_outer-joining on (target_uri, seq). Null side ⇒ lone record.
+    and pivoting the two sides of each (target_uri, seq) key together.
+    A missing side ⇒ lone record.
+
+    Plan shape (r6 — guide §2.4): ONE exchange. The input is hash-
+    partitioned on target_uri; the per-(uri, side) rank window, the
+    (uri, seq) key pivot (a groupBy — (uri, side, seq) is unique, so each
+    group holds at most one row per side and the conditional any_value
+    aggregates are the old full_outer join's row, exactly), and any
+    downstream per-uri aggregate (pair_counts / pair_summary_by_uri) all
+    reuse that clustering with no further shuffle. The previous
+    rank → split → full_outer-join form shuffled both join branches a
+    second time on (uri, seq).
 
     Returns (target_uri, seq, req_start, req_end, resp_start, resp_end,
     pair_type ∈ {pair, lone_request, lone_response}).
@@ -143,46 +154,47 @@ def match_pairs(records: DataFrame, exclude_file_uris: bool = False) -> DataFram
             | ~F.col("target_uri").startswith("file:///")
         )
     side = F.lower(F.col("warc_type"))
-    w = Window.partitionBy("target_uri", side).orderBy(*FILE_ORDER)
-    ranked = base.select(
+    staged = base.select(
         "target_uri",
         side.alias("side"),
         F.col("record_start"),
         F.col("record_end"),
-        F.row_number().over(
-            Window.partitionBy("target_uri", F.lower(F.col("warc_type"))).orderBy(
-                *FILE_ORDER
+        *[F.col(c) for c in FILE_ORDER if c not in ("record_start",)],
+    ).repartition(F.col("target_uri"))
+    ranked = staged.select(
+        "target_uri",
+        "side",
+        "record_start",
+        "record_end",
+        F.row_number()
+        .over(Window.partitionBy("target_uri", "side").orderBy(*FILE_ORDER))
+        .alias("seq"),
+    )
+    is_req = F.col("side") == "request"
+    pick = lambda cond, c: F.any_value(F.when(cond, F.col(c)), True)  # noqa: E731
+    return (
+        ranked.groupBy("target_uri", "seq")
+        .agg(
+            pick(is_req, "record_start").alias("req_start"),
+            pick(is_req, "record_end").alias("req_end"),
+            pick(~is_req, "record_start").alias("resp_start"),
+            pick(~is_req, "record_end").alias("resp_end"),
+        )
+        .select(
+            "target_uri",
+            "seq",
+            "req_start",
+            "req_end",
+            "resp_start",
+            "resp_end",
+            F.when(
+                F.col("req_start").isNotNull() & F.col("resp_start").isNotNull(),
+                "pair",
             )
-        ).alias("seq"),
-    )
-    requests = ranked.filter(F.col("side") == "request").select(
-        F.col("target_uri").alias("r_uri"),
-        F.col("seq").alias("r_seq"),
-        F.col("record_start").alias("req_start"),
-        F.col("record_end").alias("req_end"),
-    )
-    responses = ranked.filter(F.col("side") == "response").select(
-        F.col("target_uri").alias("p_uri"),
-        F.col("seq").alias("p_seq"),
-        F.col("record_start").alias("resp_start"),
-        F.col("record_end").alias("resp_end"),
-    )
-    joined = requests.join(
-        responses,
-        (requests.r_uri.eqNullSafe(responses.p_uri)) & (requests.r_seq == responses.p_seq),
-        "full_outer",
-    )
-    return joined.select(
-        F.coalesce("r_uri", "p_uri").alias("target_uri"),
-        F.coalesce("r_seq", "p_seq").alias("seq"),
-        "req_start",
-        "req_end",
-        "resp_start",
-        "resp_end",
-        F.when(F.col("req_start").isNotNull() & F.col("resp_start").isNotNull(), "pair")
-        .when(F.col("req_start").isNotNull(), "lone_request")
-        .otherwise("lone_response")
-        .alias("pair_type"),
+            .when(F.col("req_start").isNotNull(), "lone_request")
+            .otherwise("lone_response")
+            .alias("pair_type"),
+        )
     )
 
 
@@ -297,38 +309,62 @@ def compare_headers(
      status ∈ {matching, near_matching, unique, skipped}).
     `carry_cols` rides extra record columns through as l_<col>/r_<col>
     (used by near_match_header_diffs for Sc9 diff output).
+
+    Plan shape (r6 — guide §2.4): ONE exchange. The two archives union
+    with a side tag, hash-partition once on (warc_type, uri); the
+    per-(side, type, uri) rank window, the (type, uri, seq) pivot (a
+    groupBy — each group holds at most one row per side, so conditional
+    any_value aggregates reproduce the old full_outer join's row
+    exactly), and the key-level skip-rule window all reuse that
+    clustering with no further shuffle. The per-side record counts the
+    skip rule needs fall out as window sums of side-presence flags over
+    (type, uri) — seq is dense per side, so the count of keys where a
+    side is present equals that side's record count. Ranking partitions
+    on the ''-coalesced URI (the reference buckets records the same way:
+    a NULL Target-URI and an empty one share a deque).
     """
     compare_fields = compare_fields or list(DEFAULT_COMPARE_FIELDS)
     near_match_fields = near_match_fields or list(DEFAULT_COMPARE_FIELDS)
+    carry = list(carry_cols or [])
 
-    def prep(df: DataFrame, tag: str) -> DataFrame:
+    def prep(df: DataFrame, tag: int) -> DataFrame:
         base = df.filter(
             F.col("warc_type").isNotNull() & (F.col("warc_type") != "warcinfo")
         )
-        w = Window.partitionBy("warc_type", "target_uri").orderBy(*FILE_ORDER)
         cols = [
-            F.col("warc_type").alias(f"{tag}_type"),
-            F.coalesce(F.col("target_uri"), F.lit("")).alias(f"{tag}_uri"),
-            F.row_number().over(w).alias(f"{tag}_seq"),
-            F.count("*")
-            .over(Window.partitionBy("warc_type", "target_uri"))
-            .alias(f"{tag}_n"),
+            F.lit(tag).alias("_side"),
+            F.col("warc_type"),
+            F.coalesce(F.col("target_uri"), F.lit("")).alias("_uri"),
+            *[F.col(c) for c in FILE_ORDER],
         ]
         for i, field in enumerate(compare_fields):
-            cols.append(_field_value(field).alias(f"{tag}_f{i}"))
-        for c in carry_cols or []:
-            cols.append(F.col(c).alias(f"{tag}_{c}"))
+            cols.append(_field_value(field).alias(f"_f{i}"))
+        for c in carry:
+            cols.append(F.col(c).alias(f"_c_{c}"))
         return base.select(*cols)
 
-    left = prep(records1, "l")
-    right = prep(records2, "r")
-    joined = left.join(
-        right,
-        (F.col("l_type") == F.col("r_type"))
-        & (F.col("l_uri") == F.col("r_uri"))
-        & (F.col("l_seq") == F.col("r_seq")),
-        "full_outer",
+    unioned = prep(records1, 0).unionByName(prep(records2, 1)).repartition(
+        F.col("warc_type"), F.col("_uri")
     )
+    ranked = unioned.withColumn(
+        "seq",
+        F.row_number().over(
+            Window.partitionBy("_side", "warc_type", "_uri").orderBy(*FILE_ORDER)
+        ),
+    )
+    is_l = F.col("_side") == 0
+    pick = lambda cond, c: F.any_value(F.when(cond, F.col(c)), True)  # noqa: E731
+    aggs = [
+        F.max(F.when(is_l, F.lit(1))).alias("_l_here"),
+        F.max(F.when(~is_l, F.lit(1))).alias("_r_here"),
+    ]
+    for i in range(len(compare_fields)):
+        aggs.append(pick(is_l, f"_f{i}").alias(f"l_f{i}"))
+        aggs.append(pick(~is_l, f"_f{i}").alias(f"r_f{i}"))
+    for c in carry:
+        aggs.append(pick(is_l, f"_c_{c}").alias(f"l_{c}"))
+        aggs.append(pick(~is_l, f"_c_{c}").alias(f"r_{c}"))
+    keyed = ranked.groupBy("warc_type", "_uri", "seq").agg(*aggs)
 
     all_equal = F.lit(True)
     near_ok = F.lit(True)
@@ -338,41 +374,31 @@ def compare_headers(
         if field not in near_match_fields:
             near_ok = near_ok & eq
 
-    both = F.col("l_type").isNotNull() & F.col("r_type").isNotNull()
+    both = F.col("_l_here").isNotNull() & F.col("_r_here").isNotNull()
 
-    # Key-level record counts: the skip rule ("record counts differ for a
-    # common URI → every record of that URI is skipped") must also catch the
-    # unmatched-seq rows, so counts are recovered per key with a window over
-    # the joined result (same partitioning as the join → exchange reuse).
-    keyed = joined.select(
-        F.coalesce("l_type", "r_type").alias("warc_type"),
-        F.coalesce("l_uri", "r_uri").alias("target_uri"),
-        F.coalesce("l_seq", "r_seq").alias("seq"),
-        F.when(both, "both")
-        .when(F.col("l_type").isNotNull(), "left")
-        .otherwise("right")
-        .alias("side"),
-        F.when(both & all_equal, "matching")
-        .when(both & near_ok, "near_matching")
-        .otherwise("unique")
-        .alias("_field_status"),
-        "l_n",
-        "r_n",
-        *[F.col(f"{tag}_{c}") for c in (carry_cols or []) for tag in ("l", "r")],
-    )
-    wkey = Window.partitionBy("warc_type", "target_uri")
-    key_l_n = F.max("l_n").over(wkey)
-    key_r_n = F.max("r_n").over(wkey)
+    # Key-level record counts for the skip rule ("record counts differ for
+    # a common URI → every record of that URI is skipped"): per-side window
+    # sums of the presence flags over the groupBy's own partitioning —
+    # NULL when a side never appears for the key (→ unique), exactly the
+    # old max-over-joined-l_n semantics.
+    wkey = Window.partitionBy("warc_type", "_uri")
+    key_l_n = F.sum("_l_here").over(wkey)
+    key_r_n = F.sum("_r_here").over(wkey)
     return keyed.select(
         "warc_type",
-        "target_uri",
+        F.col("_uri").alias("target_uri"),
         "seq",
-        "side",
+        F.when(both, "both")
+        .when(F.col("_l_here").isNotNull(), "left")
+        .otherwise("right")
+        .alias("side"),
         F.when(key_l_n.isNull() | key_r_n.isNull(), "unique")
         .when(key_l_n != key_r_n, "skipped")
-        .otherwise(F.col("_field_status"))
+        .when(both & all_equal, "matching")
+        .when(both & near_ok, "near_matching")
+        .otherwise("unique")
         .alias("status"),
-        *[F.col(f"{tag}_{c}") for c in (carry_cols or []) for tag in ("l", "r")],
+        *[F.col(f"{tag}_{c}") for c in carry for tag in ("l", "r")],
     )
 
 

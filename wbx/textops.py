@@ -182,18 +182,50 @@ def minhash_signatures_items(
     )
 
 
+def _pair_ids(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct ids occurring on either side of a candidate-pair table —
+    the semi-join prefilter key set of the verify stages (guide §3.2)."""
+    return (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+
+
+def _staged_pairs(pairs: DataFrame) -> DataFrame:
+    """Persist a candidate-pair table consumed twice by a verify stage
+    (once to derive the prefilter id set, once as the join probe): the
+    pair-generation lineage (signatures → banding → distinct) is the
+    expensive upstream, and without a shared materialization each
+    consumer would re-execute it. Registered with the frontier rank-cache
+    registry so release_rank_caches()/the FIFO cap reclaims it."""
+    from pyspark import StorageLevel
+
+    from wbx.frontier import _register_rank_cache
+
+    staged = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    _register_rank_cache(staged)
+    return staged
+
+
 def jaccard_verify_item_pairs(
     items: DataFrame,
     pairs: DataFrame,
     id_col: str,
     item_col: str,
     threshold: float = 0.8,
+    prefilter_ids: bool = False,
 ) -> DataFrame:
     """Exact set-Jaccard verification of candidate (id_a, id_b) pairs over
     atomic item sets: (id_a, id_b, intersection, n_a, n_b, jaccard),
     jaccard ≥ threshold. Items are xxhash64'd before the distinct and the
     joins (shuffles carry (id, int64) only — same collision argument as
-    jaccard_verify_pairs)."""
+    jaccard_verify_pairs). ``prefilter_ids``: optionally cut the item
+    table to ids occurring in ``pairs`` first — the 10^10-id regime knob;
+    see jaccard_verify_pairs for the measured trade."""
+    if prefilter_ids:
+        pairs = _staged_pairs(pairs)
+        items = items.join(_pair_ids(pairs, id_col), [id_col], "left_semi")
     hashed = items.select(
         F.col(id_col), F.xxhash64(F.col(item_col)).alias("_item")
     ).distinct()
@@ -285,6 +317,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     threshold: float = 0.8,
+    prefilter_ids: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs.
 
@@ -296,7 +329,25 @@ def jaccard_verify_pairs(
     dominant shuffle of the verify stage shrinks ~3×. Jaccard over hashes
     equals Jaccard over strings unless two DIFFERENT shingles of a compared
     pair collide in 64 bits (P ≈ |union|²/2⁶⁵ per pair — negligible at any
-    corpus size that fits a cluster)."""
+    corpus size that fits a cluster).
+
+    ``prefilter_ids`` (r6, guide §3.2; output-identical either way): cut
+    ``documents`` to ids occurring in ``pairs`` first (broadcast-eligible
+    semi join over a persisted pairs table), so the shingle explode, the
+    distinct and all three joins run over the candidate slice instead of
+    the corpus. Only the distinct actually shuffles corpus-proportional
+    bytes without it (AQE broadcasts the tiny pair side of every join),
+    so this is the knob for the 10^10-doc regime where an O(corpus)
+    distinct per verify is the wall; default off because the pairs
+    lineage then materializes on the critical path twice (id set +
+    probe), which costs more than the pruning saves whenever candidates
+    are NOT vanishingly rare (measured 4.1s → 6.8s on the 5k-doc bench
+    corpus at local[32])."""
+    if prefilter_ids:
+        pairs = _staged_pairs(pairs)
+        documents = documents.join(
+            _pair_ids(pairs, id_col), [id_col], "left_semi"
+        )
     shingled = documents.select(
         F.col(id_col),
         F.explode(
@@ -1415,11 +1466,17 @@ def trigram_entropy(
     high, 'aaaa…' keyboard mash and template spam score low — gate the
     tails. Documents shorter than 3 normalized chars produce no row.
 
-    Scale shape: explode to (id, gram) → two map-side-combinable
-    aggregates keyed by (id, gram) then id — text never shuffles, the
-    exchanges carry 8-byte gram hashes; entropy arithmetic is pure
-    Column algebra. Deterministic (rounding absorbs libm drift between
-    engines; the oracle mirrors the normalization verbatim)."""
+    Scale shape (r6 — guide §2.3/2.4): ONE exchange, of the text itself.
+    Both aggregates group within a document, so hash-partitioning the
+    corpus by id BEFORE the explode lets (id, gram) and (id) aggregate
+    in place with zero post-explode exchanges. That replaces the old
+    post-explode (id, gram-hash) exchange, which carried one 16-byte row
+    per distinct trigram per document — empirically ~13× the text bytes
+    (a trigram window per character survives partial aggregation at
+    roughly half the character count) — with a single 1× text-bytes
+    exchange. Entropy arithmetic is pure Column algebra. Deterministic
+    (rounding absorbs libm/association drift between engines; the
+    oracle mirrors the normalization verbatim)."""
     s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     # let-bind the normalized string (see let_col) so the per-window
     # lambda doesn't re-run lower+regexp per trigram; < 3 chars → no
@@ -1434,7 +1491,13 @@ def trigram_entropy(
             ),
         ).otherwise(F.array().cast("array<long>")),
     )
-    grams = documents.select(
+    # explicit partition count: the text exchange is small in BYTES but
+    # the per-byte downstream work (explode + hash per character) is huge,
+    # so AQE's byte-targeted coalescing would funnel it onto one task;
+    # REPARTITION_BY_NUM pins full parallelism (cluster-derived, not a
+    # local constant)
+    n_part = documents.sparkSession.sparkContext.defaultParallelism
+    grams = documents.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(gram_hashes).alias("_g")
     )
     counts = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
@@ -1785,14 +1848,20 @@ def unigram_nll(
     tri_entropy precedent — rounding absorbs libm/association drift
     between engines). Token-less documents get NULL (callers left-join).
 
-    Scale shape: one (token → count) aggregate over the corpus and one
-    (id, token, m) aggregate — both map-side combinable; the vocabulary
-    join carries (token, count) only and broadcasts when it fits (AQE;
-    at web scale hash the token to 8 bytes first and bucket both sides).
+    Scale shape (r6): the corpus is hash-partitioned by id BEFORE the
+    token explode, so the (id, token) aggregate, the broadcast
+    vocabulary join and the final per-id aggregate all run on that one
+    clustering with no further exchange — only the (token → count)
+    vocabulary aggregate shuffles, and it carries post-partial-agg
+    (token, count) rows only (broadcasting back when it fits — AQE; at
+    web scale hash the token to 8 bytes first and bucket both sides).
     The corpus total rides a broadcast 1-row cross join, never a
     collect().
     """
-    tok = documents.select(
+    # explicit count: see trigram_entropy — keeps AQE from coalescing the
+    # small-bytes/heavy-compute text exchange onto too few tasks
+    n_part = documents.sparkSession.sparkContext.defaultParallelism
+    tok = documents.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     )
     per = tok.groupBy(id_col, "_t").agg(F.count("*").alias("_m"))
