@@ -782,10 +782,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fingerprints bit-identical across engines (the text_simhash trick);
     # production keeps the xxhash64 default + blocks=4 speed/recall
     # trade, pinned by pytest ground-truth tests.
+    # max_bucket=None: the oracle pins the EXACT hamming≤8 pair set, so
+    # the skew cap must stay off here (md5_hash60's zeroed top bits make
+    # the high chunk a corpus-wide bucket at any sf; production keeps the
+    # default cap + xxhash64, pinned by pytest skew tests).
     q["dedup_simhash_pairs"] = lambda spark, sf: textops.simhash_near_pairs(
         textops.simhash(_t(spark, sf, "documents"), hasher=textops.md5_hash60),
         max_hamming=8,
         blocks=9,
+        max_bucket=None,
     )
 
     # simhash VALUES, oracle-checked (the winnow trick): the signature

@@ -163,6 +163,39 @@ class TestSimHash:
         rows = textops.simhash(df).collect()
         assert [r["doc_id"] for r in rows] == [2]
 
+    def test_bucket_cap_drops_identical_hash_storm(self, spark):
+        """r6 skew guard: 40 byte-identical docs share one simhash → every
+        chunk bucket holds all 40 → with max_bucket below that the storm
+        emits NO pairs (the quadratic join input is capped), while a
+        genuine near-dup pair outside the storm still pairs; max_bucket
+        None reproduces the exact (storm-quadratic) pair set."""
+        storm = ["identical boilerplate page content here"] * 40
+        texts = storm + [BASE, BASE.replace("garden", "meadow")]
+        hashes = textops.simhash(docs_df(spark, texts))
+        capped = textops.simhash_near_pairs(hashes, max_hamming=16, max_bucket=10)
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert (40, 41) in got
+        assert not any(a < 40 and b < 40 for a, b in got)
+        exact = textops.simhash_near_pairs(hashes, max_hamming=16, max_bucket=None)
+        n_exact = exact.filter((F.col("id_a") < 40) & (F.col("id_b") < 40)).count()
+        assert n_exact == 40 * 39 // 2  # the uncapped storm IS quadratic
+
+    def test_precollapse_identical_keeps_representative_pairing(self, spark):
+        """precollapse_identical collapses an identical-simhash group to
+        its min id: the storm contributes no intra-group pairs, and cross
+        pairs surface through the representative only."""
+        storm = ["identical boilerplate page content here"] * 15
+        texts = storm + [BASE, BASE.replace("garden", "meadow")]
+        hashes = textops.simhash(docs_df(spark, texts))
+        pairs = textops.simhash_near_pairs(
+            hashes, max_hamming=16, max_bucket=None, precollapse_identical=True
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (15, 16) in got
+        # the storm survives only as its min-id representative (id 0):
+        # every id in any pair is 0, 15 or 16 — never a collapsed member
+        assert {i for p in got for i in p} <= {0, 15, 16}
+
 
 class TestWinnowing:
     """rolling_hashes + winnow (SIGMOD'03 winnowing): pure-Column operators,

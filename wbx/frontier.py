@@ -28,7 +28,7 @@ Scale design (10^10-URL frontier):
 
 from __future__ import annotations
 
-import numpy as np
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -558,49 +558,73 @@ def update_seen_bloom(
     bits/key ≈ 2^31; the 2^20 default suits tests). Saturation only raises
     the false-positive rate — false positives are re-checked exactly, so
     correctness never depends on m. A partition whose stored filter was
-    built with a different m raises (the positions would be meaningless)."""
-    import pandas as _pd
+    built with a different m raises (the positions would be meaningless).
 
+    r6: fully relational (guide §4.1 — the previous cogrouped pandas
+    kernel was the only Python stage of the bloom path; its worker
+    round-trip cost more than the whole exact anti-join at bench scale).
+    Probe positions explode to (partition, word-index, bit) rows, a
+    map-side-combinable bit_or collapses them to one row per touched
+    64-bit word, and the dense word array is rebuilt per partition by a
+    transform over the word-index sequence OR-ing the stored filter with
+    the delta map — all inside codegen, bit-identical to the numpy form
+    (same seeded-xxhash positions, same two's-complement words)."""
     m = max(64, (int(m) + 63) // 64 * 64)
-    d = delta.select(
-        F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int").alias("_bp"),
-        F.array(*bloom_positions(F.col("url_hash"), m)).alias("_pos"),
+    nwords = m // 64
+    pos = F.explode(F.array(*bloom_positions(F.col("url_hash"), m))).alias("_pos")
+    bits = delta.select(
+        F.pmod(F.col("url_hash"), F.lit(partitions)).cast("int").alias("_bp"), pos
+    ).select(
+        "_bp",
+        F.shiftrightunsigned(F.col("_pos"), 6).cast("int").alias("_idx"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.col("_pos").bitwiseAND(F.lit(63)).cast("int"),
+        ).alias("_bit"),
     )
-    b = bloom.withColumnRenamed("bloom_part", "_bp")
-
-    def upd(left: _pd.DataFrame, right: _pd.DataFrame) -> _pd.DataFrame:
-        if len(right):
-            mm = int(right["m"].iloc[0])
-            if mm != m:
-                raise ValueError(
-                    f"seen-bloom capacity mismatch: stored m={mm}, update m={m}"
-                )
-            words = np.array(right["words"].iloc[0], dtype=np.int64).view(np.uint64).copy()
-            part = int(right["_bp"].iloc[0])
-        else:
-            words = np.zeros(m // 64, dtype=np.uint64)
-            part = int(left["_bp"].iloc[0])
-        if len(left):
-            pos = np.array(left["_pos"].tolist(), dtype=np.int64).reshape(-1).astype(
-                np.uint64
-            )
-            np.bitwise_or.at(
-                words,
-                (pos >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (pos & np.uint64(63)),
-            )
-        return _pd.DataFrame(
-            {
-                "bloom_part": [part],
-                "m": [m],
-                "words": [words.view(np.int64).tolist()],
-            }
+    new_words = (
+        bits.groupBy("_bp", "_idx")
+        .agg(F.bit_or("_bit").alias("_w"))
+        .groupBy("_bp")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("_w")))
+            ).alias("_new")
         )
-
-    return (
-        d.groupBy("_bp")
-        .cogroup(b.groupBy("_bp"))
-        .applyInPandas(upd, schema="bloom_part int, m long, words array<bigint>")
+    )
+    old = bloom.select(
+        F.col("bloom_part").alias("_bp"),
+        F.col("m").alias("_m"),
+        F.col("words").alias("_old"),
+    )
+    merged = new_words.join(old, "_bp", "full_outer")
+    mismatch = F.col("_m").isNotNull() & (F.col("_m") != F.lit(m))
+    words_out = F.when(
+        mismatch,
+        F.raise_error(
+            F.format_string(
+                "seen-bloom capacity mismatch: stored m=%d, update m=%d",
+                F.col("_m"),
+                F.lit(m),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_old"), i + 1), F.lit(0).cast("long")
+            ).bitwiseOR(
+                F.coalesce(
+                    F.element_at(F.col("_new"), i), F.lit(0).cast("long")
+                )
+            ),
+        )
+    )
+    return merged.select(
+        F.col("_bp").alias("bloom_part"),
+        F.lit(m).cast("long").alias("m"),
+        words_out.alias("words"),
     )
 
 

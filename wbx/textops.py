@@ -472,14 +472,45 @@ def simhash(
 
 
 def simhash_near_pairs(
-    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket: int | None = 1000,
+    precollapse_identical: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming distance ≤ max_hamming.
 
     Pigeonhole blocking: split 64 bits into `blocks` chunks — any pair
     within distance < blocks shares at least one exact chunk → equi-join per
-    chunk, then exact popcount verify. No O(n²) comparison."""
+    chunk, then exact popcount verify. No O(n²) comparison.
+
+    Skew guards (r6 — the minhash_lsh_pairs pattern, guide §2.5; each of
+    the per-chunk equi-joins is otherwise quadratic in a chunk-value's
+    bucket size, and real corpora produce exactly that degeneracy:
+    empty/boilerplate documents collapse to identical simhashes and
+    all-zero chunks):
+
+    - ``max_bucket`` (default 1000): chunk values held by more than
+      max_bucket documents are dropped from that block's join BEFORE it
+      runs — a window count on the block's own join key, so no extra
+      exchange on the probe side. Members of a dropped bucket can still
+      pair through their other blocks, so recall only degrades for pair
+      groups hot in EVERY block (the exact-duplicate storm below).
+      ``None`` disables the cap (exact mode — what the value oracle
+      pins).
+    - ``precollapse_identical`` (opt-in): collapse identical simhash
+      VALUES to their min-id representative before blocking — an
+      identical-simhash group is exact-dedup output, not k² pairs, and
+      it is precisely the group that defeats max_bucket (hot in every
+      block). Off by default because it CHANGES the contract (pairs
+      among representatives only), unlike max_bucket=None/precollapse
+      off which reproduce the exact pair set.
+    """
     width = 64 // blocks
+    if precollapse_identical:
+        reps = hashes.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+        hashes = hashes.join(reps, [id_col, "simhash"], "left_semi")
     chunk_cols = [
         F.shiftrightunsigned(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1))
@@ -489,15 +520,25 @@ def simhash_near_pairs(
     blocked = hashes.select(F.col(id_col), F.col("simhash"), *chunk_cols)
     pairs = None
     for i in range(blocks):
-        a = blocked.select(
+        side = blocked.select(
+            F.col(id_col), F.col("simhash"), F.col(f"c{i}").alias("chunk")
+        )
+        if max_bucket is not None:
+            w = Window.partitionBy("chunk")
+            side = (
+                side.withColumn("_bn", F.count("*").over(w))
+                .filter(F.col("_bn") <= max_bucket)
+                .drop("_bn")
+            )
+        a = side.select(
             F.col(id_col).alias("id_a"),
             F.col("simhash").alias("sh_a"),
-            F.col(f"c{i}").alias("chunk"),
+            "chunk",
         )
-        b = blocked.select(
+        b = side.select(
             F.col(id_col).alias("id_b"),
             F.col("simhash").alias("sh_b"),
-            F.col(f"c{i}").alias("chunk"),
+            "chunk",
         )
         p = a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b")).drop("chunk")
         pairs = p if pairs is None else pairs.unionByName(p)

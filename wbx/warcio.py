@@ -1274,6 +1274,66 @@ def _text_frame(records: list[dict], text_fn) -> pd.DataFrame:
     )
 
 
+def text_scan_arrow_iterator(
+    style: str = "content_length",
+    has_gz: bool = False,
+    gz_style: str = "file",
+    on_error: str = "raise",
+):
+    """Arrow-native twin of :func:`text_scan_iterator` for the BATCH fused
+    path (guide §4.1): consumes/produces pyarrow RecordBatches directly,
+    skipping the pandas object-Series detour on both sides of the
+    boundary — the output side carries one string cell per extracted page,
+    and pa.array over a Python list is a single C pass where the pandas
+    serializer walks object arrays. Record semantics are byte-identical:
+    the same scan_archive + _make_text_fn kernel produces the rows
+    (parity pinned by the fused-parity tests). The streaming form keeps
+    the pandas iterator (foreachBatch-free streaming uses mapInPandas)."""
+    import pyarrow as pa
+
+    _text = _make_text_fn(on_error)
+    schema = pa.schema(
+        [
+            ("source_file", pa.string()),
+            ("record_start", pa.int64()),
+            ("record_end", pa.int64()),
+            ("warc_type", pa.string()),
+            ("target_uri", pa.string()),
+            ("http_status", pa.int32()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def scan_batches(batches):
+        for batch in batches:
+            cols = batch.schema.names
+            src = batch.column(cols.index("source_file"))
+            content = batch.column(cols.index("content"))
+            gz = batch.column(cols.index("is_gz")) if has_gz else None
+            records: list[dict] = []
+            for i in range(batch.num_rows):
+                data = content[i].as_py()
+                gz_hint = bool(gz[i].as_py()) if gz is not None else None
+                result, _ = scan_archive(
+                    bytes(data), src[i].as_py(), style, gz_hint, _TEXT_WANTED, gz_style
+                )
+                records.extend(result.records)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r["source_file"] for r in records], type=pa.string()),
+                    pa.array([r["record_start"] for r in records], type=pa.int64()),
+                    pa.array([r["record_end"] for r in records], type=pa.int64()),
+                    pa.array([r["warc_type"] for r in records], type=pa.string()),
+                    pa.array([r["target_uri"] for r in records], type=pa.string()),
+                    pa.array([r["http_status"] for r in records], type=pa.int32()),
+                    pa.array([_text(r) for r in records], type=pa.string()),
+                ],
+                schema=schema,
+            )
+
+    return scan_batches
+
+
 def scan_files_to_text(
     files_df,
     style: str = "content_length",
@@ -1297,10 +1357,10 @@ def scan_files_to_text(
     forensics)."""
     from wbx.schema import TEXT_RECORDS
 
-    kernel = text_scan_iterator(
+    kernel = text_scan_arrow_iterator(
         style, "is_gz" in files_df.columns, gz_style, on_error
     )
-    return files_df.mapInPandas(kernel, schema=TEXT_RECORDS)
+    return files_df.mapInArrow(kernel, schema=TEXT_RECORDS)
 
 
 def scan_files_to_unparsable(files_df, style: str = "content_length"):
