@@ -20,8 +20,13 @@ Scale design (10^10-URL frontier):
   then restores exactness (Bloom false positives are re-checked, never
   dropped: the sketch only ever *admits* candidates).
 - per-host politeness is a window over host — host skew (one domain = 30%
-  of rows) is the hot spot; the budget cap runs on a salted pre-aggregation
-  so no single reducer sees a whole hot host until after the cheap cap.
+  of rows) is the hot spot; an opt-in salted pre-cap (an explicit
+  (host, salt) repartition + local top-budget, apply_politeness
+  salt_buckets) spreads a dominating host over many reducers before the
+  exact per-host window. It is opt-in because it costs a second full
+  exchange, which only pays once a single reducer's host volume is the
+  straggler (the r5 implicit form was planner-collapsed into a no-spread
+  extra sort — see apply_politeness).
 - robots evaluation is a broadcast join (rules tables are small) with
   longest-prefix-wins resolved by a window over matching rules.
 """
@@ -1635,6 +1640,7 @@ def crawl_round(
     politeness_scope: str = "host",
     politeness_salt: int = 0,
     dedup_first: bool = False,
+    seen_join: str = "shuffle_hash",
 ) -> DataFrame:
     """candidates(url, priority) → ordered fetch batch.
 
@@ -1647,12 +1653,15 @@ def crawl_round(
     longest-prefix semantics the oracle pins) or 'wildcard' (Google-REP
     '*'/'$' patterns via apply_robots_wildcard; same join plan).
 
-    Shuffle plan (scale-critical): the dedup groupBy keys are exactly the
-    anti-join keys IN THE SAME ORDER (url_hash, canon_url), so the groupBy's
-    HashPartitioning already satisfies the join's required distribution —
-    the candidate set is shuffled ONCE for dedup+membership, not twice.
-    `host` is functionally dependent on canon_url and is (re)derived as a
-    map expression after dedup instead of riding through the exchange.
+    Shuffle plan (scale-critical): dedup and membership share ONE
+    exchange of the candidate set because the dedup groupBy keys are
+    exactly the anti-join keys (url_hash, canon_url). In the default
+    plain-path order (see ``dedup_first``) the anti-join's
+    HashPartitioning feeds the aggregate; in dedup-first order the
+    aggregate's feeds the join — either way the candidates cross the
+    wire once. `host` is functionally dependent on canon_url and is
+    (re)derived as a map expression after the exchange instead of riding
+    through it.
 
     ``bloom``: per-partition seen-set Bloom filters (build_seen_bloom /
     update_seen_bloom — run_crawl maintains them incrementally per round).
@@ -1703,7 +1712,15 @@ def crawl_round(
     right trade when dup_factor × row_width ≫ exchange bandwidth).
     Results are identical either way: an anti-join distributes over the
     duplicate rows of a group (all kept or all dropped together), so
-    max(priority) per group is unchanged (pinned by tests)."""
+    max(priority) per group is unchanged (pinned by tests).
+
+    ``seen_join``: strategy hint for the plain-path anti-join.
+    'shuffle_hash' (default) builds a per-partition hash table on the
+    seen side — no sort on either side (guide §3.1); per-partition build
+    memory is seen_bytes / shuffle partitions, so size partitions to the
+    seen set as usual. 'sort_merge' restores the sort-based join
+    (graceful spilling) for deployments that cannot. Any other value ⇒
+    no hint (planner's choice)."""
     if bloom is not None and cuckoo is not None:
         raise ValueError("pass at most one seen-sketch (bloom or cuckoo)")
     canon = with_canon_url(candidates.select("url", "priority")).select(
@@ -1717,11 +1734,10 @@ def crawl_round(
         # re-plans partition counts). The groupBy after the join needs no
         # exchange: hashpartitioning(url_hash, canon_url) from the join
         # already satisfies the aggregate's clustering.
-        kept = canon.join(
-            seen.select("url_hash", "canon_url").hint("shuffle_hash"),
-            ["url_hash", "canon_url"],
-            "left_anti",
-        )
+        seen_side = seen.select("url_hash", "canon_url")
+        if seen_join in ("shuffle_hash", "sort_merge"):
+            seen_side = seen_side.hint(seen_join)
+        kept = canon.join(seen_side, ["url_hash", "canon_url"], "left_anti")
         unseen = kept.groupBy("url_hash", "canon_url").agg(
             F.max("priority").alias("priority")
         )
