@@ -76,13 +76,30 @@ class TestJoinStrategies:
 
 
 class TestAggregates:
-    def test_minhash_signatures_partial_aggregate(self, spark):
+    def test_minhash_signatures_per_row_no_exchange(self, spark):
+        from pyspark.sql import functions as F
+
         from wbx import textops
 
+        # r6: document signatures are pure per-row Column algebra — a
+        # shingle row set never leaves its document row, so the plan must
+        # have NO exchange and NO aggregation at all
         plan = plan_str(textops.minhash_signatures(_docs(spark)))
-        # the 64-way min must map-side combine (partial_min) before the
-        # exchange — the shuffle then carries 64 longs per doc, not one row
-        # per shingle
+        assert "Exchange" not in plan
+        assert "HashAggregate" not in plan
+
+    def test_minhash_signatures_items_partial_aggregate(self, spark):
+        from pyspark.sql import functions as F
+
+        from wbx import textops
+
+        # the exploded-items form (mirror digests etc.) keeps the 64-way
+        # map-side-combinable min: partial_min before one exchange of 64
+        # longs per id
+        items = _docs(spark).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        plan = plan_str(
+            textops.minhash_signatures_items(items, "doc_id", "w")
+        )
         assert "partial_min" in plan
         assert plan.count("Exchange") >= 1
 

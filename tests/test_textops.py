@@ -126,6 +126,30 @@ class TestMinHash:
         cands = textops.minhash_lsh_pairs(sigs)
         assert cands.count() <= 1
 
+    def test_per_row_signatures_match_exploded_form(self, spark):
+        """r6: minhash_signatures computes slot minima per-row
+        (array_min over transforms); the values must stay bit-identical
+        to the exploded minhash_signatures_items aggregate — including
+        the slot constant actually reaching the hash (a two-parameter
+        transform lambda would silently receive the ARRAY INDEX as its
+        second argument, which this pin exists to catch)."""
+        df = docs_df(spark, corpus() + ["", "one two"])
+        new = {
+            r["doc_id"]: list(r["signature"])
+            for r in textops.minhash_signatures(df).collect()
+        }
+        shingled = df.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.explode(textops.shingle_array(F.col("text"), 3)).alias("_s"),
+        )
+        old = {
+            r["doc_id"]: list(r["signature"])
+            for r in textops.minhash_signatures_items(
+                shingled, "doc_id", "_s"
+            ).collect()
+        }
+        assert new == old
+
     def test_bucket_cap_drops_degenerate_buckets(self, spark):
         # 50 distinct docs engineered to share NO high-jaccard similarity;
         # with max_bucket=1 every bucket with >1 member is dropped → no pairs

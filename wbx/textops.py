@@ -124,27 +124,47 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word shingles.
 
-    Fully relational, zero Python workers (the round-1 form hashed every
-    shingle with a per-character Python FNV loop — the measured CPU wall):
-    shingles explode to (id, xxhash64(shingle)) rows, and signature slot i
-    is ``min(xxhash64(shingle_hash, seed, i))`` — a 64-way map-side-
-    combinable aggregate, so the shuffle carries 64 longs per document and
-    everything stays inside whole-stage codegen.
+    Fully per-row since r6 (guide §2.4 — remove shuffles outright): a
+    document's shingles all live in its own row, so signature slot i is
+    ``array_min(transform(shingle_hashes, h -> xxhash64(h, seed, i)))``
+    — pure Column algebra inside whole-stage codegen, ZERO exchanges and
+    no aggregation hash maps. Values are bit-identical to the previous
+    explode → 64-way-min-aggregate form (min over the same multiset,
+    same xxhash64(shingle_hash, seed, i) per element — pinned by tests),
+    which survives as :func:`minhash_signatures_items` for callers whose
+    items arrive already exploded (e.g. host-mirror digest sets). The
+    shingle-hash array is staged as a real column so the 64 slot
+    expressions reference it instead of re-tokenizing 64 times.
 
     Duplicate shingles need no dedup: min over a multiset equals min over
-    its set, so there is no distinct (and no extra shuffle) anywhere.
-    Deterministic: xxhash64 is a fixed function of (shingle, seed, i).
+    its set. Deterministic: xxhash64 is a fixed function of
+    (shingle, seed, i).
 
     NULL-text documents produce NO row (they carry no shingles; the round-1
     pandas form emitted (id, NULL) — callers joining back to documents by id
     should left-join if they need those rows).
     """
-    shingled = documents.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.explode(shingle_array(F.col(text_col), shingle_size)).alias("_s"),
+    assert_staging_free(documents, ("_mh_sh",), "minhash_signatures")
+    staged = documents.filter(F.col(text_col).isNotNull()).withColumn(
+        "_mh_sh",
+        F.transform(
+            shingle_array(F.col(text_col), shingle_size), lambda s: F.xxhash64(s)
+        ),
     )
-    return minhash_signatures_items(
-        shingled, id_col, "_s", num_hashes, seed
+
+    def slot(i: int) -> Column:
+        # closure, NOT a default-arg lambda: F.transform hands a
+        # two-parameter function (element, array_index) — a `lambda h, i=i`
+        # would silently receive the POSITION as i and hash garbage
+        return F.array_min(
+            F.transform(
+                F.col("_mh_sh"), lambda h: F.xxhash64(h, F.lit(seed), F.lit(i))
+            )
+        )
+
+    return staged.select(
+        F.col(id_col),
+        F.array(*[slot(i) for i in range(num_hashes)]).alias("signature"),
     )
 
 
