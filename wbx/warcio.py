@@ -1274,25 +1274,9 @@ def _text_frame(records: list[dict], text_fn) -> pd.DataFrame:
     )
 
 
-def text_scan_arrow_iterator(
-    style: str = "content_length",
-    has_gz: bool = False,
-    gz_style: str = "file",
-    on_error: str = "raise",
-):
-    """Arrow-native twin of :func:`text_scan_iterator` for the BATCH fused
-    path (guide §4.1): consumes/produces pyarrow RecordBatches directly,
-    skipping the pandas object-Series detour on both sides of the
-    boundary — the output side carries one string cell per extracted page,
-    and pa.array over a Python list is a single C pass where the pandas
-    serializer walks object arrays. Record semantics are byte-identical:
-    the same scan_archive + _make_text_fn kernel produces the rows
-    (parity pinned by the fused-parity tests). The streaming form keeps
-    the pandas iterator (foreachBatch-free streaming uses mapInPandas)."""
-    import pyarrow as pa
-
-    _text = _make_text_fn(on_error)
-    schema = pa.schema(
+def _arrow_text_schema(pa):
+    """pyarrow twin of wbx.schema.TEXT_RECORDS for the Arrow-native kernels."""
+    return pa.schema(
         [
             ("source_file", pa.string()),
             ("record_start", pa.int64()),
@@ -1303,6 +1287,44 @@ def text_scan_arrow_iterator(
             ("text", pa.string()),
         ]
     )
+
+
+def _text_record_batch(records: list[dict], text_fn, pa, schema):
+    """TEXT_RECORDS pyarrow batch from scanned records — pa.array over a
+    Python list is a single C pass where the pandas serializer walks
+    object arrays."""
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([r["source_file"] for r in records], type=pa.string()),
+            pa.array([r["record_start"] for r in records], type=pa.int64()),
+            pa.array([r["record_end"] for r in records], type=pa.int64()),
+            pa.array([r["warc_type"] for r in records], type=pa.string()),
+            pa.array([r["target_uri"] for r in records], type=pa.string()),
+            pa.array([r["http_status"] for r in records], type=pa.int32()),
+            pa.array([text_fn(r) for r in records], type=pa.string()),
+        ],
+        schema=schema,
+    )
+
+
+def text_scan_arrow_iterator(
+    style: str = "content_length",
+    has_gz: bool = False,
+    gz_style: str = "file",
+    on_error: str = "raise",
+):
+    """Arrow-native twin of :func:`text_scan_iterator` for the BATCH fused
+    path (guide §4.1): consumes/produces pyarrow RecordBatches directly,
+    skipping the pandas object-Series detour on both sides of the
+    boundary — the output side carries one string cell per extracted page.
+    Record semantics are byte-identical: the same scan_archive +
+    _make_text_fn kernel produces the rows (parity pinned by the
+    fused-parity tests). The streaming form keeps the pandas iterator
+    (foreachBatch-free streaming uses mapInPandas)."""
+    import pyarrow as pa
+
+    _text = _make_text_fn(on_error)
+    schema = _arrow_text_schema(pa)
 
     def scan_batches(batches):
         for batch in batches:
@@ -1318,18 +1340,7 @@ def text_scan_arrow_iterator(
                     bytes(data), src[i].as_py(), style, gz_hint, _TEXT_WANTED, gz_style
                 )
                 records.extend(result.records)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([r["source_file"] for r in records], type=pa.string()),
-                    pa.array([r["record_start"] for r in records], type=pa.int64()),
-                    pa.array([r["record_end"] for r in records], type=pa.int64()),
-                    pa.array([r["warc_type"] for r in records], type=pa.string()),
-                    pa.array([r["target_uri"] for r in records], type=pa.string()),
-                    pa.array([r["http_status"] for r in records], type=pa.int32()),
-                    pa.array([_text(r) for r in records], type=pa.string()),
-                ],
-                schema=schema,
-            )
+            yield _text_record_batch(records, _text, pa, schema)
 
     return scan_batches
 
@@ -1603,6 +1614,64 @@ def split_text_iterator(
     return kernel
 
 
+def split_text_arrow_iterator(
+    style: str = "content_length",
+    gz_style: str = "file",
+    on_error: str = "raise",
+    opener=None,
+):
+    """Arrow-native twin of :func:`split_text_iterator` for the BATCH split
+    path (guide §4.1 — same move as text_scan_arrow_iterator): the input
+    side reads the nine slim split-metadata cells per task directly from
+    the RecordBatch instead of through pandas iterrows, and the output
+    side builds the TEXT_RECORDS batch in one C pass per column. The scan
+    kernel is the same scan_member_group call, so rows are byte-identical
+    (split-parity tests pin it); streaming keeps the pandas iterator."""
+    import pyarrow as pa
+
+    _text = _make_text_fn(on_error)
+    schema = _arrow_text_schema(pa)
+
+    def kernel(batches):
+        for batch in batches:
+            cols = batch.schema.names
+
+            def col(name):
+                return batch.column(cols.index(name))
+
+            src = col("source_file")
+            comp_start = col("comp_start")
+            comp_end = col("comp_end")
+            unc_start = col("unc_start")
+            group_id = col("group_id")
+            n_groups = col("n_groups")
+            n_members_total = col("n_members_total")
+            records: list[dict] = []
+            for i in range(batch.num_rows):
+                source = src[i].as_py()
+                data = _read_slice(
+                    source,
+                    comp_start[i].as_py(),
+                    comp_end[i].as_py(),
+                    opener,
+                )
+                result, _ = scan_member_group(
+                    data,
+                    source,
+                    comp_start[i].as_py(),
+                    unc_start[i].as_py(),
+                    style,
+                    _TEXT_WANTED,
+                    gz_style,
+                    n_members_total[i].as_py(),
+                    group_id[i].as_py() == n_groups[i].as_py() - 1,
+                )
+                records.extend(result.records)
+            yield _text_record_batch(records, _text, pa, schema)
+
+    return kernel
+
+
 def scan_splits_to_text(
     splits_df,
     style: str = "content_length",
@@ -1616,8 +1685,9 @@ def scan_splits_to_text(
     in-process, and never cross the Arrow boundary."""
     from wbx.schema import TEXT_RECORDS
 
-    return splits_df.mapInPandas(
-        split_text_iterator(style, gz_style, on_error, opener), schema=TEXT_RECORDS
+    return splits_df.mapInArrow(
+        split_text_arrow_iterator(style, gz_style, on_error, opener),
+        schema=TEXT_RECORDS,
     )
 
 
