@@ -1761,7 +1761,14 @@ def crawl_round(
             unseen = filter_unseen_split(deduped, seen_base, seen, base_buckets)
         else:
             unseen = filter_unseen(deduped, seen)
-    unseen = with_url_host(unseen)
+    # url_hash is a pure function of canon_url and nothing between the
+    # membership stage and the output projection reads it (politeness
+    # derives its salt from xxhash64(canon_url) directly), so it is
+    # dropped here and re-derived in the final select instead of riding
+    # the politeness and rank exchanges — 8 bytes/row off both (guide
+    # §2.3 shuffle fewer bytes). Identical output: same deterministic
+    # expression over the same canon_url values.
+    unseen = with_url_host(unseen.drop("url_hash"))
     if robots is not None:
         if robots_style == "wildcard":
             unseen = apply_robots_wildcard(unseen, robots, broadcast_small)
@@ -1785,7 +1792,13 @@ def crawl_round(
         raise ValueError("politeness_scope must be host | registered_domain")
     return schedule_fetch_batch(
         polite, batch_size, boundary_cache=rank_boundary_cache
-    ).select("canon_url", "url_hash", "host", "priority", "fetch_order")
+    ).select(
+        "canon_url",
+        url_hash(F.col("canon_url")).alias("url_hash"),
+        "host",
+        "priority",
+        "fetch_order",
+    )
 
 
 # ---------------------------------------------------------------------------
