@@ -410,6 +410,7 @@ def dedup_minhash(
     seed: int = 42,
     max_bucket: int | None = 1000,
     precollapse_exact: bool = True,
+    per_row_signatures: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: exact-dup pre-collapse →
     signature → banding (skew-guarded) → exact Jaccard verify. Returns
@@ -422,14 +423,40 @@ def dedup_minhash(
     worst skew case — 10k copies of one page otherwise share every band
     bucket and the self-join goes quadratic. Implemented as a semi join on
     the aggregate survivor ids so the collapse itself never shuffles text
-    (see dedup_exact)."""
+    (see dedup_exact).
+
+    ``per_row_signatures``: signature evaluation strategy — the VALUES are
+    bit-identical either way (pinned by tests), only the physical plan
+    differs. Default False: shingles explode to (id, shingle) rows and the
+    64 slot minima run as a map-side-combinable codegen'd aggregate
+    (:func:`minhash_signatures_items`); because a document's shingles all
+    live in one scan row, the partial min completes per document BEFORE
+    the exchange, which therefore carries exactly 64 longs per doc — the
+    same order as the banding exchange right after it. True switches to
+    the zero-exchange per-row form (:func:`minhash_signatures`), whose 64
+    array_min/transform lambdas evaluate INTERPRETED (higher-order
+    functions are CodegenFallback) — measured 2.4× slower per core on the
+    5k-doc bench corpus (interleaved A/B, 0.79–1.13s vs 1.93–2.27s for
+    the signature stage) — in exchange for not shuffling at all: the knob
+    for a network-bound cluster where even 64 longs/doc matters."""
     if precollapse_exact:
         documents = documents.join(
             dedup_exact_ids(documents, text_col, id_col).select(id_col),
             [id_col],
             "left_semi",
         )
-    sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_size, seed)
+    if per_row_signatures:
+        sigs = minhash_signatures(
+            documents, text_col, id_col, num_hashes, shingle_size, seed
+        )
+    else:
+        items = documents.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.explode(shingle_array(F.col(text_col), shingle_size)).alias(
+                "_item"
+            ),
+        )
+        sigs = minhash_signatures_items(items, id_col, "_item", num_hashes, seed)
     pairs = minhash_lsh_pairs(sigs, id_col, bands, num_hashes // bands, max_bucket)
     return jaccard_verify_pairs(documents, pairs, text_col, id_col, shingle_size, threshold)
 
